@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability exposed to the driver's correctness gate.
+  *
+  * @param build  builds the Spark result for a scale-factor directory
+  * @param oracle equivalent ANSI SQL runnable by DuckDB over the same
+  *               parquet tables (None → driver records rows-only check)
+  * @param doc    which SURVEY.md §2 operator(s) this exercises
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String)
+
+object Registry {
+  /** Ordered registry of all query batteries. */
+  def all: Seq[(String, QueryDef)] =
+    ops.Relational.defs ++ ops.Cdc.defs ++ ops.Dedup.defs ++
+      ops.TextAnalysis.defs ++ ops.Similarity.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, d) => n -> d.build }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, d) if d.oracle.isDefined => n -> d.oracle.get }.toMap
+}

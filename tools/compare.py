@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: runs each oracle SQL in
+DuckDB over the sf parquet tables and hash-compares against the Verify output
+parquet (columns sorted by name, rows as produced)."""
+import sys, json, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_glob:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    sdf = con.execute(
+        f"SELECT * FROM read_parquet({spark_glob!r})").fetchdf()
+    o = odf[sorted(odf.columns)]
+    s_ = sdf[sorted(sdf.columns)]
+    if list(o.columns) != list(s_.columns):
+        print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s_.columns)}")
+        fails += 1; continue
+    if len(o) != len(s_):
+        print(f"FAIL {name}: rows oracle={len(o)} spark={len(s_)}"); fails += 1
+        continue
+    ovals = o.astype(str).values.tolist()
+    svals = s_.astype(str).values.tolist()
+    if ovals != svals:
+        n = 0
+        for i, (a, b) in enumerate(zip(ovals, svals)):
+            if a != b:
+                print(f"FAIL {name}: row {i} oracle={a} spark={b}")
+                n += 1
+                if n >= 3: break
+        fails += 1; continue
+    print(f"OK   {name} ({len(o)} rows)")
+print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
