@@ -1,0 +1,87 @@
+package graft.model
+
+/** Change-event data model — the Spark-native re-expression of the
+  * reference's protobuf envelope + 11 typed payloads
+  * (`common/src/main/proto`, dispatch in
+  * `core/messaging/ChangeDeltaSerDe.java:259-288`) and transaction model
+  * (`agent/model/DFSTransactionType.java:25-120`).
+  *
+  * One flat case class instead of 11 protobuf messages: Spark encodes it
+  * as a single wide row (nullable columns per op family), which keeps the
+  * whole pipeline in Tungsten rows / whole-stage codegen instead of
+  * opaque serialized payloads.
+  */
+object Op {
+  val AddFile = "AddFile"
+  val AppendFile = "AppendFile"
+  val DeleteFile = "DeleteFile"
+  val AddBlock = "AddBlock"
+  val UpdateBlocks = "UpdateBlocks"
+  val TruncateBlock = "TruncateBlock"
+  val CloseFile = "CloseFile"
+  val RenameFile = "RenameFile"
+  val IgnoreTx = "IgnoreTx"
+  val ErrorTx = "Error"
+  val ChangeData = "ChangeData"
+  val all: Seq[String] = Seq(AddFile, AppendFile, DeleteFile, AddBlock,
+    UpdateBlocks, TruncateBlock, CloseFile, RenameFile, IgnoreTx, ErrorTx,
+    ChangeData)
+}
+
+/** Message modes (ref `core/messaging/MessageObject.java:11-26`):
+  * bootstrap/catch-up/live protocol of SURVEY §2.10 T4. */
+object Mode {
+  val New = "New"
+  val Snapshot = "Snapshot"
+  val Backlog = "Backlog"
+  val Error = "Error"
+}
+
+/** One file-system change event (envelope + payload united).
+  *
+  * @param txId        transaction id — the logical watermark
+  * @param op          one of [[Op]]
+  * @param path        file path (the state key)
+  * @param mode        one of [[Mode]]
+  * @param sizeCents   size delta in fixed-point hundredths (exact math —
+  *                    floats never enter the FSM)
+  * @param ts          event-time epoch millis (from the event, never
+  *                    wall clock — determinism)
+  * @param srcPath     rename source (op == RenameFile)
+  * @param blockId     block payload (block ops), -1 otherwise
+  * @param startOffset block delta range start, -1 if n/a
+  * @param endOffset   block delta range end, -1 if n/a
+  */
+final case class ChangeEvent(
+    txId: Long,
+    op: String,
+    path: String,
+    mode: String = Mode.New,
+    sizeCents: Long = 0L,
+    ts: Long = 0L,
+    srcPath: String = "",
+    blockId: Long = -1L,
+    startOffset: Long = -1L,
+    endOffset: Long = -1L)
+
+/** File lifecycle states (ref `core/model/EFileState.java:3-5`). */
+object FileLifecycle {
+  val Unknown = "Unknown"
+  val New = "New"
+  val Updating = "Updating"
+  val Finalized = "Finalized"
+  val Deleted = "Deleted"
+  val Error = "Error"
+}
+
+/** Keyed file state — the `S` of the FSM (ref `core/model/DFSFileState
+  * .java:14-29`, reduced to the fields the rebuild's queries observe).
+  * Block-level detail lives in [[graft.changeset.RangeMerge]] state. */
+final case class FileState(
+    path: String,
+    state: String = FileLifecycle.Unknown,
+    numBlocks: Long = 0L,
+    dataSizeCents: Long = 0L,
+    lastTxId: Long = -1L,
+    nOps: Long = 0L,
+    nAppends: Long = 0L)

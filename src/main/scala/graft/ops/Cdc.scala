@@ -1,7 +1,294 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.changeset.RangeMerge
+import graft.filters.DomainFilters
+import graft.filters.DomainFilters.Filter
+import graft.model.{ChangeEvent, Mode, Op}
+import graft.state.FileStateFSM
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import Tables.load
 
+/** CDC operator battery — the reference's own semantics (SURVEY §2.3,
+  * §2.5 A1/A4, §2.6 W4, §2.10) exercised over the driver's test tables.
+  * The `events` table stands in for the decoded edit-log stream: event_id
+  * is the txId, user_id keys the tracked entity.
+  */
 object Cdc {
-  val defs: Seq[(String, QueryDef)] = Seq()
+
+  /** F3 duplicate suppression: first event per (entity, op-type).
+    * Deterministic form of `dropDuplicates` — ranked window, rank 1. */
+  private def qDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val qDedupSql =
+    """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+      |FROM (SELECT user_id, event_type, event_id, ts,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** F4/W4 sequence-gap detection via lag (ref
+    * `agent/common/TransactionProcessor.java:147-166`). */
+  private def qGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      .withColumn("gap", col("event_id") - col("prev_event_id"))
+      .filter(col("gap") > 60)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qGapsSql =
+    """SELECT user_id, event_id, prev_event_id, gap FROM (
+      |  SELECT user_id, event_id,
+      |   LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id,
+      |   event_id - LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+      |  FROM events) t
+      |WHERE gap > 60 ORDER BY user_id, event_id""".stripMargin
+
+  /** A4 transaction high-watermark per stream (ref
+    * `agent/common/ZkStateManager.java:164-180`). */
+  private def qWatermark(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(max(col("event_id")).as("processed_tx_id"),
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("event_type"))
+
+  private val qWatermarkSql =
+    """SELECT event_type, max(event_id) AS processed_tx_id,
+      | COUNT(*) AS n_events, max(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** T8 sessionization: Spark's native session_window (30-min gap). */
+  private def qSession(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val qSessionSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, value,
+      |   CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** A1 compressed change set: the order-sensitive range-merge fold as a
+    * typed Aggregator. Synthetic block deltas are derived
+    * deterministically from lineitem (block=orderkey, tx=linenumber;
+    * every 7th-mod-3 delta a truncate, 7th-mod-6 a delete) so the
+    * truncate/delete paths are actually exercised — a naive
+    * min/max-groupBy gives DIFFERENT (wrong) answers here. */
+  private def qRangeMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // txId must be unique per block for a deterministic fold; linenumber
+    // is not unique in the synthetic data, so rank the full row tuple.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val deltas = load(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .select(
+        col("l_orderkey").as("blockId"),
+        col("rn").as("txId"),
+        ((col("l_partkey") % 50) * 100).as("startOffset"),
+        ((col("l_partkey") % 50) * 100 + 100 +
+          (floor(col("l_quantity")).cast("int") % 37) * 10).as("endOffset"),
+        when(col("rn") % 7 === 3, RangeMerge.DeltaOp.Truncate)
+          .when(col("rn") % 7 === 6, RangeMerge.DeltaOp.Delete)
+          .otherwise(RangeMerge.DeltaOp.Append).as("op"))
+      .as[RangeMerge.Delta]
+    deltas.groupByKey(_.blockId)
+      .agg(RangeMerge.agg.toColumn)
+      .map { case (k, m) =>
+        (k, m.startOffset, m.endOffset, m.deleted, m.lastTxId)
+      }
+      .toDF("block_id", "start_off", "end_off", "deleted", "last_txid")
+      .orderBy(col("block_id"))
+  }
+
+  private val qRangeMergeSql =
+    """WITH ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+      |    AS BIGINT) AS rn
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT l_orderkey AS block_id, rn AS txid,
+      |         (l_partkey % 50) * 100 AS s,
+      |         (l_partkey % 50) * 100 + 100 + (CAST(floor(l_quantity) AS INT) % 37) * 10 AS e,
+      |         CASE rn % 7 WHEN 3 THEN 'truncate' WHEN 6 THEN 'delete'
+      |              ELSE 'append' END AS op
+      |  FROM ranked),
+      |fd AS (SELECT block_id, min(CASE WHEN op = 'delete' THEN txid END) AS del_tx
+      |       FROM d GROUP BY block_id),
+      |cons AS (SELECT d.* FROM d JOIN fd ON d.block_id = fd.block_id
+      |         WHERE (fd.del_tx IS NULL OR d.txid < fd.del_tx) AND d.op <> 'delete'),
+      |lt AS (SELECT block_id, max(CASE WHEN op = 'truncate' THEN txid END) AS tr_tx
+      |       FROM cons GROUP BY block_id),
+      |m AS (SELECT c.block_id,
+      |        min(c.s) AS start_off,
+      |        max(CASE WHEN lt.tr_tx IS NULL OR c.txid >= lt.tr_tx THEN c.e END) AS end_off,
+      |        max(c.txid) AS last_cons_tx
+      |      FROM cons c JOIN lt ON c.block_id = lt.block_id GROUP BY c.block_id)
+      |SELECT fd.block_id,
+      |       COALESCE(m.start_off, CAST(-1 AS BIGINT)) AS start_off,
+      |       COALESCE(m.end_off, CAST(-1 AS BIGINT)) AS end_off,
+      |       fd.del_tx IS NOT NULL AS deleted,
+      |       COALESCE(fd.del_tx, m.last_cons_tx) AS last_txid
+      |FROM fd LEFT JOIN m ON fd.block_id = m.block_id
+      |ORDER BY fd.block_id""".stripMargin
+
+  private val routeFilters = Seq(
+    Filter("d-parq", "PARQ", "/data/src1", ".*\\.parquet$", 1),
+    Filter("d-parq2", "PARQ2", "/data/src1", ".*\\.parquet$", 2), // shadowed
+    Filter("d-json", "JSON1", "/data/src1", ".*\\.json$", 3),
+    Filter("d-s2", "S2ALL", "/data/src2", ".*", 4),
+    Filter("d-even", "EVENP", "/data/src19", "doc-\\d*[02468]\\.(parquet|json)$", 5))
+
+  /** F1/F2/J3 regex routing, first-match-wins, global ignore regex.
+    * Every 97th doc gets a `.COPYING` suffix to exercise suppression. */
+  private def qFilterRoute(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("/data/"), col("source"), lit("/doc-"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 97 === 0, ".COPYING")
+            .when(col("lang") === "en", ".parquet")
+            .otherwise(".json")).as("path"))
+    DomainFilters.route(docs, routeFilters)
+      .select(col("doc_id"), col("path"), col("domain"), col("entity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qFilterRouteSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
+      |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
+      |  FROM documents),
+      |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
+      |  '(.*)\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\.hive-staging(.*)'))
+      |SELECT doc_id, path,
+      |  CASE
+      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'd-parq'
+      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'd-parq2'
+      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.json$') THEN 'd-json'
+      |   WHEN starts_with(path, '/data/src2') AND regexp_matches(substring(path, 12), '.*') THEN 'd-s2'
+      |   WHEN starts_with(path, '/data/src19') AND regexp_matches(substring(path, 13), 'doc-\d*[02468]\.(parquet|json)$') THEN 'd-even'
+      |   ELSE '_none' END AS domain,
+      |  CASE
+      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'PARQ'
+      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.json$') THEN 'JSON1'
+      |   WHEN starts_with(path, '/data/src2') AND regexp_matches(substring(path, 12), '.*') THEN 'S2ALL'
+      |   WHEN starts_with(path, '/data/src19') AND regexp_matches(substring(path, 13), 'doc-\d*[02468]\.(parquet|json)$') THEN 'EVENP'
+      |   ELSE 'IgnoreTx' END AS entity
+      |FROM keep ORDER BY doc_id""".stripMargin
+
+  /** T5 keyed FSM replay: events mapped to file-lifecycle ops
+    * (signup→AddFile, click→AppendFile, purchase→CloseFile,
+    * error→Error sticky, view→IgnoreTx) and folded per entity by the
+    * typed FSM. */
+  private def qFsm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = load(s, dir, "events")
+      .select(
+        col("event_id").as("txId"),
+        when(col("event_type") === "signup", Op.AddFile)
+          .when(col("event_type") === "click", Op.AppendFile)
+          .when(col("event_type") === "purchase", Op.CloseFile)
+          .when(col("event_type") === "error", Op.ErrorTx)
+          .otherwise(Op.IgnoreTx).as("op"),
+        col("user_id").cast("string").as("path"),
+        lit(Mode.New).as("mode"),
+        when(col("event_type") === "click",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+          .otherwise(0L).as("sizeCents"),
+        unix_millis(col("ts")).as("ts"),
+        lit("").as("srcPath"), lit(-1L).as("blockId"),
+        lit(-1L).as("startOffset"), lit(-1L).as("endOffset"))
+      .as[ChangeEvent]
+    FileStateFSM.replayAll(ev)(s)
+      .filter(_.nOps > 0)
+      .toDF()
+      .select(col("path").cast(LongType).as("file_id"), col("state"),
+        col("nOps").as("n_ops"), col("nAppends").as("n_appends"),
+        (col("dataSizeCents") / lit(100.0)).as("data_size"),
+        col("lastTxId").as("last_txid"))
+      .orderBy(col("file_id"))
+  }
+
+  private val qFsmSql =
+    """WITH ops AS (
+      |  SELECT user_id, event_id,
+      |    CASE event_type WHEN 'signup' THEN 'create' WHEN 'click' THEN 'append'
+      |         WHEN 'purchase' THEN 'close' WHEN 'error' THEN 'error' END AS op,
+      |    value
+      |  FROM events WHERE event_type <> 'view'),
+      |err AS (SELECT user_id, min(event_id) AS err_tx FROM ops
+      |        WHERE op = 'error' GROUP BY user_id),
+      |cons AS (SELECT o.* FROM ops o LEFT JOIN err e ON o.user_id = e.user_id
+      |         WHERE e.err_tx IS NULL OR o.event_id <= e.err_tx),
+      |agg AS (SELECT user_id,
+      |    COUNT(*) AS n_ops,
+      |    CAST(SUM(CASE WHEN op = 'append' THEN 1 ELSE 0 END) AS BIGINT) AS n_appends,
+      |    CAST(SUM(CASE WHEN op = 'append' THEN CAST(value AS DECIMAL(18,2))
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS data_size,
+      |    max(event_id) AS last_txid,
+      |    arg_max(op, event_id) AS last_op
+      |  FROM cons GROUP BY user_id)
+      |SELECT user_id AS file_id,
+      |  CASE last_op WHEN 'error' THEN 'Error' WHEN 'create' THEN 'New'
+      |       WHEN 'append' THEN 'Updating' WHEN 'close' THEN 'Finalized' END AS state,
+      |  n_ops, n_appends, data_size, last_txid
+      |FROM agg ORDER BY file_id""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
+      "F3 duplicate suppression (first per key)"),
+    "q21_cdc_gap_detect" -> QueryDef(qGaps, Some(qGapsSql),
+      "F4/W4 tx sequence gap detection via lag"),
+    "q22_cdc_watermark" -> QueryDef(qWatermark, Some(qWatermarkSql),
+      "A4 tx high-watermark per stream"),
+    "q23_cdc_sessionize" -> QueryDef(qSession, Some(qSessionSql),
+      "T8 session_window 30-min gap"),
+    "q24_cdc_range_merge" -> QueryDef(qRangeMerge, Some(qRangeMergeSql),
+      "A1 compressed change set (typed Aggregator, truncate/delete aware)"),
+    "q25_cdc_filter_route" -> QueryDef(qFilterRoute, Some(qFilterRouteSql),
+      "F1/F2/J3 regex domain routing, first-match-wins + ignore regex"),
+    "q26_cdc_fsm_replay" -> QueryDef(qFsm, Some(qFsmSql),
+      "T5 keyed file-lifecycle FSM replay (mapGroups)"))
 }

@@ -1,0 +1,69 @@
+package graft.state
+
+import graft.model.{ChangeEvent, FileLifecycle => L, FileState, Op}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Keyed file-lifecycle state machine — the Spark-native form of the
+  * reference's per-path transaction replay (state lifecycle
+  * `core/model/EFileState.java:3-5`; transition sites
+  * `agent/namenode/SourceTransactionProcessor.java:87-131` add,
+  * `:159-161` append→Updating, `:333-335` delete, `:615-617`
+  * close→Finalized; duplicate-tx guard F3 e.g. `:74-78`; error handling
+  * `:798-822`).
+  *
+  * The reference replays transactions one-at-a-time under a global ZK
+  * lock; here each path's events fold independently, so a cluster
+  * processes millions of files in parallel — partition ownership replaces
+  * the distributed lock (SURVEY §2.10 T9).
+  *
+  * Transition rules (documented contract, also mirrored by the DuckDB
+  * oracle of `q26_cdc_fsm_replay`):
+  *  - events fold in txId order per path
+  *  - a txId ≤ lastTxId is a duplicate → dropped (idempotent replay, F3)
+  *  - `IgnoreTx` advances nothing but is tolerated anywhere
+  *  - `Error` is sticky: state = Error, all later events ignored
+  *  - otherwise the op maps the state: AddFile→New, AppendFile/AddBlock/
+  *    UpdateBlocks→Updating, CloseFile→Finalized, DeleteFile→Deleted
+  *  - `AppendFile`-family adds `sizeCents` to dataSize; AddBlock bumps
+  *    numBlocks
+  */
+object FileStateFSM {
+
+  def transition(st: FileState, ev: ChangeEvent): FileState = {
+    if (st.state == L.Error) return st // sticky error
+    if (ev.txId <= st.lastTxId) return st // duplicate/out-of-order guard
+    ev.op match {
+      case Op.IgnoreTx => st
+      case Op.ErrorTx =>
+        st.copy(state = L.Error, lastTxId = ev.txId, nOps = st.nOps + 1)
+      case Op.AddFile =>
+        st.copy(state = L.New, lastTxId = ev.txId, nOps = st.nOps + 1)
+      case Op.AppendFile | Op.UpdateBlocks =>
+        st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
+          nAppends = st.nAppends + 1,
+          dataSizeCents = st.dataSizeCents + ev.sizeCents)
+      case Op.AddBlock =>
+        st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
+          numBlocks = st.numBlocks + 1)
+      case Op.CloseFile =>
+        st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1)
+      case Op.DeleteFile =>
+        st.copy(state = L.Deleted, lastTxId = ev.txId, nOps = st.nOps + 1)
+      case _ => st
+    }
+  }
+
+  /** Ordered replay of one path's events. */
+  def replay(path: String, events: Iterator[ChangeEvent]): FileState =
+    events.toSeq.sortBy(_.txId)
+      .foldLeft(FileState(path))(transition)
+
+  /** Batch replay: one shuffle on path, then an independent ordered fold
+    * per key — the plan that survives 100× scale (no global order, no
+    * driver loop). */
+  def replayAll(events: Dataset[ChangeEvent])(
+      implicit spark: SparkSession): Dataset[FileState] = {
+    import spark.implicits._
+    events.groupByKey(_.path).mapGroups((p, it) => replay(p, it))
+  }
+}

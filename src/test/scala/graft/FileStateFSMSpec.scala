@@ -1,0 +1,66 @@
+package graft
+
+import graft.model.{ChangeEvent, FileLifecycle => L, Op}
+import graft.state.FileStateFSM
+import org.scalatest.funsuite.AnyFunSuite
+
+class FileStateFSMSpec extends AnyFunSuite {
+
+  private def ev(tx: Long, op: String, cents: Long = 0) =
+    ChangeEvent(txId = tx, op = op, path = "/f", sizeCents = cents)
+
+  test("add → append → addBlock → close lifecycle") {
+    val st = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile),
+      ev(2, Op.AppendFile, cents = 500),
+      ev(3, Op.AddBlock),
+      ev(4, Op.AppendFile, cents = 250),
+      ev(5, Op.CloseFile)))
+    assert(st.state == L.Finalized)
+    assert(st.dataSizeCents == 750)
+    assert(st.numBlocks == 1)
+    assert(st.lastTxId == 5)
+    assert(st.nOps == 5 && st.nAppends == 2)
+  }
+
+  test("duplicate txId dropped (idempotent replay, F3)") {
+    val st = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile),
+      ev(2, Op.AppendFile, cents = 100),
+      ev(2, Op.AppendFile, cents = 100), // duplicate
+      ev(3, Op.CloseFile)))
+    assert(st.dataSizeCents == 100 && st.nOps == 3)
+  }
+
+  test("out-of-order input replays identically (sorted by txId)") {
+    val seq = Seq(ev(3, Op.CloseFile), ev(1, Op.AddFile),
+      ev(2, Op.AppendFile, cents = 42))
+    val a = FileStateFSM.replay("/f", seq.iterator)
+    val b = FileStateFSM.replay("/f", seq.reverse.iterator)
+    assert(a == b && a.state == L.Finalized && a.dataSizeCents == 42)
+  }
+
+  test("error is sticky") {
+    val st = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile),
+      ev(2, Op.ErrorTx),
+      ev(3, Op.AppendFile, cents = 999),
+      ev(4, Op.CloseFile)))
+    assert(st.state == L.Error && st.dataSizeCents == 0 && st.lastTxId == 2)
+  }
+
+  test("IgnoreTx advances nothing") {
+    val st = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.IgnoreTx)))
+    assert(st.state == L.New && st.lastTxId == 1 && st.nOps == 1)
+  }
+
+  test("delete terminal-ish: further adds recreate") {
+    val st = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.DeleteFile)))
+    assert(st.state == L.Deleted)
+    val st2 = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.DeleteFile), ev(3, Op.AddFile)))
+    assert(st2.state == L.New) // overwrite-add (ref SourceTransactionProcessor.java:54-73)
+  }
+}
