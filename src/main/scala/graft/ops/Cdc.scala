@@ -224,31 +224,8 @@ object Cdc {
     * typed FSM. */
   private def qFsm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = load(s, dir, "events")
-      .select(
-        col("event_id").as("txId"),
-        when(col("event_type") === "signup", Op.AddFile)
-          .when(col("event_type") === "click", Op.AppendFile)
-          .when(col("event_type") === "purchase", Op.CloseFile)
-          .when(col("event_type") === "error", Op.ErrorTx)
-          .otherwise(Op.IgnoreTx).as("op"),
-        col("user_id").cast("string").as("path"),
-        lit(Mode.New).as("mode"),
-        when(col("event_type") === "click",
-          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
-          .otherwise(0L).as("sizeCents"),
-        unix_millis(col("ts")).as("ts"),
-        lit("").as("srcPath"), lit(-1L).as("blockId"),
-        lit(-1L).as("startOffset"), lit(-1L).as("endOffset"))
-      .as[ChangeEvent]
-    FileStateFSM.replayAll(ev)(s)
-      .filter(_.nOps > 0)
-      .toDF()
-      .select(col("path").cast(LongType).as("file_id"), col("state"),
-        col("nOps").as("n_ops"), col("nAppends").as("n_appends"),
-        (col("dataSizeCents") / lit(100.0)).as("data_size"),
-        col("lastTxId").as("last_txid"))
-      .orderBy(col("file_id"))
+    val ev = eventOps(s, dir).as[ChangeEvent]
+    stateReport(FileStateFSM.replayAll(ev)(s).toDF())
   }
 
   private val qFsmSql =
@@ -276,6 +253,56 @@ object Cdc {
       |  n_ops, n_appends, data_size, last_txid
       |FROM agg ORDER BY file_id""".stripMargin
 
+  /** Event projection shared by the batch (q26) and streaming (q27) FSM
+    * replays. */
+  private def eventOps(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(
+        col("event_id").as("txId"),
+        when(col("event_type") === "signup", Op.AddFile)
+          .when(col("event_type") === "click", Op.AppendFile)
+          .when(col("event_type") === "purchase", Op.CloseFile)
+          .when(col("event_type") === "error", Op.ErrorTx)
+          .otherwise(Op.IgnoreTx).as("op"),
+        col("user_id").cast("string").as("path"),
+        lit(Mode.New).as("mode"),
+        when(col("event_type") === "click",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+          .otherwise(0L).as("sizeCents"),
+        unix_millis(col("ts")).as("ts"),
+        lit("").as("srcPath"), lit(-1L).as("blockId"),
+        lit(-1L).as("startOffset"), lit(-1L).as("endOffset"))
+
+  private def stateReport(states: DataFrame): DataFrame =
+    states
+      .filter(col("nOps") > 0)
+      .select(col("path").cast(LongType).as("file_id"), col("state"),
+        col("nOps").as("n_ops"), col("nAppends").as("n_appends"),
+        (col("dataSizeCents") / lit(100.0)).as("data_size"),
+        col("lastTxId").as("last_txid"))
+      .orderBy(col("file_id"))
+
+  /** q27: the SAME replay through Structured Streaming (file source →
+    * flatMapGroupsWithState → memory sink), checked against the SAME
+    * DuckDB oracle as q26 — streaming == batch == oracle. */
+  private def qFsmStream(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_").toString
+    eventOps(s, dir)
+      .select(to_json(struct(col("*"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/in")
+    val name = "graft_stream_fsm_" + System.nanoTime()
+    val q = graft.streaming.ChangeStreamPipeline
+      .start(s"$tmp/in", s"$tmp/chk", name)
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("lastTxId").desc, col("nOps").desc)
+    stateReport(
+      s.table(name).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
@@ -290,5 +317,7 @@ object Cdc {
     "q25_cdc_filter_route" -> QueryDef(qFilterRoute, Some(qFilterRouteSql),
       "F1/F2/J3 regex domain routing, first-match-wins + ignore regex"),
     "q26_cdc_fsm_replay" -> QueryDef(qFsm, Some(qFsmSql),
-      "T5 keyed file-lifecycle FSM replay (mapGroups)"))
+      "T5 keyed file-lifecycle FSM replay (mapGroups)"),
+    "q27_cdc_stream_fsm" -> QueryDef(qFsmStream, Some(qFsmSql),
+      "T5/T6 streaming FSM replay (flatMapGroupsWithState) == batch == oracle"))
 }

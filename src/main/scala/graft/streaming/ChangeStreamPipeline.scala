@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.model.{ChangeEvent, FileState}
+import graft.state.FileStateFSM
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the CDC pipeline (SURVEY §3.2): decoded
+  * change events → per-path keyed FSM → state updates + routed deltas.
+  *
+  * The reference's poll-loop consumers (`agent/namenode/
+  * SourceChangeDeltaProcessor.java:69-110`, 1 s receive timeout) are
+  * micro-batch triggers; its ZK watermark + Kafka commit bookkeeping is
+  * the checkpoint directory; its global replication lock is replaced by
+  * key-partition ownership (`groupByKey(path)`) — each executor owns its
+  * paths, so there is nothing to lock at any cluster size.
+  *
+  * Incremental semantics match batch replay exactly: the state carries
+  * `lastTxId`, so late/duplicate events are dropped with the same F3
+  * guard the batch fold uses — the convergence property (streaming
+  * replay == batch replay) is asserted in StreamingSpec and exposed as
+  * query q27 against the same DuckDB oracle as the batch FSM (q26).
+  */
+object ChangeStreamPipeline {
+
+  /** JSON-lines wire schema of a change event (FIXTURES.md §1, reduced
+    * to the flat rebuild model). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("txId", LongType),
+    StructField("op", StringType),
+    StructField("path", StringType),
+    StructField("mode", StringType),
+    StructField("sizeCents", LongType),
+    StructField("ts", LongType),
+    StructField("srcPath", StringType),
+    StructField("blockId", LongType),
+    StructField("startOffset", LongType),
+    StructField("endOffset", LongType)))
+
+  /** Decode a raw JSON-lines DataFrame (batch or streaming) into typed
+    * events; bad lines → null txId → dropped to the error channel. */
+  def decode(raw: DataFrame)(implicit spark: SparkSession): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    raw.select(from_json(col("value"), eventSchema).as("e"))
+      .select(
+        coalesce(col("e.txId"), lit(-1L)).as("txId"),
+        coalesce(col("e.op"), lit("Error")).as("op"),
+        coalesce(col("e.path"), lit("")).as("path"),
+        coalesce(col("e.mode"), lit("New")).as("mode"),
+        coalesce(col("e.sizeCents"), lit(0L)).as("sizeCents"),
+        coalesce(col("e.ts"), lit(0L)).as("ts"),
+        coalesce(col("e.srcPath"), lit("")).as("srcPath"),
+        coalesce(col("e.blockId"), lit(-1L)).as("blockId"),
+        coalesce(col("e.startOffset"), lit(-1L)).as("startOffset"),
+        coalesce(col("e.endOffset"), lit(-1L)).as("endOffset"))
+      .as[ChangeEvent]
+  }
+
+  /** Incremental FSM step: fold this micro-batch's events (txId-ordered)
+    * into the carried state, emit the updated state. */
+  def fsmStep(path: String, events: Iterator[ChangeEvent],
+      state: GroupState[FileState]): Iterator[FileState] = {
+    val st0 = state.getOption.getOrElse(FileState(path))
+    val st1 = events.toSeq.sortBy(_.txId).foldLeft(st0)(FileStateFSM.transition)
+    state.update(st1)
+    Iterator.single(st1)
+  }
+
+  /** Streaming FSM over a typed event stream. */
+  def stateStream(events: Dataset[ChangeEvent])(
+      implicit spark: SparkSession): Dataset[FileState] = {
+    import spark.implicits._
+    events.groupByKey(_.path)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fsmStep)
+  }
+
+  /** Wire the full streaming query: JSON-lines event files under
+    * `inDir` → FSM → in-memory table `name` (tests/dev) with a
+    * checkpoint. Swap the source/sink for Kafka on a cluster with the
+    * connector jar (`readStream.format("kafka")...` — identical plan). */
+  def start(inDir: String, checkpoint: String, name: String,
+      maxFilesPerTrigger: Option[Int] = None)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val reader = spark.readStream.schema(
+      StructType(Seq(StructField("value", StringType))))
+    val raw = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .text(inDir)
+      .withColumnRenamed("value", "value")
+    stateStream(decode(raw)).toDF()
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Kafka-shaped sink projection (K1/K2/F8): entity-keyed records so the
+    * default partitioner totally orders each entity's events within a
+    * partition (ref `agent/pipeline/ChangeDeltaKafkaPartitioner.java:
+    * 37-48` — key hash replaces the custom partitioner). `headers`
+    * carries id/mode/correlation like the reference's message envelope. */
+  def toKafkaRecords(events: DataFrame, namespace: String): DataFrame =
+    events.select(
+      concat_ws("::", col("domain"), col("entity")).as("key"),
+      to_json(struct(events.columns.map(col): _*)).as("value"),
+      array(
+        struct(lit("graft_message_id").as("key"),
+          encode(concat_ws(":", lit(namespace), col("mode"),
+            col("txId").cast("string")), "UTF-8").as("value")),
+        struct(lit("graft_mode").as("key"),
+          encode(col("mode"), "UTF-8").as("value"))).as("headers"))
+
+  /** File-backed "topic" sink used where no Kafka broker exists: same
+    * record projection, one directory per topic, partitioned by key hash
+    * (pmod(hash(key), n)) to mirror broker partitioning. */
+  def writeTopic(records: DataFrame, topicDir: String, partitions: Int): Unit =
+    records
+      .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
+      .write.mode("append")
+      .partitionBy("partition")
+      .parquet(topicDir)
+}

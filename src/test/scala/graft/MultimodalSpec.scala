@@ -1,0 +1,53 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def blobs = {
+    import spark.implicits._
+    Seq(
+      (1L, Multimodal.encodeStubHeader("image", 640, 480, 0, 1,
+        Array.tabulate(100)(_.toByte))),
+      (2L, Multimodal.encodeStubHeader("video", 320, 240, 30, 500,
+        Array.tabulate(4096)(i => (i * 7).toByte))),
+      (3L, "not a media file".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "content")
+  }
+
+  test("metadata decode: typed struct, unknown/null-safe") {
+    val m = Multimodal.withMeta(blobs).select("id", "meta.*")
+      .orderBy("id").collect()
+    assert(m(0).getString(1) == "image" && m(0).getInt(2) == 640 &&
+      m(0).getInt(3) == 480)
+    assert(m(1).getString(1) == "video" && m(1).getInt(4) == 30 &&
+      m(1).getInt(5) == 500)
+    assert(m(2).getString(1) == "unknown")
+    assert(m(3).getString(1) == "unknown" && m(3).getLong(6) == 0L)
+  }
+
+  test("feature extraction: fixed width, normalized, deterministic") {
+    val f = Multimodal.withFeatures(blobs).select("id", "features")
+      .orderBy("id").collect()
+    val v1 = f(0).getSeq[Float](1)
+    assert(v1.length == 16)
+    assert(math.abs(v1.sum - 1.0f) < 1e-3) // normalized histogram
+    val again = Multimodal.withFeatures(blobs).select("features")
+      .orderBy("id").collect()(0).getSeq[Float](0)
+    assert(v1 == again)
+  }
+
+  test("frame sampling: strided chunks with index") {
+    val frames = Multimodal.sampleFrames(blobs, frameBytes = 256, stride = 4)
+      .collect()
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId(2L).length == 4) // 4096/256=16 frames, stride 4
+    assert(byId(2L).map(_.getInt(1)).sorted.toSeq == Seq(0, 4, 8, 12))
+    assert(byId(2L).forall(_.getAs[Array[Byte]](2).length == 256))
+    assert(!byId.contains(3L) || byId(3L).isEmpty) // short blob skipped
+  }
+}
