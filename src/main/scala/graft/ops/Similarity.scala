@@ -13,8 +13,10 @@ import Tables.load
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen dot product (graft.functions.DotProduct) — same left-to-
+    * right summation order as the interpreted fold and DuckDB's
+    * list_dot_product, so oracle hashes are unaffected. */
+  private def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression converters —
+  * the standard pattern for registering custom Catalyst expressions from
+  * an external library without forking Spark. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
