@@ -255,7 +255,7 @@ object Cdc {
 
   /** Event projection shared by the batch (q26) and streaming (q27) FSM
     * replays. */
-  private def eventOps(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventOps(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
       .select(
         col("event_id").as("txId"),
@@ -273,7 +273,7 @@ object Cdc {
         lit("").as("srcPath"), lit(-1L).as("blockId"),
         lit(-1L).as("startOffset"), lit(-1L).as("endOffset"))
 
-  private def stateReport(states: DataFrame): DataFrame =
+  private[graft] def stateReport(states: DataFrame): DataFrame =
     states
       .filter(col("nOps") > 0)
       .select(col("path").cast(LongType).as("file_id"), col("state"),
@@ -303,6 +303,27 @@ object Cdc {
         .filter(col("rn") === 1).drop("rn"))
   }
 
+  /** q28: snapshot/backlog/live bootstrap (T4). The event log is split
+    * at 40%/70% of the tx range: everything before t1 is folded into a
+    * bootstrap state table (the FSImage/snapshot load), (t1, t2] is
+    * replayed as Backlog, the rest as live New events on top via
+    * cogroup. Checked against the SAME full-replay oracle as q26/q27:
+    * bootstrap-then-replay must converge to replay-from-scratch. */
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val all = eventOps(s, dir).as[ChangeEvent]
+    val maxId = all.agg(max(col("txId"))).as[Long].head() // metadata scalar
+    val t1 = (maxId * 0.4).toLong
+    val t2 = (maxId * 0.7).toLong
+    val bootstrap = FileStateFSM.replayAll(all.filter(_.txId <= t1))
+    val backlog = all.filter(e => e.txId > t1 && e.txId <= t2)
+      .map(_.copy(mode = Mode.Backlog))
+    val live = all.filter(_.txId > t2)
+    stateReport(
+      FileStateFSM.replayWithInit(bootstrap, backlog.union(live)).toDF())
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
@@ -319,5 +340,7 @@ object Cdc {
     "q26_cdc_fsm_replay" -> QueryDef(qFsm, Some(qFsmSql),
       "T5 keyed file-lifecycle FSM replay (mapGroups)"),
     "q27_cdc_stream_fsm" -> QueryDef(qFsmStream, Some(qFsmSql),
-      "T5/T6 streaming FSM replay (flatMapGroupsWithState) == batch == oracle"))
+      "T5/T6 streaming FSM replay (flatMapGroupsWithState) == batch == oracle"),
+    "q28_cdc_bootstrap" -> QueryDef(qBootstrap, Some(qFsmSql),
+      "T4 snapshot/backlog/live bootstrap converges to full replay"))
 }

@@ -66,4 +66,23 @@ object FileStateFSM {
     import spark.implicits._
     events.groupByKey(_.path).mapGroups((p, it) => replay(p, it))
   }
+
+  /** Replay on top of bootstrap state (SURVEY §2.10 T4: the
+    * snapshot/backlog/live protocol — `initial` is the state loaded by
+    * the FSImage/snapshot bootstrap, `events` the backlog + live tail).
+    * One cogroup shuffle keyed on path; keys present only in `initial`
+    * pass through unchanged; keys present only in `events` start from
+    * the empty state. Convergence (bootstrap-then-replay == full replay)
+    * is pinned by q28 against the same oracle as q26/q27. */
+  def replayWithInit(initial: Dataset[FileState],
+      events: Dataset[ChangeEvent])(
+      implicit spark: SparkSession): Dataset[FileState] = {
+    import spark.implicits._
+    initial.groupByKey(_.path)
+      .cogroup(events.groupByKey(_.path)) { (p, inits, evs) =>
+        val st0 = inits.toSeq.headOption.getOrElse(FileState(p))
+        val st1 = evs.toSeq.sortBy(_.txId).foldLeft(st0)(transition)
+        Iterator.single(st1)
+      }
+  }
 }
