@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType, StringType}
+import Tables.{dsum, load}
+
+/** Coverage extensions: distinct/cube aggregates (A6), JSON field
+  * extraction (C6), event-time tumbling windows (T8), and the multimodal
+  * decode path made oracle-checkable by deriving the binary payloads
+  * deterministically from source columns (the oracle recomputes the
+  * expected metadata straight from those columns — an independent path
+  * that cross-validates the binary encode→decode round trip).
+  */
+object Extras {
+
+  /** A6: distinct + multi-dimensional cube with exact count distinct. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("n_custs"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  private val qCubeSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** C6: JSON payload parse (from_json) + aggregation on the extracted
+    * field — the reference's tolerant per-line JSON parse shape. */
+  private def qJson(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy(col("k_mod"))
+
+  private val qJsonSql =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      | COUNT(*) AS n, max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
+  /** T8: event-time tumbling window aggregation (the batch shape of the
+    * streaming `groupBy(window(...))` query). */
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val qTumblingSql =
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  private val kindExpr =
+    when(col("lang") === "en", "image")
+      .when(col("lang") === "de", "audio")
+      .when(col("lang") === "zh", "video")
+      .otherwise("unknown")
+
+  /** Multimodal metadata decode, oracle-checked: binary blobs are
+    * synthesized from document columns (kind←lang, width←n_chars,
+    * height←doc_id), run through the real encode→mapPartitions-decode
+    * path, and the oracle recomputes the same metadata directly from the
+    * source columns. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        kindExpr.as("kind"),
+        (col("n_chars") % 1024).cast(IntegerType).as("w"),
+        (col("doc_id") % 512).cast(IntegerType).as("h"))
+    val withBin = src.as[(Long, String, String, String, Int, Int)]
+      .map { case (id, _, text, kind, w, h) =>
+        (id, Multimodal.encodeStubHeader(kind, w, h, rate = 0, frames = 0,
+          text.getBytes("UTF-8")))
+      }
+      .toDF("id", "content")
+    Multimodal.withMeta(withBin)
+      .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+        coalesce(col("meta.width"), lit(-1)).as("width"),
+        coalesce(col("meta.height"), lit(-1)).as("height"),
+        col("meta.sizeBytes").as("size_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qMultimodalMetaSql =
+    """SELECT doc_id,
+      | CASE WHEN lang = 'en' THEN 'image' WHEN lang = 'de' THEN 'audio'
+      |      WHEN lang = 'zh' THEN 'video' ELSE 'unknown' END AS kind,
+      | CAST(n_chars % 1024 AS INT) AS width,
+      | CAST(doc_id % 512 AS INT) AS height,
+      | 16 + length(text) AS size_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal feature extraction (rows-only: histogram stub tested in
+    * MultimodalSpec; this exposes the distributed path to the gate). */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, text.getBytes("UTF-8")) }
+      .toDF("id", "content")
+    Multimodal.withFeatures(withBin)
+      .select(col("id").as("doc_id"),
+        expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))")
+          .as("feature_sum"),
+        size(col("features")).as("dim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q13_cube_distinct" -> QueryDef(qCube, Some(qCubeSql),
+      "A6 cube/grouping-sets + exact count distinct"),
+    "q15_json_extract" -> QueryDef(qJson, Some(qJsonSql),
+      "C6 tolerant JSON parse + extraction"),
+    "q29_tumbling_window" -> QueryDef(qTumbling, Some(qTumblingSql),
+      "T8 event-time tumbling window agg"),
+    "q41_multimodal_meta" -> QueryDef(qMultimodalMeta, Some(qMultimodalMetaSql),
+      "multimodal binary encode->decode metadata, cross-validated oracle"),
+    "q42_multimodal_features" -> QueryDef(qMultimodalFeatures, None,
+      "multimodal feature extraction (rows-only; spec-tested)"))
+}
