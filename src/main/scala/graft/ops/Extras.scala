@@ -129,7 +129,43 @@ object Extras {
       .orderBy(col("doc_id"))
   }
 
+  /** Skew-mitigation pattern: two-stage salted aggregation over the
+    * maximally-skewed key (3 return flags over the whole lineitem).
+    * The oracle is the plain GROUP BY — salting must be result-
+    * invariant; what changes is the shuffle shape (nSalts balanced
+    * reducers instead of one hot one per key). */
+  private def qSalted(s: SparkSession, dir: String): DataFrame =
+    graft.util.Salting.saltedSum(
+      load(s, dir, "lineitem"),
+      groupKeys = Seq(col("l_returnflag")),
+      spread = col("l_orderkey"),
+      sumExpr = col("l_quantity").cast(DecimalType(18, 2)),
+      resultName = "sum_qty_dec", nSalts = 16)
+      .select(col("l_returnflag"),
+        col("sum_qty_dec").cast(DoubleType).as("sum_qty"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val qSaltedSql =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A6 approx sketch: HLL approx_count_distinct next to the exact
+    * count (rows-only — HLL values are implementation-specific; the
+    * <5% error bound is asserted in SaltingAndSketchSpec). */
+  private def qApprox(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q16_approx_distinct" -> QueryDef(qApprox, None,
+      "A6 HLL approx_count_distinct vs exact (rows-only; error-bound spec)"),
+    "q17_salted_agg" -> QueryDef(qSalted, Some(qSaltedSql),
+      "skew mitigation: two-stage salted agg, result-invariant"),
     "q13_cube_distinct" -> QueryDef(qCube, Some(qCubeSql),
       "A6 cube/grouping-sets + exact count distinct"),
     "q15_json_extract" -> QueryDef(qJson, Some(qJsonSql),

@@ -69,6 +69,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(evs.count(e => e.op == "Error" && e.txId == -1L) == 1)
   }
 
+  test("event-time windowed agg with watermark: append emits only finalized windows") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm_").toString
+    val rows = (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 ${i / 10}:0${i % 10}:00"), 1.0)
+    }
+    rows.toDF("ts", "v").write.parquet(s"$tmp/in")
+    val q = spark.readStream
+      .schema("ts timestamp, v double")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_test")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("wm_test").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // batch truth: 2h windows of 20 events each; max ts = 09:59, watermark
+    // 08:59 → windows ending ≤ 08:59 are final: [0,2) [2,4) [4,6) [6,8)
+    assert(emitted.values.forall(_ == 20))
+    assert(emitted.keySet == Set(
+      "2024-01-01 00:00:00.0", "2024-01-01 02:00:00.0",
+      "2024-01-01 04:00:00.0", "2024-01-01 06:00:00.0"))
+  }
+
   test("kafka record projection: entity key + headers") {
     implicit val s = spark
     import s.implicits._
