@@ -5,21 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Scratch profiling/smoke main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val q17 = Registry.queries("q17_salted_agg")(spark, dir)
-    q17.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Exchange") || l.contains("HashAggregate"))
-      .foreach(l => System.err.println(s"[probe] $l"))
-    q17.collect().foreach(r => System.err.println(s"[probe] q17 $r"))
-    Registry.queries("q16_approx_distinct")(spark, dir).collect()
-      .foreach(r => System.err.println(s"[probe] q16 $r"))
+    // graft_dot available in pure SQL with NO explicit registration call:
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    System.err.println(s"[probe] graft_dot via extensions = $v (expect 32.0)")
+    // wrong arity → analysis error naming the function
+    try spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    catch { case e: Exception =>
+      System.err.println(s"[probe] arity error ok: ${e.getMessage.linesIterator.next()}")
+    }
     spark.stop()
   }
 }

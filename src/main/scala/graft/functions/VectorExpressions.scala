@@ -67,4 +67,27 @@ object vec {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  private[functions] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot expects exactly 2 arguments, got ${other.size}")
+  }
+
+  /** Make `graft_dot` callable from SQL on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "graft_dot", dotBuilder)
+}
+
+/** Session-build-time registration (`--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions`): injects the engine's custom
+  * expressions into every session created with the extension — the
+  * standard deployment path on a shared cluster. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      vec.dotBuilder))
 }

@@ -29,9 +29,30 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object FileStateFSM {
 
+  /** Mode-accept rules (SURVEY §2.3 F5/F7, §2.10 T4; ref
+    * `agent/common/TransactionProcessor.java:76-84` and the per-stage
+    * mode filters): `Snapshot` events bootstrap — accepted only while
+    * the path is still Unknown (a live state means the snapshot is
+    * stale); `Backlog` catch-up accepted at-or-after the current
+    * watermark (txId >= lastTxId — it re-describes the snapshot head);
+    * `New` must strictly advance (txId > lastTxId). */
+  def accepts(st: FileState, ev: ChangeEvent): Boolean = ev.mode match {
+    case graft.model.Mode.Snapshot => st.state == L.Unknown
+    case graft.model.Mode.Backlog => ev.txId >= st.lastTxId
+    case _ => ev.txId > st.lastTxId
+  }
+
   def transition(st: FileState, ev: ChangeEvent): FileState = {
     if (st.state == L.Error) return st // sticky error
-    if (ev.txId <= st.lastTxId) return st // duplicate/out-of-order guard
+    if (!accepts(st, ev)) return st // duplicate/out-of-order/mode guard
+    if (ev.mode == graft.model.Mode.Backlog && ev.txId == st.lastTxId) {
+      // backlog event AT the watermark re-describes the snapshot head:
+      // confirm the state transition but never re-count size/ops (F7)
+      return ev.op match {
+        case Op.CloseFile => st.copy(state = L.Finalized)
+        case _ => st
+      }
+    }
     ev.op match {
       case Op.IgnoreTx => st
       case Op.ErrorTx =>

@@ -8,4 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a custom expression under a SQL-callable name on an
+    * existing session (the per-session analog of injecting it through
+    * `SparkSessionExtensions` at session build time). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

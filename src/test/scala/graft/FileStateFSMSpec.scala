@@ -55,6 +55,37 @@ class FileStateFSMSpec extends AnyFunSuite {
     assert(st.state == L.New && st.lastTxId == 1 && st.nOps == 1)
   }
 
+  test("mode rules: snapshot bootstraps only Unknown state (F5)") {
+    import graft.model.Mode
+    val snap = ev(10, Op.CloseFile).copy(mode = Mode.Snapshot)
+    // fresh path: snapshot accepted
+    val st1 = FileStateFSM.replay("/f", Iterator(snap))
+    assert(st1.state == L.Finalized && st1.lastTxId == 10)
+    // live path: snapshot ignored once state exists (even with higher tx)
+    val st2 = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), snap.copy(txId = 5)))
+    assert(st2.state == L.New && st2.lastTxId == 1)
+  }
+
+  test("mode rules: backlog at the watermark confirms state, never re-counts (F7)") {
+    import graft.model.Mode
+    val base = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.AppendFile, cents = 100)))
+    // backlog close at exactly lastTxId → Finalized, counters untouched
+    val closed = FileStateFSM.transition(base,
+      ev(2, Op.CloseFile).copy(mode = Mode.Backlog))
+    assert(closed.state == L.Finalized)
+    assert(closed.dataSizeCents == 100 && closed.nOps == base.nOps)
+    // backlog append at the watermark is a no-op (no double count)
+    val reappend = FileStateFSM.transition(base,
+      ev(2, Op.AppendFile, cents = 100).copy(mode = Mode.Backlog))
+    assert(reappend == base)
+    // backlog strictly after the watermark applies normally
+    val advance = FileStateFSM.transition(base,
+      ev(3, Op.AppendFile, cents = 50).copy(mode = Mode.Backlog))
+    assert(advance.dataSizeCents == 150)
+  }
+
   test("delete terminal-ish: further adds recreate") {
     val st = FileStateFSM.replay("/f", Iterator(
       ev(1, Op.AddFile), ev(2, Op.DeleteFile)))

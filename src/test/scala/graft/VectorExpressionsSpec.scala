@@ -29,6 +29,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.select(vec.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("graft_dot callable from SQL after registration") {
+    graft.functions.vec.register(spark)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("type mismatch is rejected at analysis") {
     import spark.implicits._
     val df = Seq((Seq(1), Seq(2.0))).toDF("a", "b")
