@@ -85,20 +85,28 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** LSH-bucketed ANN: 6 hyperplane sign bits → 64 buckets; neighbors
-    * ranked within the query's bucket only. Rows-only check (the bucket
-    * function is not SQL-portable); recall vs brute force is asserted in
-    * SimilaritySpec. */
+  /** Multi-probe LSH ANN: 6 hyperplane sign bits → 64 buckets; each
+    * query probes its own bucket plus all buckets at Hamming distance 1
+    * (7 probes) — the standard multi-probe trick that recovers most of
+    * the recall lost to boundary-crossing neighbors at ~7× candidate
+    * cost instead of 64×. Neighbors ranked over the union of probed
+    * buckets. Rows-only check (the bucket function is not SQL-portable);
+    * recall vs brute force is asserted in SimilaritySpec. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val ps = planes(6, 64)
+    val nBits = 6
+    val ps = planes(nBits, 64)
     val bucket: Column = ps.zipWithIndex.map { case (p, j) =>
       val lits = array(p.map(lit): _*)
       when(dot(col("v"), lits) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val base = withNorm(s, dir).withColumn("bucket", bucket)
+    val probes = array((lit(0) +: (0 until nBits).map(j => lit(1 << j))): _*)
     val q = base.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket").as("qbucket"))
+        col("norm").as("qn"),
+        explode(probes).as("flip"), col("bucket"))
+      .select(col("qid"), col("qv"), col("qn"),
+        expr("int(bucket ^ flip)").as("qbucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))

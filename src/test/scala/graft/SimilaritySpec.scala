@@ -21,7 +21,9 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (annPairs & brute).size.toDouble / brute.size
     info(s"ANN recall@10 vs brute force: $recall")
-    assert(recall > 0.0, "LSH buckets should capture at least some true neighbors")
+    // multi-probe (Hamming-1) lifts recall to 0.2 on these near-random
+    // vectors (single-probe was 0.02); floor set below the measured value
+    assert(recall >= 0.1, "multi-probe LSH should keep recall >= 0.1")
     assert(annPairs.nonEmpty)
   }
 
