@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import Tables.load
@@ -12,8 +12,10 @@ import Tables.load
   *  - MinHash+LSH is shingle-explode → per-doc signature agg → band
   *    explode → '''shuffle on band key''' — candidate pairs only ever form
   *    inside a bucket, which is what keeps it sub-quadratic at 100 TB;
-  *  - pairwise Jaccard is restricted to LSH-style candidate scopes (here
-  *    a language partition) — never the full cross product.
+  *  - pairwise Jaccard (the verify stage) runs ONLY over the band-bucket
+  *    candidate pairs the LSH stage produced — never a cross product, not
+  *    even inside a partition: a "language" or "source" is not a candidate
+  *    scope, because one language is billions of documents at 100 TB.
   */
 object Dedup {
 
@@ -33,11 +35,19 @@ object Dedup {
   private val NumHashes = 8
   private val Bands = 4 // 2 hashes per band
 
-  /** MinHash+LSH candidate pairs: word-3-shingles → 8 min-hashes (min of
-    * keyed md5 over the shingle set) → 4 bands → docs sharing any band.
-    * Hash family = lexicographic min of `md5("i:" + shingle)` so the
-    * DuckDB oracle reproduces it bit-for-bit. */
-  private def qMinHash(s: SparkSession, dir: String): DataFrame = {
+  /** Word-set projection shared by the Jaccard verify stage. */
+  private def wordSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+
+  /** MinHash+LSH candidate pairs: word-3-shingles → 8 min-hashes → 4
+    * bands → docs sharing any band. Hash family: TWO keyed md5s per
+    * shingle, each split into four 8-hex chunks (md5 bits are
+    * independent, so one digest yields four 32-bit hash values) — this
+    * quarters the digest cost of the signature aggregation versus one
+    * md5 per hash, and the lexicographic min over fixed-width hex chunks
+    * is reproducible bit-for-bit in DuckDB. */
+  private[ops] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -46,8 +56,12 @@ object Dedup {
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
       .distinct()
-    val hashAggs = (0 until NumHashes)
-      .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
+    val hashAggs = (0 until NumHashes).map { i =>
+      val src = if (i < 4) col("ha") else col("hb")
+      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
     val sigs = shingles.groupBy(col("doc_id"))
       .agg(hashAggs.head, hashAggs.tail: _*)
     val bandCols = (0 until Bands).map(b =>
@@ -59,102 +73,206 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val qMinHashSql = {
-    val hs = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n   ")
+  /** Shared CTE chain reproducing [[minhashCandidates]] in DuckDB. */
+  private val candidatesCte = {
+    val hs = (0 until NumHashes).map { i =>
+      val src = if (i < 4) "ha" else "hb"
+      s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS h$i"
+    }.mkString(",\n   ")
     val bs = (0 until Bands)
       .map(b => s"md5('$b:' || h${2 * b} || h${2 * b + 1})").mkString(", ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (
+       |sh0 AS (
        |  SELECT DISTINCT doc_id,
        |   unnest(list_transform(range(1, len(ws) - 1),
        |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |  FROM w),
+       |sh AS (
+       |  SELECT doc_id, md5('a:' || sh) AS ha, md5('b:' || sh) AS hb FROM sh0),
        |sig AS (
        |  SELECT doc_id,
        |   $hs
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, unnest([$bs]) AS band FROM sig)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.doc_id < y.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  SELECT doc_id, unnest([$bs]) AS band FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  private def qMinHash(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  private val qMinHashSql =
+    s"""WITH $candidatesCte
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** 16-bit SimHash over the distinct word set: bit j votes by the j-th
     * hex digit's high bit of md5(word). */
-  private def qSimHash(s: SparkSession, dir: String): DataFrame = {
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(s, dir).orderBy(col("doc_id"))
+
+  /** (doc_id, simhash) fingerprint table — shared with the Hamming-band
+    * near-dup join (q43). */
+  private[ops] def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     val words = load(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
     val bitAggs = (0 until 16).map(j =>
       sum(when(substring(md5(col("w")), j + 1, 1).isInCollection(HighHex),
         1).otherwise(-1)).as(s"b$j"))
-    val fp: Column = (0 until 16)
+    val fp = (0 until 16)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     words.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
-  private val qSimHashSql = {
+  /** DuckDB CTE `fp(doc_id, simhash)` mirroring the fingerprints. */
+  private val simhashCte = {
     val sums = (0 until 16).map(j =>
       s"sum(CASE WHEN substring(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n   ")
     val fp = (0 until 16)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM (
-       |  SELECT doc_id,
-       |   $sums
-       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-       |        FROM documents) t
-       |  GROUP BY doc_id) b
-       |ORDER BY doc_id""".stripMargin
+    s"""fp AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |     $sums
+       |    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |          FROM documents) t
+       |    GROUP BY doc_id) b)""".stripMargin
   }
 
-  /** Word-set Jaccard near-dup pairs inside one candidate scope (lang
-    * partition) — the verify stage that follows LSH candidate
-    * generation. */
+  private val qSimHashSql =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  /** Word-set Jaccard verify over the MinHash band-bucket CANDIDATES —
+    * the stage that turns LSH candidate pairs into confirmed near-dups.
+    * Cost is O(|candidates|), and candidates only form inside LSH
+    * buckets, so the whole dedup chain stays sub-quadratic at any
+    * corpus size (the former per-language all-pairs form was O(n²) in
+    * the language's document count — 300 s at sf0.1, unbounded at
+    * 100 TB). */
   private def qJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents")
-      .filter(col("lang") === "de")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
-    d.as("a")
-      .join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val d = wordSets(s, dir)
+    minhashCandidates(s, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("a.ws"), col("b.ws"))).cast(LongType))
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast(LongType))
       .withColumn("uni",
-        size(col("a.ws")).cast(LongType) + size(col("b.ws")) - col("inter"))
+        size(col("ws_a")).cast(LongType) + size(col("ws_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val qJaccardSql =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-      |  FROM documents WHERE lang = 'de')
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      | CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-      |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
-      |FROM d a JOIN d b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-      |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $candidatesCte,
+       |d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       | CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+       |FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 64-bit SimHash for the Hamming near-dup JOIN (the 16-bit q36 form
+    * mirrors the reference's fingerprint column; 16 bits is far too
+    * coarse to *join* on — over half of all random pairs land within
+    * radius 3). Bit j < 32 votes by digit j of md5(w); bits 32..63 by
+    * digit j−32 of md5("s:"+w). */
+  private[graft] def simhash64(s: SparkSession, dir: String): DataFrame = {
+    val words = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h1", md5(col("w")))
+      .withColumn("h2", md5(concat(lit("s:"), col("w"))))
+    val bitAggs = (0 until 64).map { j =>
+      val src = if (j < 32) col("h1") else col("h2")
+      sum(when(substring(src, (j % 32) + 1, 1).isInCollection(HighHex),
+        1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private val simhash64Cte = {
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) "md5(w)" else "md5('s:' || w)"
+      s"sum(CASE WHEN substring($src, ${(j % 32) + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n   ")
+    val fp = (0 until 64)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""fp64 AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |     $sums
+       |    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |          FROM documents) t
+       |    GROUP BY doc_id) b)""".stripMargin
+  }
+
+  /** SimHash near-dup JOIN (not just a fingerprint column) — the Manku
+    * et al. design: 64-bit fingerprint, 4 banded tables of 16 bits,
+    * radius 3. By pigeonhole, a pair within Hamming distance 3 differs
+    * in at most 3 of the 4 bands, so at least one band key matches —
+    * the banded equi-join is EXACT for this radius while only ever
+    * comparing docs inside a 16-bit-key bucket. */
+  private def qSimHashHamming(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhash64(s, dir)
+    val entries = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("nib")))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(entries: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.nib").as("nib"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val qSimHashHammingSql =
+    s"""WITH $simhash64Cte,
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band, (simhash >> (16 * b.band)) & 65535 AS nib
+       |  FROM fp64, (SELECT unnest([0,1,2,3]) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
@@ -164,5 +282,7 @@ object Dedup {
     "q36_dedup_simhash" -> QueryDef(qSimHash, Some(qSimHashSql),
       "16-bit SimHash fingerprints"),
     "q37_dedup_ngram_jaccard" -> QueryDef(qJaccard, Some(qJaccardSql),
-      "word-set Jaccard near-dup pairs within candidate scope"))
+      "word-set Jaccard verify over MinHash band-bucket candidates"),
+    "q43_dedup_simhash_hamming" -> QueryDef(qSimHashHamming, Some(qSimHashHammingSql),
+      "SimHash Hamming-band near-dup join (exact for radius 3 by pigeonhole)"))
 }

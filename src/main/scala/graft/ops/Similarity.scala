@@ -6,10 +6,24 @@ import org.apache.spark.sql.functions._
 import Tables.load
 
 /** Embedding similarity search. Brute-force cosine top-k is the exact
-  * baseline; the LSH (sign-random-projection) variant is the scale path:
-  * bucket on the hyperplane sign pattern → shuffle on bucket key →
-  * candidates only form inside a bucket (sub-quadratic, same shape as the
-  * MinHash band join).
+  * baseline; everything pairwise beyond it is scoped to LSH candidate
+  * buckets — the shape that survives a 100 TB corpus:
+  *
+  *  - buckets come from sign-random-projection (SRP): bit = sign(v·p)
+  *    for a fixed hyperplane p; an r-bit band key puts each vector in
+  *    one of 2^r buckets per band;
+  *  - r scales with the corpus (r ≈ log2(n / targetBucketSize)), so
+  *    per-bucket occupancy — and therefore per-bucket join cost — stays
+  *    O(1) as n grows;
+  *  - OR-amplification over L independent bands (candidate if ANY band
+  *    key matches) recovers the recall a single band loses, and for ANN
+  *    queries Hamming≤1 multi-probing within each band recovers the
+  *    boundary-crossing neighbors at (r+1)× candidate cost instead of
+  *    2^r×.
+  *
+  * All pairwise work (exact cosine for q40's near-dup verify, exact
+  * ranking for q39's ANN) happens only on candidates; nothing in this
+  * file joins a table against itself without a bucket equi-key.
   */
 object Similarity {
 
@@ -18,10 +32,80 @@ object Similarity {
     * list_dot_product, so oracle hashes are unaffected. */
   private def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 
+  private val Dim = 64
+
+  /** Target LSH bucket occupancy. Bits per band r = log2(n/TargetBucket)
+    * grows with the corpus so bucket size — and the per-bucket pairwise
+    * cost — stays constant at any scale. */
+  private val TargetBucket = 32
+
+  /** OR-amplification width (L independent bands). */
+  private val AnnBands = 8
+  private val NearDupBands = 8
+
+  private[graft] def rBits(n: Long): Int =
+    math.max(4, math.ceil(math.log(n.toDouble / TargetBucket) / math.log(2)).toInt)
+
+  /** The driver's correctness gate runs at sf0.01 = 500 embeddings; the
+    * static DuckDB oracles below are generated for that corpus size
+    * (r = rBits(500) = 4). The Spark side derives r from the actual
+    * count, so both sides agree at the gate SF while the Spark plan
+    * keeps scaling r on bigger inputs (bench runs sf0.1 with r = 6). */
+  private val GateR = rBits(500)
+
+  /** Deterministic ±1 (Rademacher) hyperplanes: component (j,d) is +1
+    * iff md5("j:d") has its top bit set. A symmetric ±1 direction family
+    * is a standard SRP choice, and deriving it from md5 makes the planes
+    * exactly reproducible on both engines — they are embedded as ±1.0
+    * literals in the Spark plan and in the generated oracle SQL, so the
+    * sign computations (and hence the buckets) are bit-identical. */
+  private[graft] def signPlanes(nPlanes: Int, dim: Int = Dim): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { d =>
+        val h = md.digest(s"$j:$d".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** r-bit SRP band key for band `b` (planes [b*r, (b+1)*r)). */
+  private def keyCol(planes: Array[Array[Double]], b: Int, r: Int): Column =
+    (0 until r).map { i =>
+      val p = array(planes(b * r + i).map(lit): _*)
+      when(dot(col("v"), p) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (vec_id, band, bkey) — one row per vector per band. */
+  private def bandKeys(base: DataFrame, nBands: Int, r: Int): DataFrame = {
+    val planes = signPlanes(nBands * r)
+    val entries = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), keyCol(planes, b, r).as("bkey")))
+    base.select(col("vec_id"), explode(array(entries: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  // ---- oracle-SQL generation (same planes, same keys, in DuckDB) ----
+
+  private def planeSql(p: Array[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def bandKeySql(planes: Array[Array[Double]], b: Int, r: Int): String =
+    (0 until r).map(i =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(planes(b * r + i))}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** `bands` CTE body: UNION ALL of one SELECT per band over CTE `e`. */
+  private def bandsSql(nBands: Int, r: Int): String = {
+    val planes = signPlanes(nBands * r)
+    (0 until nBands).map(b =>
+      s"  SELECT vec_id, $b AS band, ${bandKeySql(planes, b, r)} AS bkey FROM e")
+      .mkString("\n  UNION ALL\n")
+  }
 
   /** Brute-force cosine top-10 for the first 5 query vectors; rank-only
     * output so ULP-level float differences between engines cannot flip
@@ -53,78 +137,114 @@ object Similarity {
       |      FROM p)
       |SELECT qid, nid, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (the dedup flavor): all pairs with
-    * cosine ≥ 0.4 (data max is ~0.51, so this is a sparse candidate
-    * set well clear of the threshold's ULP neighborhood). */
+  /** Embedding-cosine near-dup pairs, SRP-candidate-scoped: pairs that
+    * share any of the L band keys are verified with the exact cosine
+    * (≥ 0.4 — this corpus's max pairwise cosine is ~0.51, so the gate
+    * threshold sits well clear of the ULP neighborhood; a production
+    * near-dup threshold of ~0.9 makes the band-match probability, and
+    * hence recall, far higher than at 0.4). The candidate equi-join on
+    * (band, bkey) replaces the former all-pairs cartesian — per-bucket
+    * cost is O(TargetBucket²) per band regardless of corpus size. */
   private def qNearDup(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(s, dir)
-    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("norm").as("na"))
-    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.4)
+    val r = rBits(base.count())
+    val bands = bandKeys(base, NearDupBands, r)
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("vec_id"), col("v").as("va"), col("norm").as("na")),
+        col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(base.select(col("vec_id"), col("v").as("vb"), col("norm").as("nb")),
+        col("vec_b") === col("vec_id")).drop("vec_id")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private val qNearDupSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |bands AS (
+       |${bandsSql(NearDupBands, GateR)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b
+       |FROM cand c
+       |JOIN n a ON a.vec_id = c.vec_a
+       |JOIN n b ON b.vec_id = c.vec_b
+       |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Deterministic sign-random-projection hyperplanes (seeded — NOT
-    * wall-clock random; the bucket function must be stable across runs
-    * and engines). */
-  private[graft] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
-
-  /** Multi-probe LSH ANN: 6 hyperplane sign bits → 64 buckets; each
-    * query probes its own bucket plus all buckets at Hamming distance 1
-    * (7 probes) — the standard multi-probe trick that recovers most of
-    * the recall lost to boundary-crossing neighbors at ~7× candidate
-    * cost instead of 64×. Neighbors ranked over the union of probed
-    * buckets. Rows-only check (the bucket function is not SQL-portable);
-    * recall vs brute force is asserted in SimilaritySpec. */
+  /** LSH ANN: L bands × r sign bits, Hamming≤1 multi-probe per band,
+    * exact-cosine ranking over the deduplicated candidate set. The query
+    * side (50 queries × L bands × (r+1) probes) is broadcast, so the
+    * corpus-side band table is never shuffled for the match — the only
+    * shuffles are the candidate dedup and the final per-query rank, both
+    * proportional to candidate count, not corpus size. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val nBits = 6
-    val ps = planes(nBits, 64)
-    val bucket: Column = ps.zipWithIndex.map { case (p, j) =>
-      val lits = array(p.map(lit): _*)
-      when(dot(col("v"), lits) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val base = withNorm(s, dir).withColumn("bucket", bucket)
-    val probes = array((lit(0) +: (0 until nBits).map(j => lit(1 << j))): _*)
-    val q = base.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qn"),
-        explode(probes).as("flip"), col("bucket"))
-      .select(col("qid"), col("qv"), col("qn"),
-        expr("int(bucket ^ flip)").as("qbucket"))
+    val base = withNorm(s, dir)
+    val r = rBits(base.count())
+    val bands = bandKeys(base, AnnBands, r)
+    // probe set = own key plus each single-bit flip ⇔ Hamming(q,x) ≤ 1
+    val flips = array((lit(0) +: (0 until r).map(i => lit(1 << i))): _*)
+    val qprobes = bands.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        explode(flips).as("flip"), col("bkey"))
+      .select(col("qid"), col("qband"),
+        col("bkey").bitwiseXOR(col("flip")).as("qkey"))
+    val cand = bands.join(broadcast(qprobes),
+        col("band") === col("qband") && col("bkey") === col("qkey") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val q = base.select(col("vec_id").as("qid2"), col("v").as("qv"),
+      col("norm").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    base.join(q,
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(base, col("nid") === col("vec_id"))
+      .join(broadcast(q), col("qid") === col("qid2"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
-        col("bucket"))
+      .select(col("qid"), col("nid"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** Oracle restates the probe-expanded equi-join as its equivalent
+    * theta form: same-band keys within Hamming distance 1. */
+  private val qAnnLshSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |bands AS (
+       |${bandsSql(AnnBands, GateR)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
+       |  FROM bands q JOIN bands x
+       |    ON q.vec_id < 50 AND q.band = x.band AND x.vec_id <> q.vec_id
+       |   AND bit_count(xor(CAST(q.bkey AS BIGINT), CAST(x.bkey AS BIGINT))) <= 1),
+       |r AS (
+       |  SELECT c.qid, c.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+       |      list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC, c.nid) AS rnk
+       |  FROM cand c
+       |  JOIN n a ON a.vec_id = c.qid
+       |  JOIN n b ON b.vec_id = c.nid)
+       |SELECT qid, nid, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q38_sim_cosine_topk" -> QueryDef(qTopK, Some(qTopKSql),
       "brute-force cosine top-k (exact ANN baseline)"),
-    "q39_sim_ann_lsh" -> QueryDef(qAnnLsh, None,
-      "LSH sign-random-projection bucketed ANN (rows-only; recall tested)"),
+    "q39_sim_ann_lsh" -> QueryDef(qAnnLsh, Some(qAnnLshSql),
+      "SRP LSH ANN: corpus-scaled bits, OR bands, Hamming-1 multi-probe"),
     "q40_sim_cosine_neardup" -> QueryDef(qNearDup, Some(qNearDupSql),
-      "embedding-cosine near-dup pairs"))
+      "embedding-cosine near-dup pairs, SRP-candidate-scoped"))
 }
