@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at the SF dir in
+  * `SPARK_GRAFT_SF_DIR`, one JSON line on stdout. A failing query is
+  * REPORTED (name → error in `"errors"`, and the process exits nonzero)
+  * instead of being silently recorded as a fast success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +17,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def esc(s: String): String =
+      s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300)
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(esc(e.toString)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -283,23 +283,25 @@ object Cdc {
       .orderBy(col("file_id"))
 
   /** q27: the SAME replay through Structured Streaming (file source →
-    * flatMapGroupsWithState → memory sink), checked against the SAME
-    * DuckDB oracle as q26 — streaming == batch == oracle. */
+    * flatMapGroupsWithState → parquet file sink via foreachBatch),
+    * checked against the SAME DuckDB oracle as q26 — streaming == batch
+    * == oracle. The sink is append-parquet with last-update-wins
+    * read-back: no `coalesce(1)`, no memory sink, nothing collected to
+    * the driver inside the measured path. */
   private def qFsmStream(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_").toString
     eventOps(s, dir)
       .select(to_json(struct(col("*"))).as("value"))
-      .coalesce(1).write.mode("overwrite").text(s"$tmp/in")
-    val name = "graft_stream_fsm_" + System.nanoTime()
+      .write.mode("overwrite").text(s"$tmp/in")
     val q = graft.streaming.ChangeStreamPipeline
-      .start(s"$tmp/in", s"$tmp/chk", name)
+      .startFiles(s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("path")).orderBy(col("lastTxId").desc, col("nOps").desc)
     stateReport(
-      s.table(name).withColumn("rn", row_number().over(w))
+      s.read.parquet(s"$tmp/out").withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn"))
   }
 

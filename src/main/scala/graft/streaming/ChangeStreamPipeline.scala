@@ -101,6 +101,31 @@ object ChangeStreamPipeline {
       .start()
   }
 
+  /** Same pipeline with a FILE sink: each micro-batch's updated states
+    * are appended as parquet under `outDir` (the last update per key
+    * wins on read-back, disambiguated by `lastTxId`). Unlike the
+    * `memory` sink, nothing is collected to the driver — this is the
+    * cluster-shaped sink and the one the gate/bench query uses. */
+  def startFiles(inDir: String, outDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val reader = spark.readStream.schema(
+      StructType(Seq(StructField("value", StringType))))
+    val raw = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .text(inDir)
+    stateStream(decode(raw)).toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Kafka-shaped sink projection (K1/K2/F8): entity-keyed records so the
     * default partitioner totally orders each entity's events within a
     * partition (ref `agent/pipeline/ChangeDeltaKafkaPartitioner.java:
