@@ -108,6 +108,19 @@ object Formats {
       val schemaJson = SchemaInference.toAvroSchema(df.schema, "row")
       val conf = new org.apache.hadoop.conf.Configuration()
       val fields = df.schema.fields
+      // True overwrite: per-partition create(overwrite=true) only
+      // replaces same-named part files, so a write with FEWER partitions
+      // than the previous one would leave stale part-NNNNN.avro behind
+      // for read() to pick up. Clear the directory first.
+      // (Contract note: TimestampType is written as epoch-millis long —
+      // read() returns LongType for such columns.)
+      locally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(path), conf)
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.mkdirs(p)
+      }
       df.foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val schema = new Schema.Parser().parse(schemaJson)

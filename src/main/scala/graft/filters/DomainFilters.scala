@@ -28,9 +28,17 @@ object DomainFilters {
     * (`core/filters/DomainManager.java:38`). */
   val IgnoreRegex = "(.*)\\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\\.hive-staging(.*)"
 
-  private def matches(f: Filter): Column =
-    col("path").startsWith(f.dir) &&
-      substring(col("path"), f.dir.length + 2, Int.MaxValue).rlike(f.regex)
+  /** Reference semantics (`DomainFilterMatcher.java:72-86`): prefix
+    * match on the filter dir, strip the prefix, then strip ONE leading
+    * '/' only if present — a false-prefix match (dir `/data/src1` vs
+    * path `/data/src19/...`) keeps its full remainder (`9/...`), it is
+    * not silently shortened by one char. */
+  private def matches(f: Filter): Column = {
+    val after = substring(col("path"), f.dir.length + 1, Int.MaxValue)
+    val rem = when(after.startsWith("/"),
+      substring(col("path"), f.dir.length + 2, Int.MaxValue)).otherwise(after)
+    col("path").startsWith(f.dir) && rem.rlike(f.regex)
+  }
 
   /** Route rows having a `path` column: adds `domain`/`entity`
     * (`_none`/`IgnoreTx` when unmatched); rows matching the global
@@ -51,20 +59,27 @@ object DomainFilters {
 
   /** Dynamic-registry variant: filters arrive as a DataFrame
     * (domain, entity, dir, regex, priority). Broadcast theta-join +
-    * first-match dedup keyed on a unique row id. */
+    * first-match dedup keyed on a synthetic unique row id — NOT on
+    * `path`: multiple events routinely share a path (many transactions
+    * per file), and a path-keyed window would keep one event per
+    * distinct path and silently drop the rest. */
   def routeJoin(events: DataFrame, filters: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("path")).orderBy(col("priority").asc_nulls_last)
+      .partitionBy(col("__rid")).orderBy(col("priority").asc_nulls_last)
+    val remMatches = expr(
+      """CASE WHEN substring(path, length(dir) + 1, 1) = '/'
+        |     THEN substring(path, length(dir) + 2)
+        |     ELSE substring(path, length(dir) + 1) END rlike regex""".stripMargin)
     events
       .filter(!col("path").rlike(IgnoreRegex))
+      .withColumn("__rid", monotonically_increasing_id())
       .join(broadcast(filters),
-        col("path").startsWith(col("dir")) &&
-          expr("substring(path, length(dir) + 2) rlike regex"),
+        col("path").startsWith(col("dir")) && remMatches,
         "left")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "dir", "regex", "priority")
+      .drop("rn", "__rid", "dir", "regex", "priority")
       .withColumn("domain", coalesce(col("domain"), lit("_none")))
       .withColumn("entity", coalesce(col("entity"), lit("IgnoreTx")))
   }

@@ -171,12 +171,16 @@ object Cdc {
       |FROM fd LEFT JOIN m ON fd.block_id = m.block_id
       |ORDER BY fd.block_id""".stripMargin
 
+  // d-odd first: with the reference's conditional-slash-strip, src19
+  // paths ALSO prefix-match /data/src1 (remainder "9/doc-..."), so this
+  // filter must outrank the src1 filters to ever claim a path. src19
+  // docs have doc_id % 20 == 19 (always odd), hence the odd-digit regex.
   private val routeFilters = Seq(
-    Filter("d-parq", "PARQ", "/data/src1", ".*\\.parquet$", 1),
-    Filter("d-parq2", "PARQ2", "/data/src1", ".*\\.parquet$", 2), // shadowed
-    Filter("d-json", "JSON1", "/data/src1", ".*\\.json$", 3),
-    Filter("d-s2", "S2ALL", "/data/src2", ".*", 4),
-    Filter("d-even", "EVENP", "/data/src19", "doc-\\d*[02468]\\.(parquet|json)$", 5))
+    Filter("d-odd", "ODDP", "/data/src19", "doc-\\d*[13579]\\.(parquet|json)$", 1),
+    Filter("d-parq", "PARQ", "/data/src1", ".*\\.parquet$", 2),
+    Filter("d-parq2", "PARQ2", "/data/src1", ".*\\.parquet$", 3), // shadowed
+    Filter("d-json", "JSON1", "/data/src1", ".*\\.json$", 4),
+    Filter("d-s2", "S2ALL", "/data/src2", ".*", 5))
 
   /** F1/F2/J3 regex routing, first-match-wins, global ignore regex.
     * Every 97th doc gets a `.COPYING` suffix to exercise suppression. */
@@ -193,30 +197,37 @@ object Cdc {
       .orderBy(col("doc_id"))
   }
 
-  private val qFilterRouteSql =
-    """WITH docs AS (
-      |  SELECT doc_id,
-      |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
-      |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
-      |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
-      |  FROM documents),
-      |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
-      |  '(.*)\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\.hive-staging(.*)'))
-      |SELECT doc_id, path,
-      |  CASE
-      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'd-parq'
-      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'd-parq2'
-      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.json$') THEN 'd-json'
-      |   WHEN starts_with(path, '/data/src2') AND regexp_matches(substring(path, 12), '.*') THEN 'd-s2'
-      |   WHEN starts_with(path, '/data/src19') AND regexp_matches(substring(path, 13), 'doc-\d*[02468]\.(parquet|json)$') THEN 'd-even'
-      |   ELSE '_none' END AS domain,
-      |  CASE
-      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.parquet$') THEN 'PARQ'
-      |   WHEN starts_with(path, '/data/src1') AND regexp_matches(substring(path, 12), '.*\.json$') THEN 'JSON1'
-      |   WHEN starts_with(path, '/data/src2') AND regexp_matches(substring(path, 12), '.*') THEN 'S2ALL'
-      |   WHEN starts_with(path, '/data/src19') AND regexp_matches(substring(path, 13), 'doc-\d*[02468]\.(parquet|json)$') THEN 'EVENP'
-      |   ELSE 'IgnoreTx' END AS entity
-      |FROM keep ORDER BY doc_id""".stripMargin
+  /** Remainder after the reference's conditional slash strip, for a
+    * filter dir of length `n` (1-indexed SQL substring). */
+  private def remSql(n: Int) =
+    s"CASE WHEN substring(path, ${n + 1}, 1) = '/' THEN substring(path, ${n + 2}) ELSE substring(path, ${n + 1}) END"
+
+  private val qFilterRouteSql = {
+    val rem10 = remSql(10) // '/data/src1', '/data/src2'
+    val rem11 = remSql(11) // '/data/src19'
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
+       |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
+       |  FROM documents),
+       |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
+       |  '(.*)\\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\\.hive-staging(.*)'))
+       |SELECT doc_id, path,
+       |  CASE
+       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'd-odd'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'd-parq'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'd-json'
+       |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'd-s2'
+       |   ELSE '_none' END AS domain,
+       |  CASE
+       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'ODDP'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'PARQ'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'JSON1'
+       |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
+       |   ELSE 'IgnoreTx' END AS entity
+       |FROM keep ORDER BY doc_id""".stripMargin
+  }
 
   /** T5 keyed FSM replay: events mapped to file-lifecycle ops
     * (signup→AddFile, click→AppendFile, purchase→CloseFile,

@@ -110,8 +110,10 @@ object Extras {
       |      WHEN lang = 'zh' THEN 'video' ELSE 'unknown' END AS kind,
       | CAST(n_chars % 1024 AS INT) AS width,
       | CAST(doc_id % 512 AS INT) AS height,
-      | 16 + length(text) AS size_bytes
+      | 16 + strlen(text) AS size_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
+  // strlen = BYTE length (the Spark side encodes text.getBytes("UTF-8"));
+  // DuckDB length() counts characters and diverges on multi-byte text
 
   /** Multimodal feature extraction (rows-only: histogram stub tested in
     * MultimodalSpec; this exposes the distributed path to the gate). */

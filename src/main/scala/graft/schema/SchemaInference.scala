@@ -38,6 +38,12 @@ object SchemaInference {
     case (DoubleType, FloatType) => DoubleType
     case (ShortType | IntegerType | LongType, FloatType | DoubleType) => DoubleType
     case (FloatType | DoubleType, ShortType | IntegerType | LongType) => DoubleType
+    // boolean sits below the numerics in the reference lattice
+    // (null < boolean < int < long < float < double): widen numerically
+    case (BooleanType, t @ (ShortType | IntegerType | LongType |
+                            FloatType | DoubleType)) => t
+    case (t @ (ShortType | IntegerType | LongType |
+               FloatType | DoubleType), BooleanType) => t
     case (s: StructType, t: StructType) => merge(s, t)
     case (ArrayType(x, n1), ArrayType(y, n2)) =>
       ArrayType(widen(x, y), n1 || n2)

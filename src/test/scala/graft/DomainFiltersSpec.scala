@@ -34,6 +34,36 @@ class DomainFiltersSpec extends AnyFunSuite {
       ("/data/other/a.parquet", "_none", "IgnoreTx")))
   }
 
+  test("false-prefix match keeps full remainder (reference conditional strip)") {
+    import spark.implicits._
+    // /data/movies2/... prefix-matches dir /data/movies with remainder
+    // "2/x.parquet" (no '/' eaten); the ANY filter claims it, PARQ's
+    // ".*\.parquet$" also matches the remainder so PARQ (prio 1) wins.
+    val out = DomainFilters.route(
+        Seq("/data/movies2/x.parquet", "/data/movies2/x.txt").toDF("path"),
+        filters)
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("/data/movies2/x.parquet", "PARQ"),
+      ("/data/movies2/x.txt", "ANY")))
+  }
+
+  test("routeJoin keeps every event on duplicate paths (row-id dedup)") {
+    import spark.implicits._
+    implicit val s = spark
+    // 3 events on the SAME path — a path-keyed first-match window would
+    // collapse them to one row
+    val events = Seq(
+      (1L, "/data/movies/part-1.parquet"),
+      (2L, "/data/movies/part-1.parquet"),
+      (3L, "/data/movies/part-1.parquet")).toDF("txId", "path")
+    val out = DomainFilters.routeJoin(events, filters.toDF())
+    assert(out.count() == 3)
+    assert(out.select("entity").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("PARQ"))
+  }
+
   test("dynamic routeJoin matches compiled route") {
     import spark.implicits._
     implicit val s = spark

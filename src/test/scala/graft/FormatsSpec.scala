@@ -26,6 +26,19 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("avro overwrite clears stale part files from a wider previous write") {
+    import spark.implicits._
+    val dir = tmpDir + "/avro_overwrite"
+    val wide = (1L to 8L).map(i => (i, s"row$i")).toDF("id", "name")
+      .repartition(4)
+    Formats.byName("avro").write(wide, dir)
+    val narrow = Seq((100L, "only")).toDF("id", "name").repartition(1)
+    Formats.byName("avro").write(narrow, dir)
+    val back = Formats.byName("avro").read(spark, dir).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(100L),
+      "second write must not read back stale part files from the first")
+  }
+
   test("convert: parquet table → avro → read back (CDC delta conversion path)") {
     val dir = tmpDir
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -28,7 +28,9 @@ class SchemaInferenceSpec extends AnyFunSuite {
     assert(widen(LongType, DoubleType) == DoubleType)
     assert(widen(FloatType, DoubleType) == DoubleType)
     assert(widen(NullType, BooleanType) == BooleanType)
-    assert(widen(BooleanType, LongType) == StringType) // incompatible
+    assert(widen(BooleanType, LongType) == LongType) // bool < numerics in lattice
+    assert(widen(DoubleType, BooleanType) == DoubleType)
+    assert(widen(BooleanType, StringType) == StringType)
     assert(widen(ArrayType(IntegerType), ArrayType(DoubleType)) ==
       ArrayType(DoubleType))
   }
