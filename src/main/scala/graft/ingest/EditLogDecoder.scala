@@ -208,7 +208,12 @@ object EditLogDecoder {
       case OpAddBlock => ChangeEvent(e.txId, Op.AddBlock, e.path, Mode.New,
         blockId = lastBlock.map(_.blockId).getOrElse(-1L),
         startOffset = 0L,
-        endOffset = lastBlock.map(_.numBytes).getOrElse(0L))
+        endOffset = lastBlock.map(_.numBytes).getOrElse(0L),
+        // ADD_BLOCK's compact array is [penultimate, new] when the file
+        // already has blocks — the penultimate IS the chain predecessor
+        prevBlockId =
+          if (e.blocks.size >= 2) e.blocks(e.blocks.size - 2).blockId
+          else -1L)
       case OpUpdateBlocks => ChangeEvent(e.txId, Op.UpdateBlocks, e.path,
         Mode.New,
         blockId = lastBlock.map(_.blockId).getOrElse(-1L),

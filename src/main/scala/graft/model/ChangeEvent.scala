@@ -51,6 +51,9 @@ object Mode {
   * @param blockId     block payload (block ops), -1 otherwise
   * @param startOffset block delta range start, -1 if n/a
   * @param endOffset   block delta range end, -1 if n/a
+  * @param prevBlockId predecessor in the file's block chain (AddBlock
+  *                    ops; -1 = first block or unknown) — drives the
+  *                    chain-integrity check of SURVEY §2.6 W2
   */
 final case class ChangeEvent(
     txId: Long,
@@ -62,7 +65,8 @@ final case class ChangeEvent(
     srcPath: String = "",
     blockId: Long = -1L,
     startOffset: Long = -1L,
-    endOffset: Long = -1L)
+    endOffset: Long = -1L,
+    prevBlockId: Long = -1L)
 
 /** File lifecycle states (ref `core/model/EFileState.java:3-5`). */
 object FileLifecycle {
@@ -74,9 +78,22 @@ object FileLifecycle {
   val Error = "Error"
 }
 
+/** Per-block state carried inside the file state (ref
+  * `core/model/DFSBlockState.java:12-26`): the `prevBlockId` linked-list
+  * chain is what the reference's chain-integrity check walks
+  * (`agent/common/FileStateHelper.java:176-199`). Offset-range deltas
+  * (the change-set compression input) live in
+  * [[graft.changeset.RangeMerge]]. */
+final case class BlockState(
+    blockId: Long,
+    prevBlockId: Long = -1L,
+    numBytes: Long = 0L,
+    lastTxId: Long = -1L)
+
 /** Keyed file state — the `S` of the FSM (ref `core/model/DFSFileState
-  * .java:14-29`, reduced to the fields the rebuild's queries observe).
-  * Block-level detail lives in [[graft.changeset.RangeMerge]] state. */
+  * .java:14-29`). `blocks` mirrors the reference's `List[DFSBlockState]`
+  * ordered by chain position; `numBlocks` stays denormalized because the
+  * reporting queries group on it without exploding the array. */
 final case class FileState(
     path: String,
     state: String = FileLifecycle.Unknown,
@@ -84,4 +101,16 @@ final case class FileState(
     dataSizeCents: Long = 0L,
     lastTxId: Long = -1L,
     nOps: Long = 0L,
-    nAppends: Long = 0L)
+    nAppends: Long = 0L,
+    blocks: Seq[BlockState] = Nil)
+
+/** Replica bookkeeping keyed by inode (ref
+  * `agent/model/DFSFileReplicaState.java:18-36`): what has been
+  * *replicated* vs what has been *seen*, plus the snapshot handshake
+  * fields the Snapshot→Backlog decision reads. */
+final case class ReplicaState(
+    inode: Long,
+    path: String,
+    snapshotTxId: Long = -1L,
+    lastReplicatedTx: Long = -1L,
+    snapshotReady: Boolean = false)

@@ -282,7 +282,8 @@ object Cdc {
           .otherwise(0L).as("sizeCents"),
         unix_millis(col("ts")).as("ts"),
         lit("").as("srcPath"), lit(-1L).as("blockId"),
-        lit(-1L).as("startOffset"), lit(-1L).as("endOffset"))
+        lit(-1L).as("startOffset"), lit(-1L).as("endOffset"),
+        lit(-1L).as("prevBlockId"))
 
   private[graft] def stateReport(states: DataFrame): DataFrame =
     states
@@ -337,6 +338,55 @@ object Cdc {
       FileStateFSM.replayWithInit(bootstrap, backlog.union(live)).toDF())
   }
 
+  /** q44: replica-state reconciliation (J2) + the snapshot-done →
+    * Backlog decision. A snapshot is cut at 40% of the tx range (the
+    * same split q28 uses); replica rows register each snapshot'd file
+    * with `lastReplicatedTx` = snapshot head; the live head comes from
+    * full replay. Output: per-file replication lag and whether the
+    * handshake synthesizes a Backlog CloseFile (file advanced past its
+    * snapshot — ref `HDFSSnapshotProcessor.java:234-286`). */
+  private def qReplicaLag(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val all = eventOps(s, dir).as[ChangeEvent]
+    val maxId = all.agg(max(col("txId"))).as[Long].head() // metadata scalar
+    val t1 = (maxId * 0.4).toLong
+    val snap = FileStateFSM.replayAll(all.filter(_.txId <= t1))
+    val replicas = graft.state.ReplicaTracker.fromSnapshot(snap, _.path.toLong)
+    val live = FileStateFSM.replayAll(all)
+    graft.state.ReplicaTracker.reconcile(replicas, live)
+      .select(col("inode").as("file_id"), col("snapshot_txid"),
+        col("last_replicated_tx"), col("last_txid"), col("lag"),
+        col("backlog"))
+      .orderBy(col("file_id"))
+  }
+
+  private val qReplicaLagSql =
+    """WITH ops AS (
+      |  SELECT user_id, event_id,
+      |    CASE event_type WHEN 'signup' THEN 'create' WHEN 'click' THEN 'append'
+      |         WHEN 'purchase' THEN 'close' WHEN 'error' THEN 'error' END AS op
+      |  FROM events WHERE event_type <> 'view'),
+      |t AS (SELECT CAST(floor(max(event_id) * 0.4) AS BIGINT) AS t1 FROM events),
+      |err AS (SELECT user_id, min(event_id) AS err_tx FROM ops
+      |        WHERE op = 'error' GROUP BY user_id),
+      |cons AS (SELECT o.* FROM ops o LEFT JOIN err e ON o.user_id = e.user_id
+      |         WHERE e.err_tx IS NULL OR o.event_id <= e.err_tx),
+      |head AS (SELECT user_id, max(event_id) AS last_txid FROM cons GROUP BY user_id),
+      |errs AS (SELECT o.user_id, min(o.event_id) AS err_tx FROM ops o, t
+      |         WHERE o.op = 'error' AND o.event_id <= t.t1 GROUP BY o.user_id),
+      |conss AS (SELECT o.* FROM ops o CROSS JOIN t
+      |          LEFT JOIN errs e ON o.user_id = e.user_id
+      |          WHERE o.event_id <= t.t1
+      |            AND (e.err_tx IS NULL OR o.event_id <= e.err_tx)),
+      |snap AS (SELECT user_id, max(event_id) AS snap_txid FROM conss GROUP BY user_id)
+      |SELECT h.user_id AS file_id, s.snap_txid AS snapshot_txid,
+      |       s.snap_txid AS last_replicated_tx, h.last_txid,
+      |       h.last_txid - s.snap_txid AS lag,
+      |       h.last_txid > s.snap_txid AS backlog
+      |FROM head h JOIN snap s ON h.user_id = s.user_id
+      |ORDER BY file_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
@@ -355,5 +405,7 @@ object Cdc {
     "q27_cdc_stream_fsm" -> QueryDef(qFsmStream, Some(qFsmSql),
       "T5/T6 streaming FSM replay (flatMapGroupsWithState) == batch == oracle"),
     "q28_cdc_bootstrap" -> QueryDef(qBootstrap, Some(qFsmSql),
-      "T4 snapshot/backlog/live bootstrap converges to full replay"))
+      "T4 snapshot/backlog/live bootstrap converges to full replay"),
+    "q44_cdc_replica_lag" -> QueryDef(qReplicaLag, Some(qReplicaLagSql),
+      "J2 replica-state table: replication lag + snapshot-done Backlog decision"))
 }

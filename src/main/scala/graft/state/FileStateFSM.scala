@@ -1,6 +1,6 @@
 package graft.state
 
-import graft.model.{ChangeEvent, FileLifecycle => L, FileState, Op}
+import graft.model.{BlockState, ChangeEvent, FileLifecycle => L, FileState, Op}
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Keyed file-lifecycle state machine — the Spark-native form of the
@@ -42,6 +42,14 @@ object FileStateFSM {
     case _ => ev.txId > st.lastTxId
   }
 
+  /** Chain-integrity check (SURVEY §2.6 W2; ref
+    * `agent/common/FileStateHelper.java:176-199`): a new block's
+    * `prevBlockId` must name the current chain tail. `-1` means the
+    * event carries no chain info (non-edit-log sources) — accepted. */
+  def chainValid(st: FileState, ev: ChangeEvent): Boolean =
+    ev.prevBlockId < 0 ||
+      st.blocks.lastOption.map(_.blockId).getOrElse(-1L) == ev.prevBlockId
+
   def transition(st: FileState, ev: ChangeEvent): FileState = {
     if (st.state == L.Error) return st // sticky error
     if (!accepts(st, ev)) return st // duplicate/out-of-order/mode guard
@@ -59,13 +67,37 @@ object FileStateFSM {
         st.copy(state = L.Error, lastTxId = ev.txId, nOps = st.nOps + 1)
       case Op.AddFile =>
         st.copy(state = L.New, lastTxId = ev.txId, nOps = st.nOps + 1)
-      case Op.AppendFile | Op.UpdateBlocks =>
+      case Op.AppendFile =>
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
           nAppends = st.nAppends + 1,
           dataSizeCents = st.dataSizeCents + ev.sizeCents)
-      case Op.AddBlock =>
+      case Op.UpdateBlocks =>
+        // update the named block's size in place (last block if unnamed)
+        val blocks =
+          if (st.blocks.isEmpty) st.blocks
+          else {
+            val idx = if (ev.blockId >= 0)
+              st.blocks.lastIndexWhere(_.blockId == ev.blockId)
+            else st.blocks.size - 1
+            if (idx < 0) st.blocks
+            else st.blocks.updated(idx, st.blocks(idx)
+              .copy(numBytes = math.max(ev.endOffset, 0L), lastTxId = ev.txId))
+          }
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
-          numBlocks = st.numBlocks + 1)
+          nAppends = st.nAppends + 1,
+          dataSizeCents = st.dataSizeCents + ev.sizeCents, blocks = blocks)
+      case Op.AddBlock if !chainValid(st, ev) =>
+        // broken prev-chain: reference refuses the transaction; the
+        // sticky Error state is our error-channel equivalent
+        st.copy(state = L.Error, lastTxId = ev.txId, nOps = st.nOps + 1)
+      case Op.AddBlock =>
+        val blocks =
+          if (ev.blockId < 0) st.blocks
+          else st.blocks :+ BlockState(ev.blockId,
+            st.blocks.lastOption.map(_.blockId).getOrElse(-1L),
+            math.max(ev.endOffset, 0L), ev.txId)
+        st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
+          numBlocks = st.numBlocks + 1, blocks = blocks)
       case Op.CloseFile =>
         st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1)
       case Op.DeleteFile =>

@@ -37,7 +37,8 @@ object ChangeStreamPipeline {
     StructField("srcPath", StringType),
     StructField("blockId", LongType),
     StructField("startOffset", LongType),
-    StructField("endOffset", LongType)))
+    StructField("endOffset", LongType),
+    StructField("prevBlockId", LongType)))
 
   /** Decode a raw JSON-lines DataFrame (batch or streaming) into typed
     * events; bad lines → null txId → dropped to the error channel. */
@@ -54,7 +55,8 @@ object ChangeStreamPipeline {
         coalesce(col("e.srcPath"), lit("")).as("srcPath"),
         coalesce(col("e.blockId"), lit(-1L)).as("blockId"),
         coalesce(col("e.startOffset"), lit(-1L)).as("startOffset"),
-        coalesce(col("e.endOffset"), lit(-1L)).as("endOffset"))
+        coalesce(col("e.endOffset"), lit(-1L)).as("endOffset"),
+        coalesce(col("e.prevBlockId"), lit(-1L)).as("prevBlockId"))
       .as[ChangeEvent]
   }
 
