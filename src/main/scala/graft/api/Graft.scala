@@ -43,26 +43,98 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     DomainFilters.route(events, registered)
 
   // ── replay / state ───────────────────────────────────────────────────
-  /** Batch replay (rename fan-out applied first), state table persisted. */
+  // State persistence protocol (K6 at scale): the table is a sequence of
+  // versioned parquet dirs `files_v<N>`. v-dirs become visible only via
+  // their job-commit `_SUCCESS` marker, and readers always select the
+  // highest COMPLETE version set — so a crash mid-write leaves a
+  // markerless dir that readers skip, and no write ever overwrites a dir
+  // a reader may be scanning (the former `mode("overwrite")` of the very
+  // dir being read was timing-dependent data loss). Incremental batches
+  // persist ONLY the touched paths as a delta version (the reference
+  // updates per-znode, `agent/common/FileStateHelper.java:231-274`; a
+  // full-table rewrite per micro-batch dies at a 100M-file namespace);
+  // readers merge base+deltas with last-version-wins per path, and
+  // [[compact]] folds them back into one base (auto after
+  // [[Graft.AutoCompactAfter]] deltas).
+
+  /** Batch replay (rename fan-out applied first); persisted as a new
+    * full base version. */
   def replay(events: Dataset[ChangeEvent]): Dataset[FileState] = {
     val st = FileStateFSM.replayAll(RenameExpander.expandFileRenames(events))
     persist(st)
     st
   }
 
-  /** Incremental replay on top of the persisted state table. */
+  /** Incremental replay: fold this batch's events into the state of the
+    * TOUCHED paths only, and persist only those as a delta version. */
   def replayIncrement(events: Dataset[ChangeEvent]): Dataset[FileState] = {
-    val st = FileStateFSM.replayWithInit(stateTable,
-      RenameExpander.expandFileRenames(events))
-    persist(st)
-    st
+    val ev = RenameExpander.expandFileRenames(events)
+    val touched = ev.toDF().select(col("path")).distinct()
+    val base = stateTable.toDF()
+      .join(touched, Seq("path"), "left_semi").as[FileState]
+    val updated = FileStateFSM.replayWithInit(base, ev)
+    persist(updated)
+    if (versions().size > Graft.AutoCompactAfter) compact()
+    stateTable
   }
 
-  def stateTable: Dataset[FileState] =
-    spark.read.parquet(s"$stateDir/files").as[FileState]
+  /** Merged view: base + deltas, newest version wins per path. */
+  def stateTable: Dataset[FileState] = {
+    val vs = versions()
+    require(vs.nonEmpty, s"no state versions under $stateDir")
+    val merged = vs.map { v =>
+        spark.read.parquet(s"$stateDir/files_v$v")
+          .withColumn("__v", lit(v))
+      }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("__v").desc)
+    merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+      .as[FileState]
+  }
+
+  /** Fold all versions into a single new base and prune the old ones. */
+  def compact(): Unit = {
+    val vs = versions()
+    val snapshot = stateTable.toDF().localCheckpoint(true)
+    writeVersion(snapshot, allVersionDirs().maxOption.getOrElse(-1L) + 1)
+    vs.foreach(v => fs.delete(hpath(s"files_v$v"), true))
+  }
+
+  /** Committed state versions, ascending (dirs with a `_SUCCESS`
+    * marker; an uncommitted/crashed write is invisible). */
+  def versions(): Seq[Long] = {
+    val dir = hpath("")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case VersionDir(v) if fs.exists(
+        hpath(s"files_v$v/_SUCCESS")) => v.toLong }
+      .sorted
+  }
+
+  private val VersionDir = """files_v(\d+)""".r
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    java.net.URI.create(stateDir), spark.sparkContext.hadoopConfiguration)
+  private def hpath(rel: String) =
+    new org.apache.hadoop.fs.Path(if (rel.isEmpty) stateDir else s"$stateDir/$rel")
+
+  /** Every version dir on disk, committed or not — the next write must
+    * never reuse a crashed writer's dir. */
+  private def allVersionDirs(): Seq[Long] = {
+    val dir = hpath("")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case VersionDir(v) => v.toLong }
+  }
 
   private def persist(st: Dataset[FileState]): Unit =
-    st.toDF().write.mode("overwrite").parquet(s"$stateDir/files")
+    writeVersion(st.toDF(), allVersionDirs().maxOption.getOrElse(-1L) + 1)
+
+  private def writeVersion(df: DataFrame, v: Long): Unit =
+    df.write.mode("errorifexists").parquet(s"$stateDir/files_v$v")
 
   // ── snapshot (HDFSSnapshotProcessor parity) ──────────────────────────
   /** Emit synthetic Snapshot-mode CloseFile events for every live file
@@ -98,4 +170,10 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     val r = stateTable.agg(max(col("lastTxId"))).as[Option[Long]].head()
     r.getOrElse(-1L)
   }
+}
+
+object Graft {
+  /** Delta-version count that triggers auto-compaction on the next
+    * incremental replay (keeps the read-side merge bounded). */
+  val AutoCompactAfter = 8
 }
