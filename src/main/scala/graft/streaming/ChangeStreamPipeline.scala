@@ -146,11 +146,65 @@ object ChangeStreamPipeline {
 
   /** File-backed "topic" sink used where no Kafka broker exists: same
     * record projection, one directory per topic, partitioned by key hash
-    * (pmod(hash(key), n)) to mirror broker partitioning. */
-  def writeTopic(records: DataFrame, topicDir: String, partitions: Int): Unit =
+    * (pmod(hash(key), n)) to mirror broker partitioning.
+    * `maxRecordsPerFile` bounds each output file (O3 parity with the
+    * reference's byte-budget batch splitting,
+    * `autil/HadoopDataLoader.java:151-168` — record-count is the
+    * columnar analog of its byte budget). */
+  def writeTopic(records: DataFrame, topicDir: String, partitions: Int,
+      maxRecordsPerFile: Long = 0L): Unit =
     records
       .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
       .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("partition")
       .parquet(topicDir)
+
+  // ── Kafka connector path (S5/K1) ──────────────────────────────────────
+  // The container these tests run in carries no spark-sql-kafka
+  // connector jar and no broker, so these variants are exercised only up
+  // to plan construction (KafkaPathSpec pins the exact missing-source
+  // error). On a cluster with `--packages org.apache.spark:
+  // spark-sql-kafka-0-10_2.13:<spark-version>` the same code runs
+  // unchanged: the source replaces the reference's hand-rolled poll loop
+  // + ZK offset store (`core/messaging/HCDCKafkaReceiver.java:149-173`,
+  // `KafkaStateManager.java:13-100`) with checkpointed offsets, and the
+  // sink replaces `HCDCKafkaSender.java:40-90` — entity ordering comes
+  // from the record key (K2), not a custom partitioner class.
+
+  /** Streaming FSM over a Kafka topic: same decode → keyed-FSM →
+    * file-sink plan as [[startFiles]], with the text source swapped for
+    * the Kafka connector. */
+  def startKafkaSource(bootstrapServers: String, topic: String,
+      outDir: String, checkpoint: String)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("includeHeaders", "true")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+    stateStream(decode(raw)).toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Kafka sink for the routed event stream: [[toKafkaRecords]]'
+    * key/value/headers projection is exactly the connector's contract. */
+  def startKafkaSink(events: DataFrame, namespace: String,
+      bootstrapServers: String, topic: String, checkpoint: String): StreamingQuery =
+    toKafkaRecords(events, namespace)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }
