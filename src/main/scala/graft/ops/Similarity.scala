@@ -240,11 +240,83 @@ object Similarity {
        |  JOIN n b ON b.vec_id = c.nid)
        |SELECT qid, nid, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  /** IVF cell count / probe width. At scale nlist ≈ √n and the assign
+    * stage's n×nlist dot products dominate — the standard IVF trade; the
+    * gate uses fixed small constants so the oracle stays static. */
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** IVF ANN (coarse-quantizer variant next to SRP-LSH): corpus
+    * partitioned into Voronoi cells, queries probe the nearest cells
+    * only. Pivots are DATA POINTS (the first `IvfCells` vectors by id),
+    * not k-means averages — averaging is float-summation-order-dependent
+    * across engines, while argmax-of-dot against data pivots is
+    * bit-reproducible in DuckDB, which is what makes this ANN variant
+    * hash-gateable end to end. Cell assignment = argmax cosine over
+    * pivots (ties → lower pivot id); each query probes its
+    * `IvfProbes` nearest cells; exact cosine ranks the candidates. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val pivots = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("pv"),
+        col("norm").as("pn"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("cell"))
+    val assigned = base.join(broadcast(pivots))
+      .withColumn("pcos", dot(col("v"), col("pv")) / (col("norm") * col("pn")))
+      .withColumn("prnk", row_number().over(wAssign))
+    val cells = assigned.filter(col("prnk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    val probes = assigned.filter(col("prnk") <= IvfProbes &&
+        col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"))
+    val q = base.select(col("vec_id").as("qid2"), col("v").as("qv"),
+      col("norm").as("qn"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cells.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("v"), col("norm"))
+      .join(broadcast(q), col("qid") === col("qid2"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("nid"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val qAnnIvfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |p AS (SELECT vec_id AS cell, v AS pv, norm AS pn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, p.cell,
+       |        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |          list_dot_product(n.v, p.pv) / (n.norm * p.pn) DESC, p.cell)
+       |          AS prnk
+       |      FROM n CROSS JOIN p),
+       |cells AS (SELECT vec_id, cell FROM a WHERE prnk = 1),
+       |probes AS (SELECT vec_id AS qid, cell AS qcell FROM a
+       |           WHERE prnk <= $IvfProbes AND vec_id < 50),
+       |cand AS (SELECT pr.qid, c.vec_id AS nid
+       |         FROM cells c JOIN probes pr
+       |           ON c.cell = pr.qcell AND c.vec_id <> pr.qid),
+       |r AS (SELECT cand.qid, cand.nid,
+       |        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+       |          list_dot_product(a2.v, b2.v) / (a2.norm * b2.norm) DESC,
+       |          cand.nid) AS rnk
+       |      FROM cand
+       |      JOIN n a2 ON a2.vec_id = cand.qid
+       |      JOIN n b2 ON b2.vec_id = cand.nid)
+       |SELECT qid, nid, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q38_sim_cosine_topk" -> QueryDef(qTopK, Some(qTopKSql),
       "brute-force cosine top-k (exact ANN baseline)"),
     "q39_sim_ann_lsh" -> QueryDef(qAnnLsh, Some(qAnnLshSql),
       "SRP LSH ANN: corpus-scaled bits, OR bands, Hamming-1 multi-probe"),
     "q40_sim_cosine_neardup" -> QueryDef(qNearDup, Some(qNearDupSql),
-      "embedding-cosine near-dup pairs, SRP-candidate-scoped"))
+      "embedding-cosine near-dup pairs, SRP-candidate-scoped"),
+    "q45_sim_ann_ivf" -> QueryDef(qAnnIvf, Some(qAnnIvfSql),
+      "IVF ANN: Voronoi cells over data pivots, nprobe cell probing"))
 }

@@ -24,6 +24,19 @@ class SimilaritySpec extends AnyFunSuite {
       s"OR-amplified multi-probe LSH must reach recall@10 >= 0.8, got $recall")
   }
 
+  test("IVF ANN probes enough cells for recall@10 >= 0.6") {
+    val brute = Registry.queries("q38_sim_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Registry.queries("q45_sim_ann_ivf")(spark, dir)
+      .collect().filter(_.getLong(0) < 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(s"IVF recall@10 vs brute force: $recall")
+    // 4-of-16 cell probing on near-random vectors; SRP-LSH (q39) is the
+    // high-recall path, IVF the low-candidate-count path
+    assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
+  }
+
   test("near-dup pairs are symmetric-free and ordered") {
     val nd = Registry.queries("q40_sim_cosine_neardup")(spark, dir).collect()
     nd.foreach(r => assert(r.getLong(0) < r.getLong(1)))
