@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit over the WHOLE query battery: the properties that
+  * keep a plan alive at 100 TB are asserted mechanically, so a future
+  * edit that re-introduces an all-pairs join (the round-1 q37 mistake:
+  * a 300 s cartesian at sf0.1, unbounded at scale) fails CI instead of
+  * failing the bench.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a broadcast nested-loop:
+    * a deliberately tiny side against a linear scan (the brute-force
+    * recall baseline q38) or a constant-size pivot/probe table (IVF's
+    * 16-pivot assign stage q45, ANN probe table q39). A broadcast BNL
+    * over a BOUNDED side is a linear scan, not a cartesian blow-up. */
+  private val broadcastNlAllowed = Set(
+    "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh")
+
+  /** Streaming/stateful queries run side effects when built — their
+    * result is a read-back table, so the interesting plan was already
+    * audited via their batch twins (q26 for q27; q26+cogroup for
+    * q28/q44). */
+  private val skipBuild = Set("q27_cdc_stream_fsm")
+
+  test("no gate query plans an unbounded cartesian product") {
+    val offenders = Registry.queries.toSeq
+      .filterNot { case (name, _) => skipBuild(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnl = plan.contains("BroadcastNestedLoopJoin") &&
+          !broadcastNlAllowed(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnl) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("filter + projection reach the parquet scan (pushdown)") {
+    val plan = Registry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(!plan.contains("PushedFilters: []"),
+      "filter list empty — predicate did not reach the scan")
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    for (q <- Seq("q03_top_revenue_orders", "q05_star_join")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected a broadcast hash join for the dimension side")
+    }
+  }
+
+  test("the similarity battery joins only on bucket/cell equi-keys") {
+    for (q <- Seq("q39_sim_ann_lsh", "q40_sim_cosine_neardup",
+        "q43_dedup_simhash_hamming", "q35_dedup_minhash_lsh",
+        "q37_dedup_ngram_jaccard")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: pairwise stage must stay candidate-scoped")
+    }
+  }
+}
