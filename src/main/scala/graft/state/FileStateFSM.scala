@@ -98,6 +98,23 @@ object FileStateFSM {
             math.max(ev.endOffset, 0L), ev.txId)
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
           numBlocks = st.numBlocks + 1, blocks = blocks)
+      case Op.TruncateBlock =>
+        // truncate to endOffset bytes (ref `DFSTruncateBlockType` /
+        // `SourceTransactionProcessor` truncate path): fully-truncated
+        // tail blocks drop off the chain, the boundary block shrinks
+        val newLen = math.max(ev.endOffset, 0L)
+        val (kept, _) = st.blocks.foldLeft(
+          (Vector.empty[BlockState], 0L)) { case ((acc, cum), b) =>
+          if (cum >= newLen) (acc, cum + b.numBytes)
+          else {
+            val keepBytes = math.min(b.numBytes, newLen - cum)
+            (acc :+ b.copy(numBytes = keepBytes,
+              lastTxId = if (keepBytes < b.numBytes) ev.txId else b.lastTxId),
+              cum + b.numBytes)
+          }
+        }
+        st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
+          blocks = kept, numBlocks = kept.size.toLong)
       case Op.CloseFile =>
         st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1)
       case Op.DeleteFile =>

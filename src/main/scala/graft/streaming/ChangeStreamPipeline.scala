@@ -70,10 +70,18 @@ object ChangeStreamPipeline {
     Iterator.single(st1)
   }
 
-  /** Streaming FSM over a typed event stream. */
+  /** Streaming FSM over a typed event stream. The state store is
+    * RocksDB: the keyed state is one entry per tracked FILE, and a
+    * 100M-file namespace does not fit the default in-heap provider —
+    * RocksDB keeps it on executor-local disk with incremental
+    * checkpointing, which is the only shape that survives namespace
+    * scale (the reference's equivalent store was the ZK tree, which
+    * capped out far earlier). */
   def stateStream(events: Dataset[ChangeEvent])(
       implicit spark: SparkSession): Dataset[FileState] = {
     import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events.groupByKey(_.path)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(fsmStep)

@@ -38,6 +38,23 @@ class ReplicaTrackerSpec extends AnyFunSuite {
     assert(st.blocks.map(_.blockId) == Seq(100L)) // bad block not appended
   }
 
+  test("truncate shrinks the boundary block and drops fully-truncated tails") {
+    val st = Seq(
+      ev(1, Op.AddFile),
+      ev(2, Op.AddBlock, blockId = 100L, bytes = 100L),
+      ev(3, Op.AddBlock, blockId = 101L, prev = 100L, bytes = 100L),
+      ev(4, Op.AddBlock, blockId = 102L, prev = 101L, bytes = 100L),
+      ev(5, Op.TruncateBlock, bytes = 150L)) // cut to 150 bytes total
+      .foldLeft(FileState("/f"))(FileStateFSM.transition)
+    assert(st.state == L.Updating)
+    assert(st.blocks.map(b => (b.blockId, b.numBytes)) ==
+      Seq((100L, 100L), (101L, 50L))) // 102 dropped, 101 shrunk
+    assert(st.numBlocks == 2L)
+    // truncate to zero drops every block
+    val st2 = FileStateFSM.transition(st, ev(6, Op.TruncateBlock, bytes = 0L))
+    assert(st2.blocks.isEmpty && st2.numBlocks == 0L)
+  }
+
   test("chain info is optional: -1 prevBlockId always accepted") {
     val st = Seq(
       ev(1, Op.AddFile),
