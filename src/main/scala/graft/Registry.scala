@@ -18,7 +18,8 @@ object Registry {
   /** Ordered registry of all query batteries. */
   def all: Seq[(String, QueryDef)] =
     ops.Relational.defs ++ ops.Cdc.defs ++ ops.Dedup.defs ++
-      ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Extras.defs
+      ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Extras.defs ++
+      ops.Curation.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

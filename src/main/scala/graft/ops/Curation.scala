@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import Tables.load
+
+/** The training-data pipeline composed end to end (the reason the
+  * dedup/quality operators exist): raw corpus → quality gate → exact
+  * dedup → LSH-candidate near-dup removal → per-language corpus
+  * statistics. One gate query exercises the full chain against one
+  * DuckDB oracle, so the COMPOSITION is hash-verified, not just the
+  * stages.
+  *
+  * Every stage keeps the scale shape of its standalone operator: the
+  * quality gate is a narrow projection, exact dedup one hash
+  * aggregation, near-dup removal an equi-join against the MinHash
+  * band-bucket candidates (never all-pairs), and the report a single
+  * groupBy. Drop rule is deterministic: a doc is removed iff it is the
+  * HIGHER id of any verified near-dup pair among exact-dedup survivors.
+  */
+object Curation {
+
+  private def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+          .cast(LongType).as("n_stop"))
+    val quality = docs.filter(
+      col("n_tokens").between(20, 400) &&
+        col("n_stop").cast(DoubleType) / col("n_tokens") < 0.2)
+    // exact dedup: min doc_id per content hash among quality survivors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // near-dup verify over LSH candidates, both ends surviving exact
+    val ws = Dedup.wordSets(s, dir)
+    val survivors = exact.select(col("doc_id"))
+    val nearDupDrops = Dedup.minhashCandidates(s, dir)
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .join(ws.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(ws.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast(LongType))
+      .filter(col("inter").cast(DoubleType) /
+        (size(col("ws_a")).cast(LongType) + size(col("ws_b")) - col("inter"))
+        >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val fin = exact.join(nearDupDrops, Seq("doc_id"), "left_anti")
+
+    val langs = load(s, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val c1 = quality.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+    val c2 = exact.groupBy(col("lang")).agg(count(lit(1)).as("n_after_exact"))
+    val c3 = fin.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_final"), sum(col("n_tokens")).as("tok"))
+    langs
+      .join(c1, Seq("lang"), "left")
+      .join(c2, Seq("lang"), "left")
+      .join(c3, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tok"), lit(0L)).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val qCurateSql =
+    s"""WITH ${Dedup.candidatesCte},
+       |q AS (
+       |  SELECT doc_id, lang, text,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |qual AS (
+       |  SELECT * FROM q
+       |  WHERE n_tokens BETWEEN 20 AND 400
+       |    AND CAST(n_stop AS DOUBLE) / n_tokens < 0.2),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                 ORDER BY doc_id) AS rn
+       |    FROM qual) t WHERE rn = 1),
+       |d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents),
+       |nd AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN exact a ON a.doc_id = c.doc_a
+       |  JOIN exact b ON b.doc_id = c.doc_b
+       |  JOIN d da ON da.doc_id = c.doc_a
+       |  JOIN d db ON db.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))) >= 0.5),
+       |fin AS (
+       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+       |langs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |c1 AS (SELECT lang, COUNT(*) AS n_quality FROM qual GROUP BY lang),
+       |c2 AS (SELECT lang, COUNT(*) AS n_after_exact FROM exact GROUP BY lang),
+       |c3 AS (SELECT lang, COUNT(*) AS n_final,
+       |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |       FROM fin GROUP BY lang)
+       |SELECT l.lang, l.n_docs,
+       |  COALESCE(c1.n_quality, 0) AS n_quality,
+       |  COALESCE(c2.n_after_exact, 0) AS n_after_exact,
+       |  COALESCE(c3.n_final, 0) AS n_final,
+       |  COALESCE(c3.total_tokens, 0) AS total_tokens
+       |FROM langs l
+       |LEFT JOIN c1 ON l.lang = c1.lang
+       |LEFT JOIN c2 ON l.lang = c2.lang
+       |LEFT JOIN c3 ON l.lang = c3.lang
+       |ORDER BY l.lang""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q46_corpus_curation" -> QueryDef(qCurate, Some(qCurateSql),
+      "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"))
+}

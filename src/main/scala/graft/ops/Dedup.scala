@@ -36,7 +36,7 @@ object Dedup {
   private val Bands = 4 // 2 hashes per band
 
   /** Word-set projection shared by the Jaccard verify stage. */
-  private def wordSets(s: SparkSession, dir: String): DataFrame =
+  private[ops] def wordSets(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
@@ -76,7 +76,7 @@ object Dedup {
   }
 
   /** Shared CTE chain reproducing [[minhashCandidates]] in DuckDB. */
-  private val candidatesCte = {
+  private[ops] val candidatesCte = {
     val hs = (0 until NumHashes).map { i =>
       val src = if (i < 4) "ha" else "hb"
       s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS h$i"
