@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The star join exercises scans, broadcast joins, agg, and sort. */
+    * The corpus-curation pipeline (q46) composes scans, narrow quality
+    * projections, hash-agg dedup, the MinHash LSH band join, the
+    * candidate-scoped Jaccard verify, anti-join removal, and the final
+    * per-language report — the engine's identity in one query. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q05_star_join")(spark, "/root/testdata/sf0.001")
+    Registry.queries("q46_corpus_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

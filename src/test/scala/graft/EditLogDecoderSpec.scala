@@ -98,6 +98,16 @@ class EditLogDecoderSpec extends AnyFunSuite {
     assert(none.forall(_.txId >= 99999999L) && none.isEmpty)
   }
 
+  test("corruption is detected, not silently accepted (CRC32 per op)") {
+    val good = segBytes(deleteDir, "edits_0000000000000028318-0000000000000028320")
+    // flip one byte inside the DELETE op's path
+    val bad = good.clone()
+    bad(0x30) = (bad(0x30) ^ 0x01).toByte
+    val ops = EditLogDecoder.decodeSegment(bad)
+    assert(ops.exists(!_.crcOk), "corrupted op must fail its checksum")
+    assert(EditLogDecoder.decodeSegment(good).forall(_.crcOk))
+  }
+
   test("real fixture events replay through the FSM to the expected lifecycle") {
     implicit val s = spark
     import s.implicits._
