@@ -107,6 +107,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize for "image" blobs: nearest-neighbor raster resample to
+    * (targetW × targetH), header rewritten with the new dimensions —
+    * STUB for a real image scaler (javax.imageio / libvips on a real
+    * cluster), but the contract is production-real: binary in → binary
+    * out, output size = header + targetW·targetH bytes regardless of
+    * input size (the property that makes downstream batches
+    * fixed-width), deterministic, non-image/undecodable blobs pass
+    * through unchanged. */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val meta = decodeStub(bytes)
+        val out =
+          if (meta.getString(0) != "image" || meta.isNullAt(1)) bytes
+          else {
+            val (w0, h0) = (math.max(meta.getInt(1), 1),
+              math.max(meta.getInt(2), 1))
+            val payload = bytes.drop(16)
+            // >>> BEGIN STUB (replace with a real scaler) <<<
+            // treat payload as a row-major w0×h0 raster (short payloads
+            // read as zero) and nearest-neighbor sample it
+            val res = new Array[Byte](targetW * targetH)
+            var y = 0
+            while (y < targetH) {
+              val sy = y.toLong * h0 / targetH
+              var x = 0
+              while (x < targetW) {
+                val sx = x.toLong * w0 / targetW
+                val src = sy * w0 + sx
+                res(y * targetW + x) =
+                  if (src < payload.length) payload(src.toInt) else 0
+                x += 1
+              }
+              y += 1
+            }
+            // >>> END STUB <<<
+            encodeStubHeader("image", targetW, targetH, 0, 0, res)
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Frame sampling for "video" blobs: every `stride`-th fixed-size
     * chunk of the payload becomes one frame row (id, frameIdx, frame).
     * Real video decode replaces chunking with keyframe extraction. */

@@ -41,6 +41,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v1 == again)
   }
 
+  test("resize: fixed output size, header rewritten, pass-through for non-images") {
+    val out = Multimodal.resize(blobs, 8, 4)
+      .select("id", "resized").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // image: output = 16-byte header + 8×4 raster, whatever the input size
+    val img = out(1L)
+    assert(img.length == 16 + 8 * 4)
+    val meta = Multimodal.withMeta {
+      import spark.implicits._
+      Seq((1L, img)).toDF("id", "content")
+    }.select("meta.kind", "meta.width", "meta.height").head()
+    assert(meta.getString(0) == "image" && meta.getInt(1) == 8 &&
+      meta.getInt(2) == 4)
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(blobs, 8, 4)
+      .select("id", "resized").orderBy("id").collect()
+    assert(java.util.Arrays.equals(again(0).getAs[Array[Byte]](1), img))
+    // non-image and null blobs pass through unchanged
+    assert(java.util.Arrays.equals(out(3L), "not a media file".getBytes))
+    assert(out(4L) == null)
+    // video blob is not resized either (kind gate)
+    assert(out(2L).length == 16 + 4096)
+  }
+
   test("frame sampling: strided chunks with index") {
     val frames = Multimodal.sampleFrames(blobs, frameBytes = 256, stride = 4)
       .collect()
