@@ -15,6 +15,46 @@ import org.scalatest.funsuite.AnyFunSuite
 class EndToEndPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("REAL NameNode artifacts: binary fsimage bootstrap + binary edit-log catch-up") {
+    implicit val s = spark
+    val fixtures =
+      "/root/reference/change-manager/namenode-agent/src/test/resources/edits/logs/current"
+    val work = java.nio.file.Files.createTempDirectory("graft_real_").toString
+
+    // 1. bootstrap the namespace from the binary protobuf image
+    //    (txid 28553) and seed it as the Graft state store's base version
+    val boot = graft.ingest.FsImageBinary.bootstrapState(
+      spark, s"$fixtures/fsimage_0000000000000028553")
+    boot.toDF().write.parquet(s"$work/state/files_v0")
+    val g = new Graft(spark, s"$work/state")
+    assert(g.stateTable.filter(_.path ==
+      "/test/hcdc/loader/parquet/links_2.parquet").head().state == L.Finalized)
+
+    // 2. catch up from the binary edit segments AFTER the image: the
+    //    fixtures carry two complete real lifecycles
+    //    (create ._COPYING_ -> add block -> close -> rename) at
+    //    txids 28563-28568 and 28605-28610
+    val catchUp = graft.ingest.EditLogDecoder.read(
+      spark, fixtures, startTx = 28554L)
+    assert(catchUp.filter(_.op != Op.IgnoreTx).count() > 0)
+    g.replayIncrement(catchUp)
+
+    // 3. converged state: both new files Finalized under their final
+    //    names, their temp names Deleted by the rename fan-out, and the
+    //    image-era files untouched
+    val st = g.stateTable.collect().map(x => x.path -> x).toMap
+    assert(st("/test/hcdc/loader/parquet/links_2").state == L.Finalized)
+    assert(st("/test/hcdc/loader/parquet/data/links_2").state == L.Finalized)
+    assert(st("/test/hcdc/loader/parquet/links_2._COPYING_").state == L.Deleted)
+    assert(st("/test/hcdc/loader/parquet/data/links_2._COPYING_").state == L.Deleted)
+    // untouched image file keeps its bootstrap watermark (raw image txid;
+    // the catch-up events live on the ×4 rename sub-tx grid above it)
+    assert(st("/test/hcdc/loader/parquet/links_2.parquet").lastTxId == 28553L)
+    // the temp files accumulated their real block (1 block, 1036349 B)
+    assert(st("/test/hcdc/loader/parquet/links_2._COPYING_").numBlocks == 1L)
+    assert(g.watermark() >= 28610L * 4)
+  }
+
   test("events -> route -> FSM -> range merge -> slice -> replicas -> read back") {
     implicit val s = spark
     import s.implicits._
