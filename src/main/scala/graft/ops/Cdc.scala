@@ -351,10 +351,9 @@ object Cdc {
     val all = eventOps(s, dir).as[ChangeEvent]
     val maxId = all.agg(max(col("txId"))).as[Long].head() // metadata scalar
     val t1 = (maxId * 0.4).toLong
-    val snap = FileStateFSM.replayAll(all.filter(_.txId <= t1))
-    val replicas = graft.state.ReplicaTracker.fromSnapshot(snap, _.path.toLong)
-    val live = FileStateFSM.replayAll(all)
-    graft.state.ReplicaTracker.reconcile(replicas, live)
+    // one keyed pass folds BOTH the snapshot-prefix and live states —
+    // one shuffle total instead of two replays plus a reconcile join
+    graft.state.ReplicaTracker.reconcileFromEvents(all, t1, _.path.toLong)
       .select(col("inode").as("file_id"), col("snapshot_txid"),
         col("last_replicated_tx"), col("last_txid"), col("lag"),
         col("backlog"))

@@ -36,6 +36,36 @@ object ReplicaTracker {
         snapshotTxId = st.lastTxId, lastReplicatedTx = st.lastTxId))
   }
 
+  /** Event-sourced reconcile in ONE keyed pass: both the
+    * snapshot-prefix state (events ≤ `snapshotTx`) and the live state
+    * fold per key in the same `mapGroups`, so building the replica view
+    * from an event log costs one shuffle — not two replays plus a join
+    * (the replays share the sorted event sequence; only the fold is
+    * duplicated, which is CPU-trivial next to a shuffle at scale).
+    * Same output contract as [[reconcile]]. */
+  def reconcileFromEvents(events: Dataset[ChangeEvent], snapshotTx: Long,
+      inodeOf: FileState => Long)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.groupByKey(_.path)
+      .mapGroups { (p, it) =>
+        val evs = it.toSeq.sortBy(_.txId)
+        val snap = evs.takeWhile(_.txId <= snapshotTx)
+          .foldLeft(FileState(p))(FileStateFSM.transition)
+        val live = evs.foldLeft(FileState(p))(FileStateFSM.transition)
+        (p, snap, live)
+      }
+      .filter { case (_, snap, _) =>
+        snap.nOps > 0 && snap.state != FileLifecycle.Deleted
+      }
+      .map { case (p, snap, live) =>
+        (inodeOf(snap), p, snap.lastTxId, snap.lastTxId, live.lastTxId,
+          live.lastTxId - snap.lastTxId, live.lastTxId > snap.lastTxId)
+      }
+      .toDF("inode", "path", "snapshot_txid", "last_replicated_tx",
+        "last_txid", "lag", "backlog")
+  }
+
   /** Join replicas against the live file-state table: per file, the
     * replicated head vs the seen head and the resulting lag. Columns:
     * `inode, path, snapshot_txid, last_replicated_tx, last_txid, lag,

@@ -108,6 +108,28 @@ class ReplicaTrackerSpec extends AnyFunSuite {
     assert(after("/a") == L.Finalized)
   }
 
+  test("single-pass reconcileFromEvents equals the two-table reconcile") {
+    implicit val s = spark
+    import s.implicits._
+    val events = Seq(
+      ev(1, Op.AddFile, "/a"), ev(2, Op.AppendFile, "/a"),
+      ev(3, Op.AddFile, "/b"), ev(4, Op.CloseFile, "/b"),
+      ev(5, Op.AppendFile, "/a"), ev(6, Op.CloseFile, "/a"),
+      ev(7, Op.AddFile, "/c")).toDS() // /c is post-snapshot: no replica row
+    val onePass = ReplicaTracker
+      .reconcileFromEvents(events, 4L, _.path.hashCode.toLong)
+    val snap = FileStateFSM.replayAll(events.filter(_.txId <= 4L))
+    val twoTable = ReplicaTracker.reconcile(
+      ReplicaTracker.fromSnapshot(snap, st => st.path.hashCode.toLong),
+      FileStateFSM.replayAll(events))
+    val cols = Seq("path", "inode", "snapshot_txid", "last_replicated_tx",
+      "last_txid", "lag", "backlog")
+    assert(onePass.select(cols.head, cols.tail: _*).orderBy("path")
+      .collect().toSeq ==
+      twoTable.select(cols.head, cols.tail: _*).orderBy("path")
+        .collect().toSeq)
+  }
+
   test("recordReplicated is monotonic; markReady flips the flag") {
     implicit val s = spark
     import s.implicits._
