@@ -131,6 +131,36 @@ object Extras {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal frame sampling, oracle-checked: "video" payloads are
+    * the document text bytes, so every strided 64-byte frame the
+    * distributed sampler emits is independently recomputable by the
+    * oracle as a text substring (the corpus is ASCII, so byte slices ==
+    * character slices; md5 of the frame pins the exact bytes). */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Multimodal.encodeStubHeader("video", 320, 240, 30, 0,
+          text.getBytes("UTF-8")))
+      }
+      .toDF("id", "content")
+    Multimodal.sampleFrames(withBin, frameBytes = 64, stride = 2)
+      .select(col("id").as("doc_id"),
+        col("frameIdx").cast(LongType).as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val qMultimodalFramesSql =
+    """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      | md5(substring(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |   unnest(range(0, strlen(text) // 64, 2)) AS f
+      |  FROM documents) t
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Skew-mitigation pattern: two-stage salted aggregation over the
     * maximally-skewed key (3 return flags over the whole lineitem).
     * The oracle is the plain GROUP BY — salting must be result-
@@ -177,5 +207,7 @@ object Extras {
     "q41_multimodal_meta" -> QueryDef(qMultimodalMeta, Some(qMultimodalMetaSql),
       "multimodal binary encode->decode metadata, cross-validated oracle"),
     "q42_multimodal_features" -> QueryDef(qMultimodalFeatures, None,
-      "multimodal feature extraction (rows-only; spec-tested)"))
+      "multimodal feature extraction (rows-only; spec-tested)"),
+    "q47_multimodal_frames" -> QueryDef(qMultimodalFrames, Some(qMultimodalFramesSql),
+      "strided frame sampling over binary payloads, byte-exact oracle"))
 }
