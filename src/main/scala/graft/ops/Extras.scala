@@ -115,8 +115,13 @@ object Extras {
   // strlen = BYTE length (the Spark side encodes text.getBytes("UTF-8"));
   // DuckDB length() counts characters and diverges on multi-byte text
 
-  /** Multimodal feature extraction (rows-only: histogram stub tested in
-    * MultimodalSpec; this exposes the distributed path to the gate). */
+  /** Multimodal feature extraction, oracle-checked: the 16-bin byte
+    * histogram runs over the document's raw text bytes, so the oracle
+    * recomputes every bin from `ord()` codes (ASCII corpus: code ==
+    * byte) with the SAME float arithmetic — per-bin count as FLOAT,
+    * float division by length, widened to double and summed in bin
+    * order. Bit-exact across engines because both follow IEEE-754
+    * single-precision division then exact double accumulation. */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val withBin = load(s, dir, "documents")
@@ -129,6 +134,29 @@ object Extras {
           .as("feature_sum"),
         size(col("features")).as("dim"))
       .orderBy(col("doc_id"))
+  }
+
+  private val qMultimodalFeaturesSql = {
+    val counts = (0 until 16)
+      .map(b => s"COUNT(*) FILTER (WHERE bin = $b) AS c$b")
+      .mkString(",\n   ")
+    val terms = (0 until 16)
+      .map(b => s"CAST(CAST(c$b AS FLOAT) / CAST(len AS FLOAT) AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH chars AS (
+       |  SELECT doc_id, strlen(text) AS len,
+       |   unnest(list_transform(range(1, CAST(strlen(text) + 1 AS INT)),
+       |     i -> ord(substring(text, CAST(i AS INT), 1)) // 16)) AS bin
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len,
+       |   $counts
+       |  FROM chars GROUP BY doc_id, len)
+       |SELECT d.doc_id,
+       |  COALESCE($terms, CAST(0 AS DOUBLE)) AS feature_sum,
+       |  CAST(16 AS INT) AS dim
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Multimodal frame sampling, oracle-checked: "video" payloads are
@@ -206,8 +234,9 @@ object Extras {
       "T8 event-time tumbling window agg"),
     "q41_multimodal_meta" -> QueryDef(qMultimodalMeta, Some(qMultimodalMetaSql),
       "multimodal binary encode->decode metadata, cross-validated oracle"),
-    "q42_multimodal_features" -> QueryDef(qMultimodalFeatures, None,
-      "multimodal feature extraction (rows-only; spec-tested)"),
+    "q42_multimodal_features" -> QueryDef(qMultimodalFeatures,
+      Some(qMultimodalFeaturesSql),
+      "multimodal feature extraction (byte-histogram, float-exact oracle)"),
     "q47_multimodal_frames" -> QueryDef(qMultimodalFrames, Some(qMultimodalFramesSql),
       "strided frame sampling over binary payloads, byte-exact oracle"))
 }
