@@ -17,8 +17,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def esc(s: String): String =
-      s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300)
+    def esc(s: String): String = // strip ALL JSON-illegal chars
+      s.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(300)
     // deterministic name order: the first query pays the session's
     // one-time warmup (codegen, parquet footers) — pin it to q01 instead
     // of whatever the Map iterator yields so runs are comparable

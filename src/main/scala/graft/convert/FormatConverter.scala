@@ -108,27 +108,30 @@ object Formats {
       val schemaJson = SchemaInference.toAvroSchema(df.schema, "row")
       val conf = new org.apache.hadoop.conf.Configuration()
       val fields = df.schema.fields
-      // True overwrite: per-partition create(overwrite=true) only
-      // replaces same-named part files, so a write with FEWER partitions
-      // than the previous one would leave stale part-NNNNN.avro behind
-      // for read() to pick up. Clear the directory first.
+      // True overwrite WITHOUT destroy-before-write: the distributed
+      // write lands in a staging dir; only after it completes is the
+      // old directory swapped out — a mid-write failure leaves the
+      // previous complete dataset untouched (per-partition
+      // create(overwrite=true) alone also left stale part files behind
+      // when a later write had fewer partitions).
       // (Contract note: TimestampType is written as epoch-millis long —
       // read() returns LongType for such columns.)
-      locally {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(path), conf)
-        val p = new org.apache.hadoop.fs.Path(path)
-        if (fs.exists(p)) fs.delete(p, true)
-        fs.mkdirs(p)
-      }
+      val fs0 = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), conf)
+      val target = new org.apache.hadoop.fs.Path(path)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
+      fs0.mkdirs(staging)
+      val stagingStr = staging.toString
       df.foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val schema = new Schema.Parser().parse(schemaJson)
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(path), new org.apache.hadoop.conf.Configuration())
+            java.net.URI.create(stagingStr),
+            new org.apache.hadoop.conf.Configuration())
           val out = fs.create(new org.apache.hadoop.fs.Path(
-            path, f"part-$pid%05d.avro"), true)
+            stagingStr, f"part-$pid%05d.avro"), true)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           w.create(schema, out)
@@ -153,6 +156,11 @@ object Formats {
           w.close()
         }
       }
+      // distributed write finished → swap the complete staging dir in
+      if (fs0.exists(target)) fs0.delete(target, true)
+      if (!fs0.rename(staging, target))
+        throw new java.io.IOException(
+          s"failed to commit avro staging dir $staging -> $target")
     }
 
     private def avroToStruct(s: Schema): StructType = {

@@ -136,11 +136,24 @@ object EditLogDecoder {
       s"unsupported edit-log layout version $ver (expected $LayoutVersion)")
     r.i32() // layout flags
     val out = Seq.newBuilder[EditOp]
-    while (r.o < bytes.length && (bytes(r.o) & 0xff) != 0xff) {
+    var halted = false
+    while (!halted && r.o < bytes.length && (bytes(r.o) & 0xff) != 0xff) {
       val start = r.o
       val opc = r.u8()
+      // framing guard: a corrupted/truncated length field must flag the
+      // op and stop the scan, not crash the decode task
+      if (r.o + 4 > bytes.length) {
+        out += EditOp(-1L, opc, opNames.getOrElse(opc, s"OP_$opc"),
+          crcOk = false)
+        halted = true
+      } else {
       val length = r.i32()
       val bodyEnd = r.o + length - 4
+      if (length < 12 || bodyEnd + 4 > bytes.length) {
+        out += EditOp(-1L, opc, opNames.getOrElse(opc, s"OP_$opc"),
+          crcOk = false)
+        halted = true
+      } else {
       val txId = r.i64()
       val base = EditOp(txId, opc, opNames.getOrElse(opc, s"OP_$opc"))
       val op = try {
@@ -187,6 +200,7 @@ object EditLogDecoder {
         (endTx < 0 || txId <= endTx)
       if (inRange) out += op.copy(crcOk = crc.getValue == stored)
       r.o = bodyEnd + 4
+      } }
     }
     out.result()
   }

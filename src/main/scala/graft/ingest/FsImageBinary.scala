@@ -181,36 +181,38 @@ object FsImageBinary {
     Summary(layout, txId, numInodes, inodes.result(), edges.result())
   }
 
-  /** Distributed parse: one task per image file (`binaryFile`). */
+  /** Distributed parse: ONE protobuf walk per image file, eagerly
+    * checkpointed so the inode/edge/txId consumers all read the parsed
+    * result instead of re-decoding the image per downstream dataset. */
+  def parseAll(spark: SparkSession,
+      path: String): Dataset[(Seq[INode], Seq[Edge], Long)] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .map { b => val s = parseImage(b); (s.inodes, s.edges, s.txId) }
+      .localCheckpoint(true)
+  }
+
   def parse(spark: SparkSession, path: String): (Dataset[INode], Dataset[Edge]) = {
     import spark.implicits._
-    val raw = spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-    (raw.flatMap(b => parseImage(b).inodes),
-      raw.flatMap(b => parseImage(b).edges))
+    val parsed = parseAll(spark, path)
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
   /** Bootstrap state straight from a binary image: same downstream path
     * resolution and state shape as [[FsImageBootstrap.bootstrapState]];
-    * `asOfTxId` defaults to the image's own transaction id. */
+    * `asOfTxId` defaults to the image's own transaction id (read from
+    * the already-parsed summary — the image is decoded exactly once). */
   def bootstrapState(spark: SparkSession, imagePath: String,
       asOfTxId: Long = -1L): Dataset[FileState] = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val (inodes, edges) = parse(spark, imagePath)
+    val parsed = parseAll(spark, imagePath)
+    val inodes = parsed.flatMap(_._1)
+    val edges = parsed.flatMap(_._2)
     val txId =
       if (asOfTxId >= 0) asOfTxId
-      else {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(imagePath), spark.sparkContext.hadoopConfiguration)
-        val status = fs.globStatus(new org.apache.hadoop.fs.Path(imagePath))
-        val one = status.head.getPath
-        val len = fs.getFileStatus(one).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(one)
-        try in.readFully(0L, buf) finally in.close()
-        parseImage(buf).txId
-      }
+      else parsed.map(_._3).reduce(math.max)
     val paths = FsImageBootstrap.resolvePaths(inodes, edges)
     import org.apache.spark.sql.functions._
     inodes.toDF().filter(col("inodeType") === "FILE")
@@ -219,7 +221,8 @@ object FsImageBinary {
       .as[(String, Long, Long)]
       .map { case (p, nb, bytes) =>
         FileState(p, graft.model.FileLifecycle.Finalized, numBlocks = nb,
-          dataSizeCents = bytes, lastTxId = txId, nOps = 1, nAppends = 0)
+          dataSizeCents = bytes * 100, // fixed-point hundredths convention
+          lastTxId = txId, nOps = 1, nAppends = 0)
       }
   }
 }

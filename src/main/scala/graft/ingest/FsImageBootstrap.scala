@@ -167,7 +167,8 @@ object FsImageBootstrap {
       .as[(String, Long, Long)]
       .map { case (p, nb, bytes) =>
         FileState(p, FileLifecycle.Finalized, numBlocks = nb,
-          dataSizeCents = bytes, lastTxId = asOfTxId, nOps = 1, nAppends = 0)
+          dataSizeCents = bytes * 100, // fixed-point hundredths convention
+          lastTxId = asOfTxId, nOps = 1, nAppends = 0)
       }
   }
 }

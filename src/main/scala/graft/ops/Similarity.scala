@@ -73,6 +73,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** Corpus row count, memoized per directory: deriving r at plan-build
+    * time must not launch a fresh count job on every query construction
+    * (twice per bench run, and a full-table scan at real scale — table
+    * statistics would serve on a catalog-backed deployment). */
+  private val corpusCount =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def countOf(base: DataFrame, dir: String): Long =
+    corpusCount.getOrElseUpdate(dir, base.count())
+
   /** r-bit SRP band key for band `b` (planes [b*r, (b+1)*r)). */
   private def keyCol(planes: Array[Array[Double]], b: Int, r: Int): Column =
     (0 until r).map { i =>
@@ -147,7 +156,7 @@ object Similarity {
     * cost is O(TargetBucket²) per band regardless of corpus size. */
   private def qNearDup(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(s, dir)
-    val r = rBits(base.count())
+    val r = rBits(countOf(base, dir))
     val bands = bandKeys(base, NearDupBands, r)
     val pairs = bands.as("x")
       .join(bands.as("y"),
@@ -190,7 +199,7 @@ object Similarity {
     * proportional to candidate count, not corpus size. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(s, dir)
-    val r = rBits(base.count())
+    val r = rBits(countOf(base, dir))
     val bands = bandKeys(base, AnnBands, r)
     // probe set = own key plus each single-bit flip ⇔ Hamming(q,x) ≤ 1
     val flips = array((lit(0) +: (0 until r).map(i => lit(1 << i))): _*)

@@ -45,9 +45,14 @@ object FileStateFSM {
   /** Chain-integrity check (SURVEY §2.6 W2; ref
     * `agent/common/FileStateHelper.java:176-199`): a new block's
     * `prevBlockId` must name the current chain tail. `-1` means the
-    * event carries no chain info (non-edit-log sources) — accepted. */
+    * event carries no chain info (non-edit-log sources) — accepted.
+    * A state with `numBlocks > 0` but an empty `blocks` list was
+    * bootstrap-loaded without per-block detail (fsimage/snapshot): its
+    * chain is UNKNOWN, not empty, so chained events are accepted rather
+    * than bricking every bootstrapped file on first catch-up append. */
   def chainValid(st: FileState, ev: ChangeEvent): Boolean =
     ev.prevBlockId < 0 ||
+      (st.blocks.isEmpty && st.numBlocks > 0) ||
       st.blocks.lastOption.map(_.blockId).getOrElse(-1L) == ev.prevBlockId
 
   def transition(st: FileState, ev: ChangeEvent): FileState = {
@@ -94,14 +99,21 @@ object FileStateFSM {
         val blocks =
           if (ev.blockId < 0) st.blocks
           else st.blocks :+ BlockState(ev.blockId,
-            st.blocks.lastOption.map(_.blockId).getOrElse(-1L),
+            // the event's chain pointer is authoritative when present
+            // (a bootstrap-loaded state has an empty list but a real
+            // predecessor); fall back to the local tail
+            if (ev.prevBlockId >= 0) ev.prevBlockId
+            else st.blocks.lastOption.map(_.blockId).getOrElse(-1L),
             math.max(ev.endOffset, 0L), ev.txId)
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
           numBlocks = st.numBlocks + 1, blocks = blocks)
       case Op.TruncateBlock =>
         // truncate to endOffset bytes (ref `DFSTruncateBlockType` /
         // `SourceTransactionProcessor` truncate path): fully-truncated
-        // tail blocks drop off the chain, the boundary block shrinks
+        // tail blocks drop off the chain, the boundary block shrinks.
+        // If the state carries no per-block detail (bootstrap-loaded or
+        // chain-less events), the counter is kept — recomputing it from
+        // an empty list would wrongly zero the block count.
         val newLen = math.max(ev.endOffset, 0L)
         val (kept, _) = st.blocks.foldLeft(
           (Vector.empty[BlockState], 0L)) { case ((acc, cum), b) =>
@@ -114,9 +126,16 @@ object FileStateFSM {
           }
         }
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
-          blocks = kept, numBlocks = kept.size.toLong)
+          blocks = kept,
+          numBlocks =
+            if (st.blocks.isEmpty) st.numBlocks else kept.size.toLong)
       case Op.CloseFile =>
-        st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1)
+        // a close carrying a size is authoritative for the file length
+        // (decoder closes carry total block bytes; the synthetic event
+        // battery closes carry 0 → accumulated appends stand)
+        st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1,
+          dataSizeCents =
+            if (ev.sizeCents > 0) ev.sizeCents else st.dataSizeCents)
       case Op.DeleteFile =>
         st.copy(state = L.Deleted, lastTxId = ev.txId, nOps = st.nOps + 1)
       case _ => st

@@ -38,10 +38,17 @@ final class MetricsListener(maxRows: Int = 10000)
 
   private val journal =
     new java.util.concurrent.ConcurrentLinkedQueue[Beat]()
+  // ConcurrentLinkedQueue.size() is O(n); track it separately so the
+  // bound check stays O(1) on the listener-bus thread
+  private val nRows = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def add(b: Beat): Unit = {
     journal.add(b)
-    while (journal.size > maxRows) journal.poll() // bounded: drop oldest
+    var n = nRows.incrementAndGet()
+    while (n > maxRows) { // bounded: drop oldest
+      if (journal.poll() != null) n = nRows.decrementAndGet()
+      else n = nRows.get()
+    }
   }
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =

@@ -108,6 +108,20 @@ class EditLogDecoderSpec extends AnyFunSuite {
     assert(EditLogDecoder.decodeSegment(good).forall(_.crcOk))
   }
 
+  test("corrupt FRAMING (length field / truncation) flags, never throws") {
+    val good = segBytes(deleteDir, "edits_0000000000000028318-0000000000000028320")
+    // blow up the second op's length field (offset 0x19 is its opcode)
+    val badLen = good.clone()
+    badLen(0x1b) = 0x7f.toByte // length now ~8M, far past the segment
+    val ops = EditLogDecoder.decodeSegment(badLen)
+    assert(ops.nonEmpty && !ops.last.crcOk,
+      "oversized length must surface as a failed op, not an exception")
+    // truncate the file mid-op (no 0xff padding)
+    val truncated = good.take(good.length - 7)
+    val ops2 = EditLogDecoder.decodeSegment(truncated)
+    assert(!ops2.last.crcOk)
+  }
+
   test("real fixture events replay through the FSM to the expected lifecycle") {
     implicit val s = spark
     import s.implicits._

@@ -48,7 +48,7 @@ class FsImageBinarySpec extends AnyFunSuite {
     assert(st.forall(_.state == FileLifecycle.Finalized))
     assert(st.forall(_.lastTxId == 28553L))
     val links = st.find(_.path == "/test/hcdc/loader/parquet/links_2.parquet").get
-    assert(links.numBlocks == 1L && links.dataSizeCents == 1036349L)
+    assert(links.numBlocks == 1L && links.dataSizeCents == 1036349L * 100)
     val nFiles = summary.inodes.count(_.inodeType == "FILE")
     assert(st.length == nFiles)
   }

@@ -46,8 +46,8 @@ class FsImageBootstrapSpec extends AnyFunSuite {
     assert(st.keySet == Set("/data/movies/part-0.parquet", "/top.csv"))
     val f = st("/data/movies/part-0.parquet")
     assert(f.state == L.Finalized && f.numBlocks == 2 &&
-      f.dataSizeCents == 1500 && f.lastTxId == 99)
-    assert(st("/top.csv").numBlocks == 1 && st("/top.csv").dataSizeCents == 42)
+      f.dataSizeCents == 150000 && f.lastTxId == 99)
+    assert(st("/top.csv").numBlocks == 1 && st("/top.csv").dataSizeCents == 4200)
   }
 
   test("bootstrap state feeds replayWithInit (S4 -> T4 chain)") {

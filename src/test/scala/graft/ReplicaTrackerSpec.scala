@@ -55,6 +55,25 @@ class ReplicaTrackerSpec extends AnyFunSuite {
     assert(st2.blocks.isEmpty && st2.numBlocks == 0L)
   }
 
+  test("bootstrap-loaded state (blocks unknown) accepts chained catch-up events") {
+    // fsimage/snapshot bootstrap carries numBlocks but no per-block
+    // detail — the chain is UNKNOWN, not empty: a chained AddBlock must
+    // be accepted, recording the event's own prev pointer
+    val boot = FileState("/f", L.Finalized, numBlocks = 1L,
+      dataSizeCents = 100L, lastTxId = 10L, nOps = 1L)
+    val st = Seq(
+      ev(11, Op.AppendFile),
+      ev(12, Op.AddBlock, blockId = 201L, prev = 200L), // 200 from before boot
+      ev(13, Op.CloseFile))
+      .foldLeft(boot)(FileStateFSM.transition)
+    assert(st.state == L.Finalized, "bootstrapped file must not brick")
+    assert(st.numBlocks == 2L)
+    assert(st.blocks.map(b => (b.blockId, b.prevBlockId)) == Seq((201L, 200L)))
+    // ...and a truncate on a detail-less state keeps the counter
+    val t = FileStateFSM.transition(boot, ev(11, Op.TruncateBlock, bytes = 50L))
+    assert(t.numBlocks == 1L)
+  }
+
   test("chain info is optional: -1 prevBlockId always accepted") {
     val st = Seq(
       ev(1, Op.AddFile),
