@@ -41,7 +41,9 @@ object EditLogDecoder {
 
   final case class EditBlock(blockId: Long, numBytes: Long, genStamp: Long)
 
-  /** One decoded journal transaction. */
+  /** One decoded journal transaction. `renameOptions` carries the
+    * OP_RENAME option bytes as names (NONE/OVERWRITE/TO_TRASH — the
+    * reference maps these in `DFSEditLogParser.handleOpRename`). */
   final case class EditOp(
       txId: Long,
       opCode: Int,
@@ -54,6 +56,7 @@ object EditLogDecoder {
       newLength: Long = -1L,
       overwrite: Boolean = false,
       blocks: Seq[EditBlock] = Nil,
+      renameOptions: Seq[String] = Nil,
       crcOk: Boolean = true)
 
   // FSEditLogOpCodes values for the tracked ops
@@ -184,8 +187,20 @@ object EditLogDecoder {
           case OpTruncate =>
             val path = r.str(); r.str(); r.str()
             base.copy(path = path, newLength = r.i64(), mtime = r.i64())
-          case OpRenameOld | OpRename =>
+          case OpRenameOld =>
             base.copy(path = r.str(), dst = r.str(), mtime = r.i64())
+          case OpRename =>
+            val (src, dst, ts) = (r.str(), r.str(), r.i64())
+            // options ride as BytesWritable: i32 count + one ordinal
+            // byte per Options.Rename value
+            val n = r.i32()
+            val opts = (0 until n).map(_ => r.u8() match {
+              case 1 => "OVERWRITE"
+              case 2 => "TO_TRASH"
+              case _ => "NONE"
+            })
+            base.copy(path = src, dst = dst, mtime = ts,
+              renameOptions = opts, overwrite = opts.contains("OVERWRITE"))
           case _ => base
         }
       } catch { // undecodable body → IgnoreTx-shaped op, txId preserved

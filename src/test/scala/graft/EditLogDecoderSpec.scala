@@ -122,6 +122,41 @@ class EditLogDecoderSpec extends AnyFunSuite {
     assert(!ops2.last.crcOk)
   }
 
+  test("OP_RENAME (the options-carrying variant) decodes TO_TRASH/OVERWRITE") {
+    // no fixture carries opcode 15 (they all use RENAME_OLD), so build a
+    // frame-exact synthetic segment: same framing, real CRC32
+    def op15(txId: Long, src: String, dst: String,
+        opts: Seq[Int]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bo)
+      d.writeLong(txId)
+      d.writeShort(src.length); d.write(src.getBytes("UTF-8"))
+      d.writeShort(dst.length); d.write(dst.getBytes("UTF-8"))
+      d.writeLong(1660000000000L)
+      d.writeInt(opts.size); opts.foreach(d.writeByte)
+      d.writeShort(0); d.writeInt(-2) // rpcIds: empty clientId, callId -2
+      val body = bo.toByteArray
+      val head = new java.io.ByteArrayOutputStream()
+      val h = new java.io.DataOutputStream(head)
+      h.writeByte(15); h.writeInt(body.length + 4)
+      val framed = head.toByteArray ++ body
+      val crc = new java.util.zip.CRC32(); crc.update(framed)
+      val tail = new java.io.ByteArrayOutputStream()
+      new java.io.DataOutputStream(tail).writeInt(crc.getValue.toInt)
+      framed ++ tail.toByteArray
+    }
+    val seg = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xc1.toByte,
+      0, 0, 0, 0) ++ op15(101L, "/a/x", "/b/x", Seq(2)) ++
+      op15(102L, "/a/y", "/b/y", Seq(1))
+    val ops = EditLogDecoder.decodeSegment(seg)
+    assert(ops.forall(_.crcOk))
+    assert(ops(0).opName == "OP_RENAME" &&
+      ops(0).renameOptions == Seq("TO_TRASH") && !ops(0).overwrite)
+    assert(ops(1).renameOptions == Seq("OVERWRITE") && ops(1).overwrite)
+    val ev = EditLogDecoder.toChangeEvent(ops(0))
+    assert(ev.op == Op.RenameFile && ev.path == "/b/x" && ev.srcPath == "/a/x")
+  }
+
   test("real fixture events replay through the FSM to the expected lifecycle") {
     implicit val s = spark
     import s.implicits._
