@@ -386,6 +386,75 @@ object Cdc {
       |FROM head h JOIN snap s ON h.user_id = s.user_id
       |ORDER BY file_id""".stripMargin
 
+  /** q48: the K7 delta-upload + pointer flow as a hash-gated query
+    * (ref `agent/common/CDCDataConverter.java:117-129` upload +
+    * `agent/pipeline/FileTransactionProcessor.java:526-555` pointer
+    * emit). Routed documents are physically written as one Avro delta
+    * per entity, READ BACK from disk, and summarized into the pointer
+    * table (entity, file count, id checksum) — the oracle recomputes
+    * the same summary straight from the routing semantics, so a bug
+    * anywhere in route → convert → upload → read-back flips the hash.
+    * The per-entity loop is driver-side metadata (the filter registry,
+    * ≤ a handful of rows), never a data loop. */
+  private def qDeltaPointer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("/data/"), col("source"), lit("/doc-"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 97 === 0, ".COPYING")
+            .when(col("lang") === "en", ".parquet")
+            .otherwise(".json")).as("path"))
+    val routed = DomainFilters.route(docs, routeFilters)
+      .filter(col("entity") =!= "IgnoreTx")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_delta_").toString
+    val entities = routed.select(col("entity")).distinct()
+      .as[String].collect().sorted
+    val avro = graft.convert.Formats.byName("avro")
+    entities.foreach { e =>
+      avro.write(routed.filter(col("entity") === e)
+        .select(col("doc_id"), col("path")), s"$tmp/$e")
+    }
+    // the pointer table is built from what actually landed on disk
+    entities.map { e =>
+        avro.read(s, s"$tmp/$e")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc_id"))
+          .withColumn("entity", lit(e))
+      }
+      .reduce(_ unionByName _)
+      .select(col("entity"), col("n_docs"),
+        col("sum_doc_id").cast(LongType).as("sum_doc_id"))
+      .orderBy(col("entity"))
+  }
+
+  private val qDeltaPointerSql = {
+    val rem10 = remSql(10)
+    val rem11 = remSql(11)
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
+       |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
+       |  FROM documents),
+       |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
+       |  '(.*)\\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\\.hive-staging(.*)')),
+       |routed AS (
+       |  SELECT doc_id,
+       |   CASE
+       |    WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'ODDP'
+       |    WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'PARQ'
+       |    WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'JSON1'
+       |    WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
+       |    ELSE 'IgnoreTx' END AS entity
+       |  FROM keep)
+       |SELECT entity, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM routed WHERE entity <> 'IgnoreTx'
+       |GROUP BY entity ORDER BY entity""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
@@ -406,5 +475,7 @@ object Cdc {
     "q28_cdc_bootstrap" -> QueryDef(qBootstrap, Some(qFsmSql),
       "T4 snapshot/backlog/live bootstrap converges to full replay"),
     "q44_cdc_replica_lag" -> QueryDef(qReplicaLag, Some(qReplicaLagSql),
-      "J2 replica-state table: replication lag + snapshot-done Backlog decision"))
+      "J2 replica-state table: replication lag + snapshot-done Backlog decision"),
+    "q48_cdc_delta_pointer" -> QueryDef(qDeltaPointer, Some(qDeltaPointerSql),
+      "K7 delta upload + pointer: route -> avro delta per entity -> read-back summary"))
 }
