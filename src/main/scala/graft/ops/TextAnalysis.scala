@@ -126,6 +126,76 @@ object TextAnalysis {
       |FROM documents
       |GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** BPE-style regex pre-tokenizer pattern (the GPT-2 shape minus its
+    * lookaheads, which RE2 — and therefore the DuckDB oracle — cannot
+    * run): contractions, letter runs, digit runs, punctuation runs.
+    * Whitespace is a separator, not a token. */
+  private val BpePattern =
+    "'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Sub-word-style token counting: the BPE-ish regex splitter next to
+    * the whitespace counter (q30) — the pair a token-budgeted corpus
+    * pipeline actually uses. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_uniq_bpe"))
+      .orderBy(col("doc_id"))
+
+  // the pattern carries a literal apostrophe: escape it for the SQL text
+  private def sqlPat = BpePattern.replace("'", "''")
+
+  private val qBpeTokensSql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe_tokens,
+       | CAST(len(list_distinct(regexp_extract_all(text, '$sqlPat'))) AS BIGINT) AS n_uniq_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val WinK = 8 // char-gram width
+  private val WinW = 4 // winnowing window
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm — the rolling-hash fingerprint class): hash every
+    * 8-char gram, keep the minimum of each 4-gram window, dedupe. The
+    * guarantee: any shared substring of length ≥ k+w−1 between two docs
+    * yields at least one shared fingerprint, at ~1/w of the gram
+    * density. One narrow projection per doc — linear, no shuffle before
+    * the final sort. */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(length(col("text")) >= WinK + WinW - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, length(text) - ${WinK - 1}),
+           |  i -> substring(md5(substring(text, i, $WinK)), 1, 8))""".stripMargin)
+        .as("grams"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(1, size(grams) - ${WinW - 1}),
+           |  j -> array_min(slice(grams, j, $WinW))))""".stripMargin)
+        .as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast(LongType).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
+  private val qWinnowSql =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |   list_transform(range(1, length(text) - ${WinK - 2}),
+       |     i -> substring(md5(substring(text, CAST(i AS INT), $WinK)), 1, 8)) AS grams
+       |  FROM documents WHERE length(text) >= ${WinK + WinW - 1}),
+       |w AS (
+       |  SELECT doc_id,
+       |   list_distinct(list_transform(range(1, len(grams) - ${WinW - 2}),
+       |     j -> list_min(grams[CAST(j AS INT):CAST(j + ${WinW - 1} AS INT)]))) AS fps
+       |  FROM g)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       | list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q30_text_token_stats" -> QueryDef(qStats, Some(qStatsSql),
       "token counting + type-token ratio"),
@@ -134,5 +204,9 @@ object TextAnalysis {
     "q32_text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "language-ID heuristic"),
     "q33_text_fingerprint" -> QueryDef(qFingerprint, Some(qFingerprintSql),
-      "prefix-shingle document fingerprint"))
+      "prefix-shingle document fingerprint"),
+    "q49_text_bpe_tokens" -> QueryDef(qBpeTokens, Some(qBpeTokensSql),
+      "BPE-style regex pre-tokenizer counts"),
+    "q50_text_winnowing" -> QueryDef(qWinnow, Some(qWinnowSql),
+      "winnowing fingerprints (rolling k-gram hash + window minima)"))
 }
