@@ -123,7 +123,7 @@ object Formats {
         path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
       fs0.mkdirs(staging)
       val stagingStr = staging.toString
-      df.foreachPartition { (it: Iterator[Row]) =>
+      try df.foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val schema = new Schema.Parser().parse(schemaJson)
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -155,6 +155,9 @@ object Formats {
           }
           w.close()
         }
+      } catch { case e: Throwable => // don't leak a partial staging dir
+        fs0.delete(staging, true)
+        throw e
       }
       // distributed write finished → swap the complete staging dir in
       if (fs0.exists(target)) fs0.delete(target, true)

@@ -151,12 +151,15 @@ object EditLogDecoder {
         halted = true
       } else {
       val length = r.i32()
-      val bodyEnd = r.o + length - 4
-      if (length < 12 || bodyEnd + 4 > bytes.length) {
+      // Long arithmetic: a corrupted length near Int.MaxValue must not
+      // overflow the bounds check and sneak past the guard
+      val bodyEndL = r.o.toLong + length.toLong - 4L
+      if (length < 12 || bodyEndL + 4L > bytes.length) {
         out += EditOp(-1L, opc, opNames.getOrElse(opc, s"OP_$opc"),
           crcOk = false)
         halted = true
       } else {
+      val bodyEnd = bodyEndL.toInt
       val txId = r.i64()
       val base = EditOp(txId, opc, opNames.getOrElse(opc, s"OP_$opc"))
       val op = try {
@@ -281,6 +284,10 @@ object EditLogDecoder {
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap(bytes =>
-        decodeSegment(bytes, startTx, endTx).map(toChangeEvent))
+        // CRC/framing failures stay diagnostic EditOps in decodeSegment;
+        // they must never become phantom typed events in the stream
+        decodeSegment(bytes, startTx, endTx)
+          .filter(_.crcOk)
+          .map(toChangeEvent))
   }
 }

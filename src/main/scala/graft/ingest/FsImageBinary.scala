@@ -181,22 +181,49 @@ object FsImageBinary {
     Summary(layout, txId, numInodes, inodes.result(), edges.result())
   }
 
+  /** Flattened parse record: `kind` discriminates inode/edge/txid rows
+    * — one SMALL row per namespace object (a million-inode image is a
+    * million rows, never one giant Seq-valued row). */
+  final case class ImageRow(kind: String, id: Long, tpe: String,
+      name: String, nBlocks: Long, totBytes: Long, child: Long,
+      parent: Long, txId: Long)
+
   /** Distributed parse: ONE protobuf walk per image file, eagerly
     * checkpointed so the inode/edge/txId consumers all read the parsed
-    * result instead of re-decoding the image per downstream dataset. */
-  def parseAll(spark: SparkSession,
-      path: String): Dataset[(Seq[INode], Seq[Edge], Long)] = {
+    * rows instead of re-decoding the image per downstream dataset. */
+  def parseAll(spark: SparkSession, path: String): Dataset[ImageRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
-      .map { b => val s = parseImage(b); (s.inodes, s.edges, s.txId) }
+      .flatMap { b =>
+        val s = parseImage(b)
+        s.inodes.iterator.map(i => ImageRow("inode", i.id, i.inodeType,
+          i.name, i.numBlocks, i.totalBytes, -1L, -1L, -1L)) ++
+          s.edges.iterator.map(e => ImageRow("edge", -1L, "", "", 0L, 0L,
+            e.childId, e.parentId, -1L)) ++
+          Iterator.single(ImageRow("txid", -1L, "", "", 0L, 0L, -1L, -1L,
+            s.txId))
+      }
       .localCheckpoint(true)
   }
 
-  def parse(spark: SparkSession, path: String): (Dataset[INode], Dataset[Edge]) = {
+  private def inodesOf(parsed: Dataset[ImageRow])(
+      implicit spark: SparkSession): Dataset[INode] = {
     import spark.implicits._
+    parsed.filter(_.kind == "inode")
+      .map(r => INode(r.id, r.tpe, r.name, r.nBlocks, r.totBytes))
+  }
+
+  private def edgesOf(parsed: Dataset[ImageRow])(
+      implicit spark: SparkSession): Dataset[Edge] = {
+    import spark.implicits._
+    parsed.filter(_.kind == "edge").map(r => Edge(r.child, r.parent))
+  }
+
+  def parse(spark: SparkSession, path: String): (Dataset[INode], Dataset[Edge]) = {
+    implicit val s: SparkSession = spark
     val parsed = parseAll(spark, path)
-    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+    (inodesOf(parsed), edgesOf(parsed))
   }
 
   /** Bootstrap state straight from a binary image: same downstream path
@@ -208,11 +235,11 @@ object FsImageBinary {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val parsed = parseAll(spark, imagePath)
-    val inodes = parsed.flatMap(_._1)
-    val edges = parsed.flatMap(_._2)
+    val inodes = inodesOf(parsed)
+    val edges = edgesOf(parsed)
     val txId =
       if (asOfTxId >= 0) asOfTxId
-      else parsed.map(_._3).reduce(math.max)
+      else parsed.filter(_.kind == "txid").map(_.txId).reduce(math.max)
     val paths = FsImageBootstrap.resolvePaths(inodes, edges)
     import org.apache.spark.sql.functions._
     inodes.toDF().filter(col("inodeType") === "FILE")
@@ -222,7 +249,8 @@ object FsImageBinary {
       .map { case (p, nb, bytes) =>
         FileState(p, graft.model.FileLifecycle.Finalized, numBlocks = nb,
           dataSizeCents = bytes * 100, // fixed-point hundredths convention
-          lastTxId = txId, nOps = 1, nAppends = 0)
+          lastTxId = txId, nOps = 1, nAppends = 0,
+          chainKnown = false) // per-block chain not loaded
       }
   }
 }

@@ -168,7 +168,8 @@ object FsImageBootstrap {
       .map { case (p, nb, bytes) =>
         FileState(p, FileLifecycle.Finalized, numBlocks = nb,
           dataSizeCents = bytes * 100, // fixed-point hundredths convention
-          lastTxId = asOfTxId, nOps = 1, nAppends = 0)
+          lastTxId = asOfTxId, nOps = 1, nAppends = 0,
+          chainKnown = false) // per-block chain not loaded
       }
   }
 }

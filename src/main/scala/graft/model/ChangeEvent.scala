@@ -93,7 +93,11 @@ final case class BlockState(
 /** Keyed file state — the `S` of the FSM (ref `core/model/DFSFileState
   * .java:14-29`). `blocks` mirrors the reference's `List[DFSBlockState]`
   * ordered by chain position; `numBlocks` stays denormalized because the
-  * reporting queries group on it without exploding the array. */
+  * reporting queries group on it without exploding the array.
+  * `chainKnown` = false marks states whose per-block chain is UNKNOWN
+  * (bootstrap-loaded from fsimage/snapshot, or mutated by a chain-less
+  * block event) — integrity checks must not treat an unknown chain as
+  * an empty one. */
 final case class FileState(
     path: String,
     state: String = FileLifecycle.Unknown,
@@ -102,7 +106,8 @@ final case class FileState(
     lastTxId: Long = -1L,
     nOps: Long = 0L,
     nAppends: Long = 0L,
-    blocks: Seq[BlockState] = Nil)
+    blocks: Seq[BlockState] = Nil,
+    chainKnown: Boolean = true)
 
 /** Replica bookkeeping keyed by inode (ref
   * `agent/model/DFSFileReplicaState.java:18-36`): what has been

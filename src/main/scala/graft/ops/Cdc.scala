@@ -182,16 +182,22 @@ object Cdc {
     Filter("d-json", "JSON1", "/data/src1", ".*\\.json$", 4),
     Filter("d-s2", "S2ALL", "/data/src2", ".*", 5))
 
-  /** F1/F2/J3 regex routing, first-match-wins, global ignore regex.
-    * Every 97th doc gets a `.COPYING` suffix to exercise suppression. */
-  private def qFilterRoute(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents")
+  /** Synthetic file path per document (shared by the routing and
+    * delta-pointer queries — ONE definition, so their semantics cannot
+    * de-sync): every 97th doc gets a `.COPYING` suffix to exercise
+    * suppression. */
+  private def docPaths(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
       .select(col("doc_id"),
         concat(lit("/data/"), col("source"), lit("/doc-"),
           col("doc_id").cast("string"),
           when(col("doc_id") % 97 === 0, ".COPYING")
             .when(col("lang") === "en", ".parquet")
             .otherwise(".json")).as("path"))
+
+  /** F1/F2/J3 regex routing, first-match-wins, global ignore regex. */
+  private def qFilterRoute(s: SparkSession, dir: String): DataFrame = {
+    val docs = docPaths(s, dir)
     DomainFilters.route(docs, routeFilters)
       .select(col("doc_id"), col("path"), col("domain"), col("entity"))
       .orderBy(col("doc_id"))
@@ -202,17 +208,34 @@ object Cdc {
   private def remSql(n: Int) =
     s"CASE WHEN substring(path, ${n + 1}, 1) = '/' THEN substring(path, ${n + 2}) ELSE substring(path, ${n + 1}) END"
 
+  /** docs+keep CTE pair — the oracle-side twin of [[docPaths]] + the
+    * global ignore regex, shared by the q25 and q48 oracles. */
+  private val docsKeepCte =
+    """docs AS (
+      |  SELECT doc_id,
+      |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
+      |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
+      |  FROM documents),
+      |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
+      |  '(.*)\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\.hive-staging(.*)'))""".stripMargin
+
+  /** First-match entity CASE — oracle-side twin of `routeFilters`. */
+  private val entityCaseSql = {
+    val rem10 = remSql(10) // '/data/src1', '/data/src2'
+    val rem11 = remSql(11) // '/data/src19'
+    s"""CASE
+       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$$$') THEN 'ODDP'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$$$') THEN 'PARQ'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$$$') THEN 'JSON1'
+       |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
+       |   ELSE 'IgnoreTx' END""".stripMargin
+  }
+
   private val qFilterRouteSql = {
     val rem10 = remSql(10) // '/data/src1', '/data/src2'
     val rem11 = remSql(11) // '/data/src19'
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
-       |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
-       |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
-       |  FROM documents),
-       |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
-       |  '(.*)\\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\\.hive-staging(.*)'))
+    s"""WITH $docsKeepCte
        |SELECT doc_id, path,
        |  CASE
        |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'd-odd'
@@ -220,12 +243,7 @@ object Cdc {
        |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'd-json'
        |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'd-s2'
        |   ELSE '_none' END AS domain,
-       |  CASE
-       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'ODDP'
-       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'PARQ'
-       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'JSON1'
-       |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
-       |   ELSE 'IgnoreTx' END AS entity
+       |  $entityCaseSql AS entity
        |FROM keep ORDER BY doc_id""".stripMargin
   }
 
@@ -398,19 +416,15 @@ object Cdc {
     * ≤ a handful of rows), never a data loop. */
   private def qDeltaPointer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = load(s, dir, "documents")
-      .select(col("doc_id"),
-        concat(lit("/data/"), col("source"), lit("/doc-"),
-          col("doc_id").cast("string"),
-          when(col("doc_id") % 97 === 0, ".COPYING")
-            .when(col("lang") === "en", ".parquet")
-            .otherwise(".json")).as("path"))
-    val routed = DomainFilters.route(docs, routeFilters)
+    val routed = DomainFilters.route(docPaths(s, dir), routeFilters)
       .filter(col("entity") =!= "IgnoreTx")
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_delta_").toString
     val entities = routed.select(col("entity")).distinct()
       .as[String].collect().sorted
+    if (entities.isEmpty) // nothing routed: empty pointer table, not a crash
+      return Seq.empty[(String, Long, Long)]
+        .toDF("entity", "n_docs", "sum_doc_id")
     val avro = graft.convert.Formats.byName("avro")
     entities.foreach { e =>
       avro.write(routed.filter(col("entity") === e)
@@ -429,31 +443,14 @@ object Cdc {
       .orderBy(col("entity"))
   }
 
-  private val qDeltaPointerSql = {
-    val rem10 = remSql(10)
-    val rem11 = remSql(11)
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    '/data/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
-       |    CASE WHEN doc_id % 97 = 0 THEN '.COPYING'
-       |         WHEN lang = 'en' THEN '.parquet' ELSE '.json' END AS path
-       |  FROM documents),
-       |keep AS (SELECT * FROM docs WHERE NOT regexp_matches(path,
-       |  '(.*)\\.(_*)COPYING(_*)|/tmp/(.*)|(.*)\\.hive-staging(.*)')),
+  private val qDeltaPointerSql =
+    s"""WITH $docsKeepCte,
        |routed AS (
-       |  SELECT doc_id,
-       |   CASE
-       |    WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'ODDP'
-       |    WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'PARQ'
-       |    WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'JSON1'
-       |    WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
-       |    ELSE 'IgnoreTx' END AS entity
-       |  FROM keep)
+       |  SELECT doc_id, $entityCaseSql AS entity FROM keep)
        |SELECT entity, COUNT(*) AS n_docs,
        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
        |FROM routed WHERE entity <> 'IgnoreTx'
        |GROUP BY entity ORDER BY entity""".stripMargin
-  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),

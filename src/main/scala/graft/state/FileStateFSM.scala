@@ -46,13 +46,13 @@ object FileStateFSM {
     * `agent/common/FileStateHelper.java:176-199`): a new block's
     * `prevBlockId` must name the current chain tail. `-1` means the
     * event carries no chain info (non-edit-log sources) — accepted.
-    * A state with `numBlocks > 0` but an empty `blocks` list was
-    * bootstrap-loaded without per-block detail (fsimage/snapshot): its
-    * chain is UNKNOWN, not empty, so chained events are accepted rather
-    * than bricking every bootstrapped file on first catch-up append. */
+    * `chainKnown = false` (bootstrap-loaded states, or states mutated
+    * by a chain-less block event) means the chain is UNKNOWN, not
+    * empty: chained events are accepted rather than bricking every
+    * bootstrapped file on first catch-up append, without also turning
+    * the check off for ordinary files. */
   def chainValid(st: FileState, ev: ChangeEvent): Boolean =
-    ev.prevBlockId < 0 ||
-      (st.blocks.isEmpty && st.numBlocks > 0) ||
+    ev.prevBlockId < 0 || !st.chainKnown ||
       st.blocks.lastOption.map(_.blockId).getOrElse(-1L) == ev.prevBlockId
 
   def transition(st: FileState, ev: ChangeEvent): FileState = {
@@ -106,7 +106,9 @@ object FileStateFSM {
             else st.blocks.lastOption.map(_.blockId).getOrElse(-1L),
             math.max(ev.endOffset, 0L), ev.txId)
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
-          numBlocks = st.numBlocks + 1, blocks = blocks)
+          numBlocks = st.numBlocks + 1, blocks = blocks,
+          // an id-less block event loses track of the chain for good
+          chainKnown = st.chainKnown && ev.blockId >= 0)
       case Op.TruncateBlock =>
         // truncate to endOffset bytes (ref `DFSTruncateBlockType` /
         // `SourceTransactionProcessor` truncate path): fully-truncated
@@ -127,8 +129,10 @@ object FileStateFSM {
         }
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
           blocks = kept,
+          // with an unknown chain the list is partial — recomputing the
+          // counter from it would drop the unseen bootstrap-era blocks
           numBlocks =
-            if (st.blocks.isEmpty) st.numBlocks else kept.size.toLong)
+            if (st.chainKnown) kept.size.toLong else st.numBlocks)
       case Op.CloseFile =>
         // a close carrying a size is authoritative for the file length
         // (decoder closes carry total block bytes; the synthetic event

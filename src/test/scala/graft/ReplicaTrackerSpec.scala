@@ -60,7 +60,7 @@ class ReplicaTrackerSpec extends AnyFunSuite {
     // detail — the chain is UNKNOWN, not empty: a chained AddBlock must
     // be accepted, recording the event's own prev pointer
     val boot = FileState("/f", L.Finalized, numBlocks = 1L,
-      dataSizeCents = 100L, lastTxId = 10L, nOps = 1L)
+      dataSizeCents = 100L, lastTxId = 10L, nOps = 1L, chainKnown = false)
     val st = Seq(
       ev(11, Op.AppendFile),
       ev(12, Op.AddBlock, blockId = 201L, prev = 200L), // 200 from before boot
