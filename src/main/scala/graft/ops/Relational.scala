@@ -293,6 +293,36 @@ object Relational {
       | CAST(length(o_orderpriority) AS BIGINT) AS pri_len
       |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** q51: point-in-interval RANGE join via equi-bucketing
+    * (SURVEY §2.4's interval-join row — the naive BETWEEN theta join is
+    * a nested loop at scale; see [[graft.util.RangeJoin]]). Synthetic
+    * intervals [o_orderkey·100, o_orderkey·100+249] against event-id
+    * points; the oracle runs the plain BETWEEN join — the bucketed
+    * equi form must be result-identical. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = load(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    val intervals = load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") * 100).as("lo"),
+        (col("o_orderkey") * 100 + 249).as("hi"))
+    graft.util.RangeJoin
+      .pointInInterval(points, "event_id", intervals, "lo", "hi",
+        bucketWidth = 256L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("event_id")).as("first_point"),
+        max(col("event_id")).as("last_point"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qRangeJoinSql =
+    """SELECT o.o_orderkey, COUNT(*) AS n_points,
+      | min(e.event_id) AS first_point, max(e.event_id) AS last_point
+      |FROM orders o JOIN events e
+      |  ON e.event_id BETWEEN o.o_orderkey * 100 AND o.o_orderkey * 100 + 249
+      |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql),
       "agg+pushdown (SURVEY A2/A3, F-class)"),
@@ -312,5 +342,7 @@ object Relational {
     "q11_asof_join" -> QueryDef(qAsOf, Some(qAsOfSql),
       "as-of join via ordered window (no pairwise join)"),
     "q12_scalar_functions" -> QueryDef(qScalar, Some(qScalarSql),
-      "scalar string/date/hash battery (C-class)"))
+      "scalar string/date/hash battery (C-class)"),
+    "q51_range_join" -> QueryDef(qRangeJoin, Some(qRangeJoinSql),
+      "point-in-interval range join via equi-bucketing (no nested loop)"))
 }
