@@ -78,12 +78,30 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     stateTable
   }
 
+  /** Columns added to FileState after a store was written get default
+    * values on read, so a persisted store survives model evolution
+    * (e.g. `blocks`/`chainKnown` did not exist in early versions).
+    * NOTE: streaming-FSM checkpoints do NOT get this treatment — a
+    * state-schema change requires a fresh checkpoint (bootstrap from
+    * the state table, then resume the stream). */
+  private def backfillDefaults(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    Seq(
+      "blocks" -> lit(null).cast(
+        "array<struct<blockId:bigint,prevBlockId:bigint,numBytes:bigint,lastTxId:bigint>>"),
+      "chainKnown" -> lit(false), // unknown provenance → chain unknown
+      "nAppends" -> lit(0L))
+      .foldLeft(df) { case (acc, (name, default)) =>
+        if (have(name)) acc else acc.withColumn(name, default)
+      }
+  }
+
   /** Merged view: base + deltas, newest version wins per path. */
   def stateTable: Dataset[FileState] = {
     val vs = versions()
     require(vs.nonEmpty, s"no state versions under $stateDir")
     val merged = vs.map { v =>
-        spark.read.parquet(s"$stateDir/files_v$v")
+        backfillDefaults(spark.read.parquet(s"$stateDir/files_v$v"))
           .withColumn("__v", lit(v))
       }
       .reduce(_ unionByName _)

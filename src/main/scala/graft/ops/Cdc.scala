@@ -225,9 +225,9 @@ object Cdc {
     val rem10 = remSql(10) // '/data/src1', '/data/src2'
     val rem11 = remSql(11) // '/data/src19'
     s"""CASE
-       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$$$') THEN 'ODDP'
-       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$$$') THEN 'PARQ'
-       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$$$') THEN 'JSON1'
+       |   WHEN starts_with(path, '/data/src19') AND regexp_matches($rem11, 'doc-\\d*[13579]\\.(parquet|json)$$') THEN 'ODDP'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.parquet$$') THEN 'PARQ'
+       |   WHEN starts_with(path, '/data/src1') AND regexp_matches($rem10, '.*\\.json$$') THEN 'JSON1'
        |   WHEN starts_with(path, '/data/src2') AND regexp_matches($rem10, '.*') THEN 'S2ALL'
        |   ELSE 'IgnoreTx' END""".stripMargin
   }
@@ -416,8 +416,12 @@ object Cdc {
     * ≤ a handful of rows), never a data loop. */
   private def qDeltaPointer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // checkpoint: the routed set feeds the distinct, every per-entity
+    // write, and nothing else — recomputing the route per consumer
+    // would rescan the source once per entity
     val routed = DomainFilters.route(docPaths(s, dir), routeFilters)
       .filter(col("entity") =!= "IgnoreTx")
+      .localCheckpoint(true)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_delta_").toString
     val entities = routed.select(col("entity")).distinct()
@@ -430,14 +434,18 @@ object Cdc {
       avro.write(routed.filter(col("entity") === e)
         .select(col("doc_id"), col("path")), s"$tmp/$e")
     }
-    // the pointer table is built from what actually landed on disk
-    entities.map { e =>
-        avro.read(s, s"$tmp/$e")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).as("sum_doc_id"))
-          .withColumn("entity", lit(e))
-      }
-      .reduce(_ unionByName _)
+    // the pointer table is built from what actually landed on disk;
+    // the per-entity summary is a handful of scalars, so it is read
+    // eagerly and the delta staging area cleaned up before returning
+    val rows = entities.map { e =>
+      val r = avro.read(s, s"$tmp/$e")
+        .agg(count(lit(1)), sum(col("doc_id"))).head()
+      (e, r.getLong(0), r.getLong(1))
+    }.toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    rows.toDF("entity", "n_docs", "sum_doc_id")
       .select(col("entity"), col("n_docs"),
         col("sum_doc_id").cast(LongType).as("sum_doc_id"))
       .orderBy(col("entity"))

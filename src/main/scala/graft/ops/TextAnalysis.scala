@@ -130,8 +130,10 @@ object TextAnalysis {
     * lookaheads, which RE2 — and therefore the DuckDB oracle — cannot
     * run): contractions, letter runs, digit runs, punctuation runs.
     * Whitespace is a separator, not a token. */
+  // whitespace spelled out: Java's \s includes \x0B, RE2's does not —
+  // the explicit class means Spark and the oracle agree on every byte
   private val BpePattern =
-    "'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    "'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+"
 
   /** Sub-word-style token counting: the BPE-ish regex splitter next to
     * the whitespace counter (q30) — the pair a token-budgeted corpus

@@ -107,8 +107,10 @@ object FileStateFSM {
             math.max(ev.endOffset, 0L), ev.txId)
         st.copy(state = L.Updating, lastTxId = ev.txId, nOps = st.nOps + 1,
           numBlocks = st.numBlocks + 1, blocks = blocks,
-          // an id-less block event loses track of the chain for good
-          chainKnown = st.chainKnown && ev.blockId >= 0)
+          // recording a real block makes the tail KNOWN again (so chain
+          // validation resumes even after a bootstrap); an id-less block
+          // event loses track of the chain
+          chainKnown = ev.blockId >= 0)
       case Op.TruncateBlock =>
         // truncate to endOffset bytes (ref `DFSTruncateBlockType` /
         // `SourceTransactionProcessor` truncate path): fully-truncated
@@ -136,10 +138,15 @@ object FileStateFSM {
       case Op.CloseFile =>
         // a close carrying a size is authoritative for the file length
         // (decoder closes carry total block bytes; the synthetic event
-        // battery closes carry 0 → accumulated appends stand)
+        // battery closes carry 0 → accumulated appends stand). A
+        // SNAPSHOT close is a bootstrap without block detail: the chain
+        // becomes unknown, like the fsimage loaders.
         st.copy(state = L.Finalized, lastTxId = ev.txId, nOps = st.nOps + 1,
           dataSizeCents =
-            if (ev.sizeCents > 0) ev.sizeCents else st.dataSizeCents)
+            if (ev.sizeCents > 0) ev.sizeCents else st.dataSizeCents,
+          chainKnown =
+            if (ev.mode == graft.model.Mode.Snapshot) false
+            else st.chainKnown)
       case Op.DeleteFile =>
         st.copy(state = L.Deleted, lastTxId = ev.txId, nOps = st.nOps + 1)
       case _ => st

@@ -30,9 +30,14 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    val binned = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / w).cast("long"),
-        floor(col(hiCol) / w).cast("long"))))
+    val binned = intervals
+      // an inverted interval matches nothing in the theta join; without
+      // this guard Spark's sequence() would DESCEND from lo to hi —
+      // junk rows at best, an array-size explosion for a large inversion
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(loCol) / w).cast("long"),
+          floor(col(hiCol) / w).cast("long"))))
     points
       .withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
       .join(binned, "__bucket")
