@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the dense-vector dot product — the hot
   * inner loop of the similarity battery. Spark's higher-order
@@ -62,11 +62,113 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All SRP (sign-random-projection) band keys for one vector in a SINGLE
+  * expression node. The naive formulation — `nBands × r` separate
+  * `dot(v, array(lit…))` sub-trees, each carrying its hyperplane as a
+  * `CreateArray` of 64 literals — puts thousands of literal nodes in the
+  * plan: analysis/optimization walks them repeatedly, the generated code
+  * balloons past Janino's method limits, and `explain` output gets
+  * truncated. Here the plane matrix rides along as ONE flat `double[]`
+  * reference object, and codegen emits a tight triple loop. Per-plane
+  * accumulation is a left-to-right double fold, identical to [[DotProduct]]
+  * and DuckDB's `list_dot_product`, so bucket assignments — and therefore
+  * the driver's oracle hashes — are bit-identical to the unfused form.
+  *
+  * Output: `array<int>` of length `nBands`; element `b` is the r-bit key
+  * whose bit `i` is set iff `v · planes[b*r + i] > 0`.
+  */
+case class SrpBandKeys(child: Expression, planes: IndexedSeq[Double],
+    nBands: Int, r: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if planes.length == nBands * r * dim =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_bands: plane matrix has ${planes.length} values, " +
+        s"expected nBands*r*dim = ${nBands * r * dim}")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_bands expects array<double>, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val flat: Array[Double] = planes.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val keys = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0
+      var i = 0
+      while (i < r) {
+        val off = (b * r + i) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += v.getDouble(d) * flat(off + d); d += 1 }
+        if (s > 0) key |= (1 << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("srpPlanes", flat, "double[]")
+      val keys = ctx.freshName("keys")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int[] $keys = new int[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  int $key = 0;
+         |  for (int $i = 0; $i < $r; $i++) {
+         |    int $off = ($b * $r + $i) * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $s += $v.getDouble($d) * $p[$off + $d];
+         |    }
+         |    if ($s > 0) $key |= (1 << $i);
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object vec {
   /** Dot product of two array&lt;double&gt; columns (whole-stage codegen). */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** All SRP band keys for a vector column as `array<int>` (one codegen
+    * node; see [[SrpBandKeys]]). `planes(k)` is hyperplane k's dense row;
+    * plane k serves band `k / r`, bit `k % r`. */
+  def srpBands(v: Column, planes: Array[Array[Double]], nBands: Int,
+      r: Int): Column = {
+    require(planes.length == nBands * r, s"need ${nBands * r} planes")
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "ragged plane matrix")
+    GraftBridge.column(SrpBandKeys(GraftBridge.expression(v),
+      planes.flatten.toIndexedSeq, nBands, r, dim))
+  }
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)

@@ -82,20 +82,19 @@ object Similarity {
   private def countOf(base: DataFrame, dir: String): Long =
     corpusCount.getOrElseUpdate(dir, base.count())
 
-  /** r-bit SRP band key for band `b` (planes [b*r, (b+1)*r)). */
-  private def keyCol(planes: Array[Array[Double]], b: Int, r: Int): Column =
-    (0 until r).map { i =>
-      val p = array(planes(b * r + i).map(lit): _*)
-      when(dot(col("v"), p) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** (vec_id, band, bkey) — one row per vector per band. */
+  /** (vec_id, band, bkey) — one row per vector per band. All `nBands × r`
+    * sign projections happen in ONE fused codegen expression
+    * ([[graft.functions.SrpBandKeys]]); the former per-plane
+    * `when(dot(v, array(64 literals)) > 0, …)` formulation put thousands
+    * of literal nodes in the plan — enough to dominate wall-clock with
+    * analysis + Janino compilation at bench time (the data itself is
+    * small) and to overflow codegen method limits as L×r grows. Bucket
+    * assignment is bit-identical (same left-to-right dot fold). */
   private def bandKeys(base: DataFrame, nBands: Int, r: Int): DataFrame = {
     val planes = signPlanes(nBands * r)
-    val entries = (0 until nBands).map(b =>
-      struct(lit(b).as("band"), keyCol(planes, b, r).as("bkey")))
-    base.select(col("vec_id"), explode(array(entries: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    base.select(col("vec_id"),
+        posexplode(graft.functions.vec.srpBands(col("v"), planes, nBands, r)))
+      .toDF("vec_id", "band", "bkey")
   }
 
   // ---- oracle-SQL generation (same planes, same keys, in DuckDB) ----
