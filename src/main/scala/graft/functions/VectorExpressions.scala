@@ -152,11 +152,73 @@ case class SrpBandKeys(child: Expression, planes: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** The high bit of each of the first 32 hex digits of a hash string,
+  * packed into a long (bit j = 1 iff digit j's 4-bit value ≥ 8). This is
+  * the SimHash per-word vote mask: the 64-sum fingerprint aggregation was
+  * spending a `substring` + set-membership per BIT per word-row (64
+  * string ops per input row); with the mask precomputed once per row the
+  * per-bit aggregate collapses to a shift-and. Digit semantics match
+  * `substring(h, j+1, 1) IN ('8','9','a','b','c','d','e','f')` exactly
+  * (md5 hex is lowercase ASCII), so oracle SQL is unchanged. */
+case class HexHighBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_hex_high_bits expects string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = math.min(32, s.numBytes())
+    var mask = 0L
+    var j = 0
+    while (j < n) {
+      val b = s.getByte(j)
+      val v = if (b <= '9') b - '0' else b - 'a' + 10
+      if (v >= 8) mask |= (1L << j)
+      j += 1
+    }
+    mask
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("mask")
+      s"""
+         |int $n = java.lang.Math.min(32, $s.numBytes());
+         |long $m = 0L;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  byte $b = $s.getByte($j);
+         |  int $v = ($b <= '9') ? ($b - '0') : ($b - 'a' + 10);
+         |  if ($v >= 8) $m |= (1L << $j);
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object vec {
   /** Dot product of two array&lt;double&gt; columns (whole-stage codegen). */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Packed high bits of the first 32 hex digits of a hash column (see
+    * [[HexHighBits]]). */
+  def hexHighBits(h: Column): Column =
+    GraftBridge.column(HexHighBits(GraftBridge.expression(h)))
 
   /** All SRP band keys for a vector column as `array<int>` (one codegen
     * node; see [[SrpBandKeys]]). `planes(k)` is hyperplane k's dense row;

@@ -326,7 +326,8 @@ object Cdc {
       .select(to_json(struct(col("*"))).as("value"))
       .write.mode("overwrite").text(s"$tmp/in")
     val q = graft.streaming.ChangeStreamPipeline
-      .startFiles(s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+      .startFiles(s"$tmp/in", s"$tmp/out", s"$tmp/chk",
+        statePartitions = Some(8)) // ~100k events / 150 keys at gate scale
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("path")).orderBy(col("lastTxId").desc, col("nOps").desc)

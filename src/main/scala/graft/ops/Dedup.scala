@@ -112,8 +112,6 @@ object Dedup {
     s"""WITH $candidatesCte
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
-  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-
   /** 16-bit SimHash over the distinct word set: bit j votes by the j-th
     * hex digit's high bit of md5(word). */
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
@@ -125,8 +123,13 @@ object Dedup {
     val words = load(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("m1", graft.functions.vec.hexHighBits(md5(col("w"))))
+    // one packed-mask expression per row, then a shift-and per bit — vs
+    // the former substring+set-membership per BIT per row (16-64 string
+    // ops/row); `(m1 >> j) & 1 = 1` ⟺ digit j+1 ∈ HighHex, so the
+    // oracle's substring formulation is untouched
     val bitAggs = (0 until 16).map(j =>
-      sum(when(substring(md5(col("w")), j + 1, 1).isInCollection(HighHex),
+      sum(when(shiftright(col("m1"), j).bitwiseAND(lit(1L)) === 1L,
         1).otherwise(-1)).as(s"b$j"))
     val fp = (0 until 16)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -202,11 +205,14 @@ object Dedup {
     val words = load(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h1", md5(col("w")))
-      .withColumn("h2", md5(concat(lit("s:"), col("w"))))
+      .withColumn("m1", graft.functions.vec.hexHighBits(md5(col("w"))))
+      .withColumn("m2",
+        graft.functions.vec.hexHighBits(md5(concat(lit("s:"), col("w")))))
+    // same packed-mask trick as the 16-bit form: two masks per row, then
+    // 64 shift-and aggregates (was 64 substring+set-membership per row)
     val bitAggs = (0 until 64).map { j =>
-      val src = if (j < 32) col("h1") else col("h2")
-      sum(when(substring(src, (j % 32) + 1, 1).isInCollection(HighHex),
+      val src = if (j < 32) col("m1") else col("m2")
+      sum(when(shiftright(src, j % 32).bitwiseAND(lit(1L)) === 1L,
         1).otherwise(-1)).as(s"b$j")
     }
     val fp = (0 until 64)

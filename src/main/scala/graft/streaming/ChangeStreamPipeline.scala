@@ -124,7 +124,8 @@ object ChangeStreamPipeline {
     * `memory` sink, nothing is collected to the driver — this is the
     * cluster-shaped sink and the one the gate/bench query uses. */
   def startFiles(inDir: String, outDir: String, checkpoint: String,
-      maxFilesPerTrigger: Option[Int] = None)(
+      maxFilesPerTrigger: Option[Int] = None,
+      statePartitions: Option[Int] = None)(
       implicit spark: SparkSession): StreamingQuery = {
     val reader = spark.readStream.schema(
       StructType(Seq(StructField("value", StringType))))
@@ -132,15 +133,31 @@ object ChangeStreamPipeline {
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .text(inDir)
-    stateStream(decode(raw)).toDF()
-      .writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // The stateful shuffle's partition count is frozen into the checkpoint
+    // at first start, and each state partition owns a full store instance
+    // (a RocksDB under this provider) whose open/commit/checkpoint cost is
+    // paid per micro-batch regardless of row count. Size it to the keyspace:
+    // a 100M-file namespace wants hundreds of partitions, a 100k-event
+    // local replay wants a handful — 32 idle stores would just multiply
+    // native-store setup into the measured path. StreamExecution clones the
+    // session config at start(), so the temporary override cannot leak into
+    // concurrent batch queries once restored.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      stateStream(decode(raw)).toDF()
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions.isDefined) spark.conf.set(key, saved)
+    }
   }
 
   /** Kafka-shaped sink projection (K1/K2/F8): entity-keyed records so the
