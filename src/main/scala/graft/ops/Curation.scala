@@ -117,7 +117,44 @@ object Curation {
        |LEFT JOIN c3 ON l.lang = c3.lang
        |ORDER BY l.lang""".stripMargin
 
+  /** q54: deterministic train/val/test assignment by content-free key
+    * hash — the split has to be a PURE function of the stable document
+    * id (not row order, not partitioning, not sampling state) so it is
+    * reproducible across runs, engines, and re-shards of a 100 TB
+    * corpus. The 2-hex-digit md5 prefix gives 256 buckets compared as
+    * strings — identical lexicographically in both engines, no
+    * hex-to-int conversion to disagree on: < 'cd' (205/256 ≈ 80%) →
+    * train, < 'e6' (230/256 ≈ 90%) → val, else test. Output is the
+    * per-(split, lang) stratification report. */
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .withColumn("b",
+        substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2))
+      .withColumn("split",
+        when(col("b") < "cd", "train")
+          .when(col("b") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  private val qSampleSplitSql =
+    """SELECT split, lang, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |   CASE WHEN b < 'cd' THEN 'train'
+      |        WHEN b < 'e6' THEN 'val'
+      |        ELSE 'test' END AS split
+      |  FROM (SELECT lang, n_chars,
+      |         substring(md5('split:' || doc_id), 1, 2) AS b
+      |        FROM documents) x) y
+      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q46_corpus_curation" -> QueryDef(qCurate, Some(qCurateSql),
-      "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"))
+      "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"),
+    "q54_sample_split" -> QueryDef(qSampleSplit, Some(qSampleSplitSql),
+      "deterministic hash-bucketed train/val/test split, stratified report"))
 }

@@ -168,7 +168,9 @@ object Dedup {
     * corpus size (the former per-language all-pairs form was O(n²) in
     * the language's document count — 300 s at sf0.1, unbounded at
     * 100 TB). */
-  private def qJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Confirmed near-dup pairs (Jaccard ≥ 0.5 over the LSH candidates),
+    * unordered — shared by q37 and the q52 cluster stage. */
+  private[ops] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = wordSets(s, dir)
     minhashCandidates(s, dir)
       .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
@@ -180,8 +182,10 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def qJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val qJaccardSql =
     s"""WITH $candidatesCte,
@@ -280,6 +284,52 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q52: near-dup CLUSTERS — connected components over the verified
+    * pair graph (see [[Components]]). Pairs alone under-count removals
+    * when duplicates chain: a~b and b~c is ONE cluster {a,b,c} with one
+    * keeper (the min id), which is what a dedup pass actually drops by.
+    * The oracle states reachability declaratively as a recursive CTE —
+    * a third formulation (Spark label propagation vs SQL transitive
+    * closure) agreeing on every cluster id. */
+  private def qClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qClustersSql =
+    s"""WITH RECURSIVE $candidatesCte,
+       |d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN d a ON a.doc_id = c.doc_a
+       |               JOIN d b ON b.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS r FROM nodes
+       |  UNION
+       |  SELECT re.node, e.b AS r FROM reach re JOIN edges e ON e.a = re.r),
+       |comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+       |         FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
       "exact dedup via content-hash groupBy"),
@@ -290,5 +340,7 @@ object Dedup {
     "q37_dedup_ngram_jaccard" -> QueryDef(qJaccard, Some(qJaccardSql),
       "word-set Jaccard verify over MinHash band-bucket candidates"),
     "q43_dedup_simhash_hamming" -> QueryDef(qSimHashHamming, Some(qSimHashHammingSql),
-      "SimHash Hamming-band near-dup join (exact for radius 3 by pigeonhole)"))
+      "SimHash Hamming-band near-dup join (exact for radius 3 by pigeonhole)"),
+    "q52_dedup_clusters" -> QueryDef(qClusters, Some(qClustersSql),
+      "near-dup clusters: connected components over verified pairs"))
 }

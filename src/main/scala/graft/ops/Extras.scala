@@ -221,7 +221,38 @@ object Extras {
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** q55: exact distribution statistics — interpolated percentiles of
+    * the quantity distribution per return flag. Spark's `percentile` is
+    * the exact sort-based aggregate (not the t-digest approximation);
+    * DuckDB's `quantile_cont` implements the same p·(n−1) linear
+    * interpolation, and the inputs are small integral decimals, so the
+    * doubles agree bit-for-bit. At 100 TB you'd reach for
+    * `approx_percentile` (mergeable sketch, one pass); the exact form is
+    * the oracle-checkable baseline the sketch is validated against —
+    * the same pairing q16 uses for distinct counts. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").as("p25"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)").as("p75"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      | quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+      | quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+      | quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+      | quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS p99,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q55_stats_percentile" -> QueryDef(qPercentiles, Some(qPercentilesSql),
+      "exact interpolated percentiles per group (sketch-validation baseline)"),
     "q16_approx_distinct" -> QueryDef(qApprox, None,
       "A6 HLL approx_count_distinct vs exact (rows-only; error-bound spec)"),
     "q17_salted_agg" -> QueryDef(qSalted, Some(qSaltedSql),

@@ -198,6 +198,84 @@ object TextAnalysis {
        | list_min(fps) AS min_fp, list_max(fps) AS max_fp
        |FROM w ORDER BY doc_id""".stripMargin
 
+  /** PII patterns shared by the Spark path and the oracle. Plain
+    * leftmost-greedy constructs only (no lookaround, no \b) so Java's
+    * regex engine and DuckDB's RE2 match byte-for-byte the same spans. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** q53: PII redaction (emails + phone numbers → placeholder tokens)
+    * with per-doc match counts — the scrubbing pass every training
+    * corpus runs before anything else sees the text. The synthetic
+    * corpus carries no natural PII, so both engines splice a
+    * deterministic contact line into each document FIRST, then the
+    * Spark path redacts and the oracle recomputes the same redaction:
+    * the gate verifies the redaction operator, not the splice. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" now")).as("t2"))
+      .select(col("doc_id"),
+        regexp_count(col("t2"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("t2"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("red")).as("redacted_hash"),
+        length(col("red")).cast(LongType).as("redacted_len"))
+      .orderBy(col("doc_id"))
+
+  private val qPiiRedactSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |   text || ' contact user' || doc_id || '@example.com or +1-555-'
+       |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t2
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |   CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+       |   CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |   regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+       |     '$PhoneRe', '<PHONE>', 'g') AS red
+       |  FROM t)
+       |SELECT doc_id, n_emails, n_phones, md5(red) AS redacted_hash,
+       | CAST(length(red) AS BIGINT) AS redacted_len
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q56: repetition scoring (the Gopher-class repeated-n-gram signal):
+    * duplicate word-bigram fraction per document. High values mark
+    * degenerate/boilerplate text a quality gate drops. Narrow
+    * projection, no shuffle before the final sort. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")
+        .as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast(LongType).as("n_uniq_bigrams"))
+      .withColumn("dup_fraction",
+        lit(1.0) - col("n_uniq_bigrams").cast(DoubleType) / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+
+  private val qRepetitionSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |   list_transform(range(1, len(ws)),
+      |     i -> ws[i] || ' ' || ws[i+1]) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2)
+      |SELECT doc_id,
+      | CAST(len(bg) AS BIGINT) AS n_bigrams,
+      | CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
+      | 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_fraction
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q30_text_token_stats" -> QueryDef(qStats, Some(qStatsSql),
       "token counting + type-token ratio"),
@@ -210,5 +288,9 @@ object TextAnalysis {
     "q49_text_bpe_tokens" -> QueryDef(qBpeTokens, Some(qBpeTokensSql),
       "BPE-style regex pre-tokenizer counts"),
     "q50_text_winnowing" -> QueryDef(qWinnow, Some(qWinnowSql),
-      "winnowing fingerprints (rolling k-gram hash + window minima)"))
+      "winnowing fingerprints (rolling k-gram hash + window minima)"),
+    "q53_text_pii_redact" -> QueryDef(qPiiRedact, Some(qPiiRedactSql),
+      "PII redaction: email/phone scrub with match counts"),
+    "q56_text_repetition" -> QueryDef(qRepetition, Some(qRepetitionSql),
+      "repetition score: duplicate word-bigram fraction"))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.Components
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (the q52 cluster stage): label propagation must
+  * find exact components on known graph shapes, regardless of edge
+  * orientation or row order. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a chain is one component labeled by its minimum") {
+    // worst-case diameter shape for min propagation
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.keySet == (1L to 8L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("disjoint triangle + pair + reversed chain keep separate labels") {
+    val got = cc(Seq((10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 21L), // pair
+      (32L, 31L), (31L, 30L))) // chain given dst<src
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("duplicate and self edges do not distort components") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("q52 cluster table: every member maps to its cluster minimum and sizes agree") {
+    val df = Registry.queries("q52_dedup_clusters")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid,
+        s"cluster $cid not labeled by its min member")
+      assert(members.forall(_.getLong(2) == members.length),
+        s"cluster $cid size column disagrees with member count")
+    }
+    // clusters partition the member set
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("deterministic split is a pure function of doc_id (stable across runs)") {
+    val a = Registry.queries("q54_sample_split")(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    val b = Registry.queries("q54_sample_split")(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    assert(a == b)
+    // all three splits materialize and train dominates
+    val bySplit = a.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
+  test("PII redaction removes every synthesized email and phone") {
+    val df = Registry.queries("q53_text_pii_redact")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // each doc got exactly one spliced email and one spliced phone
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(2) >= 1))
+  }
+}
