@@ -152,9 +152,56 @@ object Curation {
       |        FROM documents) x) y
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  private val PackBudget = 2048L
+
+  /** q57: token-budget shard packing — assign documents to fixed-size
+    * training shards by cumulative token count, per language, in stable
+    * doc_id order (the deterministic first-fit layout a pretraining
+    * data loader consumes). A doc belongs to the shard its STARTING
+    * offset falls in, so shards are contiguous runs and every engine
+    * that agrees on the ordering agrees on the layout. One window
+    * cumsum + one aggregation; the window partitions by language, so
+    * at 100 TB the per-partition sort is the only cost and shard
+    * assignment never sees a global ordering. */
+  private def qTokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / PackBudget))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  private val qTokenPackingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT lang, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS shard,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q46_corpus_curation" -> QueryDef(qCurate, Some(qCurateSql),
       "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"),
     "q54_sample_split" -> QueryDef(qSampleSplit, Some(qSampleSplitSql),
-      "deterministic hash-bucketed train/val/test split, stratified report"))
+      "deterministic hash-bucketed train/val/test split, stratified report"),
+    "q57_token_packing" -> QueryDef(qTokenPacking, Some(qTokenPackingSql),
+      "token-budget shard packing: per-lang cumsum window -> shard layout"))
 }

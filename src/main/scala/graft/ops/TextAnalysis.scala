@@ -276,6 +276,44 @@ object TextAnalysis {
       | 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_fraction
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q58: distinctive-term extraction — the TF-IDF join shape with
+    * integer-only determinism: corpus-wide document frequency per term
+    * (one distinct + one count agg), joined back to the per-doc term
+    * sets, rank terms per doc by rarity (df asc, term asc), keep top 3.
+    * The float idf = ln(N/df) is deliberately NOT compared — libm vs
+    * JVM log can differ in the last ulp; ranking by raw df is
+    * order-equivalent and bit-stable. Plan shape at scale: the df table
+    * is vocabulary-sized (≪ corpus), the join is a broadcast-able dim
+    * join, and the per-doc window sorts each doc's term list only. */
+  private def qRareTerms(s: SparkSession, dir: String): DataFrame = {
+    val docTerms = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val df = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+    docTerms.join(df, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+        col("term"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val qRareTermsSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+      |r AS (
+      |  SELECT dt.doc_id, dt.term, f.df,
+      |   ROW_NUMBER() OVER (PARTITION BY dt.doc_id
+      |                      ORDER BY f.df ASC, dt.term ASC) AS rnk
+      |  FROM dt JOIN f USING (term))
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, df
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q30_text_token_stats" -> QueryDef(qStats, Some(qStatsSql),
       "token counting + type-token ratio"),
@@ -292,5 +330,7 @@ object TextAnalysis {
     "q53_text_pii_redact" -> QueryDef(qPiiRedact, Some(qPiiRedactSql),
       "PII redaction: email/phone scrub with match counts"),
     "q56_text_repetition" -> QueryDef(qRepetition, Some(qRepetitionSql),
-      "repetition score: duplicate word-bigram fraction"))
+      "repetition score: duplicate word-bigram fraction"),
+    "q58_text_rare_terms" -> QueryDef(qRareTerms, Some(qRareTermsSql),
+      "distinctive terms per doc: df join + per-doc rank (TF-IDF shape)"))
 }

@@ -67,6 +67,63 @@ class ComponentsSpec extends AnyFunSuite {
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
 
+  test("q57 shard packing: shards are contiguous doc runs that conserve tokens") {
+    val rows = Registry.queries("q57_token_packing")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, shards) =>
+      val ordered = shards.sortBy(_.getLong(1))
+      // shard ids are 0..k-1 with no gaps
+      assert(ordered.map(_.getLong(1)).toSeq == (0L until ordered.length).toSeq,
+        s"lang $lang shard ids not contiguous")
+      // consecutive shards hold non-overlapping increasing doc_id runs
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) < b.getLong(4), // last_doc(i) < first_doc(i+1)
+            s"lang $lang shards ${a.getLong(1)},${b.getLong(1)} overlap")
+        case _ =>
+      }
+      // every shard starts below the budget boundary it was assigned to:
+      // a doc's START offset decides its shard, so all but the last shard
+      // must carry at least one token past the previous boundary
+      assert(ordered.forall(_.getLong(3) > 0))
+    }
+    // token conservation: shard_tokens sums to the corpus token count
+    val packed = rows.map(_.getLong(3)).sum
+    val total = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(packed == total, s"packed $packed != corpus tokens $total")
+  }
+
+  test("q58 rare terms: top-3 per doc ranked by ascending document frequency") {
+    val rows = Registry.queries("q58_text_rare_terms")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, terms) =>
+      val ordered = terms.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to ordered.length).toSeq,
+        s"doc $doc ranks not 1..k")
+      assert(ordered.length <= 3)
+      // rarity order: df non-decreasing down the rank
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) <= b.getLong(3)
+        case _ => true
+      }, s"doc $doc df not ascending with rank")
+    }
+    // df sanity: a term's df equals the number of docs it appears in
+    import spark.implicits._
+    val docTerms = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    rows.take(50).foreach { r =>
+      assert(docTerms(r.getString(2)) == r.getLong(3),
+        s"df mismatch for term ${r.getString(2)}")
+    }
+  }
+
   test("PII redaction removes every synthesized email and phone") {
     val df = Registry.queries("q53_text_pii_redact")(
       spark, "/root/testdata/sf0.001")
