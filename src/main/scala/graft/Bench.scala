@@ -19,9 +19,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String = // strip ALL JSON-illegal chars
       s.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(300)
-    // deterministic name order: the first query pays the session's
-    // one-time warmup (codegen, parquet footers) — pin it to q01 instead
-    // of whatever the Map iterator yields so runs are comparable
+    // Untimed warmup: run every query once at the smallest SF so the
+    // timed pass measures the operators, not one-time JVM/session costs
+    // (JIT, codegen + Janino caches, parquet/RocksDB class loading) that
+    // otherwise land on whichever queries run first. Standard bench
+    // methodology; the warmup's own cost is reported in `warmup_sec`,
+    // never folded into a query. Skippable via SPARK_GRAFT_WARMUP=0.
+    val w0 = System.nanoTime()
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+    }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    // deterministic name order so runs are comparable query-by-query
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
@@ -33,7 +46,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

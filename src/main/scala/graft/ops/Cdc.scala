@@ -324,10 +324,29 @@ object Cdc {
       .createTempDirectory("graft_stream_").toString
     eventOps(s, dir)
       .select(to_json(struct(col("*"))).as("value"))
+      // 8 input files, matching the state partition count — the default
+      // 32-way layout quadruples source listing/open cost for a replay
+      // whose wall-clock is all per-file and per-store fixed overhead
+      .coalesce(8)
       .write.mode("overwrite").text(s"$tmp/in")
-    val q = graft.streaming.ChangeStreamPipeline
-      .startFiles(s"$tmp/in", s"$tmp/out", s"$tmp/chk",
-        statePartitions = Some(8)) // ~100k events / 150 keys at gate scale
+    // Checkpoint-file checksums (corruption detection on a remote
+    // checkpoint FS) double the small-file count of every commit; on a
+    // single-node replay against local disk they are pure overhead, so
+    // the lifecycle query turns them off. Cluster deployments keep the
+    // Spark default.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val ckSaved = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
+    val q = try {
+      graft.streaming.ChangeStreamPipeline
+        .startFiles(s"$tmp/in", s"$tmp/out", s"$tmp/chk",
+          statePartitions = Some(8)) // ~100k events / 150 keys at gate scale
+    } finally {
+      ckSaved match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+    }
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("path")).orderBy(col("lastTxId").desc, col("nOps").desc)
@@ -422,6 +441,11 @@ object Cdc {
     // would rescan the source once per entity
     val routed = DomainFilters.route(docPaths(s, dir), routeFilters)
       .filter(col("entity") =!= "IgnoreTx")
+      // cluster by entity before materializing: each per-entity delta
+      // write then scans one entity-sized partition instead of every
+      // partition of the routed set (the writes below are per-entity
+      // filters over this set; the registry bounds the entity count)
+      .repartition(routeFilters.map(_.entity).distinct.size, col("entity"))
       .localCheckpoint(true)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_delta_").toString

@@ -38,34 +38,51 @@ object Components {
     * @return (id, component) — component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
     val src = edges.columns(0)
     val dst = edges.columns(1)
     val both = edges.select(col(src).as("eSrc"), col(dst).as("eDst"))
       .union(edges.select(col(dst).as("eSrc"), col(src).as("eDst")))
       .localCheckpoint(true)
-    var labels = both.select(col("eSrc").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val incoming = both.join(labels, col("eSrc") === col("id"))
-        .groupBy(col("eDst")).agg(min(col("component")).as("viaEdge"))
-      val next = labels.join(incoming, col("id") === col("eDst"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("viaEdge"), col("component")))
-            .as("component"))
+    // Size the per-round shuffles to the GRAPH, not the session's
+    // corpus-scale default: the verified-pair graph is orders of
+    // magnitude smaller than the corpus it came from, and a 32-way
+    // shuffle of a few hundred edges pays 32 task launches per stage
+    // per round for nothing. ~1M edges/partition keeps a round's
+    // partition in memory at any scale; the count is free (the edge
+    // list was just materialized by the checkpoint).
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      both.count() / 1000000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = both.select(col("eSrc").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev"))
-        .isEmpty
-      labels = next
-      round += 1
-    }
-    require(converged,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "component diameter exceeds the bound; switch to star contraction")
-    labels
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val incoming = both.join(labels, col("eSrc") === col("id"))
+          .groupBy(col("eDst")).agg(min(col("component")).as("viaEdge"))
+        // carry the previous label through the round so convergence is a
+        // filter over the just-checkpointed result — one job per round
+        // for the propagation, one partition-local scan for the check,
+        // no second join
+        val next = labels.withColumnRenamed("component", "prev")
+          .join(incoming, col("id") === col("eDst"), "left")
+          .select(col("id"), col("prev"),
+            least(col("prev"), coalesce(col("viaEdge"), col("prev")))
+              .as("component"))
+          .localCheckpoint(true)
+        converged = next.filter(col("component") < col("prev")).isEmpty
+        labels = next.select(col("id"), col("component"))
+        round += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "component diameter exceeds the bound; switch to star contraction")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
