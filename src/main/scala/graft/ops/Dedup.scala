@@ -51,11 +51,15 @@ object Dedup {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+    // no pre-agg distinct: min over a multiset equals min over its set,
+    // so duplicate shingles within a doc cannot change the signature —
+    // skipping the (doc_id, shingle) dedup removes a full shuffle and
+    // lets the signature groupBy partial-aggregate map-side (each doc
+    // collapses to 8 values before any data moves)
     val shingles = docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
-      .distinct()
       .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
       .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
     val hashAggs = (0 until NumHashes).map { i =>
@@ -87,7 +91,7 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
        |sh0 AS (
-       |  SELECT DISTINCT doc_id,
+       |  SELECT doc_id,
        |   unnest(list_transform(range(1, len(ws) - 1),
        |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |  FROM w),

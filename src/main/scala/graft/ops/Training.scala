@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import Tables.load
+
+/** Training-corpus preparation operators beyond dedup/similarity: eval-set
+  * decontamination, unigram-LM quality scoring, embedding quantization,
+  * and per-language rebalancing. Each is the standard shape a pretraining
+  * data pipeline runs at corpus scale, expressed so the only shuffles are
+  * keyed aggregations and every pairwise structure is candidate- or
+  * broadcast-scoped:
+  *
+  *  - decontamination broadcasts the (small) eval-set shingle table and
+  *    semi-joins the corpus against it — the corpus side is map-only
+  *    until the per-doc match count;
+  *  - the unigram model is one corpus-wide word aggregation joined back
+  *    to the token stream (Zipf's law keeps the vocabulary head small —
+  *    at 100 TB you broadcast the head and shuffle-join the long tail);
+  *  - quantization needs one 64-row per-dimension stats table broadcast
+  *    back over a map-only encode;
+  *  - rebalancing decides membership from a hash threshold that is a pure
+  *    function of (doc_id, per-language quota) — no sampling state, no
+  *    row order, reproducible across engines and re-shards.
+  */
+object Training {
+
+  /** Every ~97th doc plays the held-out eval set in the gate corpus. */
+  private val EvalMod = 97
+  private val GramN = 5
+
+  /** (doc_id, lang, g): one row per word-5-gram occurrence. */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= GramN)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"transform(sequence(0, size(ws) - $GramN), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+        .as("g"))
+
+  /** q59: eval-set decontamination — the pretraining hygiene pass that
+    * drops training documents sharing any word-5-gram with a held-out
+    * benchmark. The eval shingle set (distinct 5-grams of the eval docs)
+    * is broadcast, so the corpus-side scan never shuffles its shingles;
+    * the per-doc distinct-match count aggregates only the (rare) hits.
+    * Output: contaminated docs with their shared-gram counts. */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val g = grams(s, dir)
+    val evalGrams = g.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct()
+    g.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDecontamSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $GramN),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |   unnest(list_transform(range(1, len(ws) - ${GramN - 2}),
+       |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+       |  FROM w),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $EvalMod = 0)
+       |SELECT c.doc_id, c.lang,
+       | CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared_grams
+       |FROM g c JOIN ev ON c.g = ev.g
+       |WHERE c.doc_id % $EvalMod <> 0
+       |GROUP BY c.doc_id, c.lang ORDER BY doc_id""".stripMargin
+
+  /** q60: unigram-LM quality score — the perplexity-proxy filter: docs
+    * whose tokens are rare under the corpus's own unigram distribution
+    * are flagged low-quality. The score is kept in exact integer space
+    * (sum of corpus counts over the doc's tokens, and its ppm-scaled
+    * mean) so both engines agree bit-for-bit; the float log-prob is a
+    * monotone transform of the same statistic. One corpus-wide word agg
+    * builds the model; the scoring join is broadcast (Zipf head). */
+  private def qUnigramLM(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("freq_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        floor(col("freq_sum") * 1000000.0 / col("n_tokens"))
+          .cast(LongType).as("avg_freq_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qUnigramLMSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(v.cnt) AS BIGINT) AS freq_sum,
+      | CAST(floor(SUM(v.cnt) * 1000000.0 / COUNT(*)) AS BIGINT) AS avg_freq_ppm
+      |FROM t JOIN v USING (w)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q61: int8 scalar quantization of the embedding column — the
+    * compression pass an ANN index build runs before sharding. Stage 1
+    * computes per-dimension min/max (a 64-row table, broadcast back);
+    * stage 2 encodes each component to `floor(255·(x−mn)/(mx−mn)+0.5)`
+    * map-side. `floor(x+0.5)` instead of `round` keeps the two engines'
+    * rounding identical; per-vector int sums make the output order-free.
+    * Output: per-vector code checksum, range, and dimension count. */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val stats = e.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(stats), "d")
+      .withColumn("code", when(col("mx") > col("mn"),
+          floor(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn"))
+            + 0.5))
+        .otherwise(lit(0.0)).cast(LongType))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).as("qsum"), min(col("code")).as("qmin"),
+        max(col("code")).as("qmax"), count(lit(1)).as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qQuantizeSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, r.d, v[r.d + 1] AS x
+      |  FROM e CROSS JOIN range(0, 64) r(d)),
+      |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
+      |c AS (
+      |  SELECT vec_id,
+      |   CASE WHEN mx > mn
+      |        THEN CAST(floor(255.0 * (x - mn) / (mx - mn) + 0.5) AS BIGINT)
+      |        ELSE 0 END AS code
+      |  FROM x JOIN st USING (d))
+      |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS qsum,
+      | min(code) AS qmin, max(code) AS qmax, COUNT(*) AS dim
+      |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** q62: per-language corpus rebalancing — downsample every language to
+    * the smallest language's size by deterministic hash thresholding:
+    * keep a doc iff the first 4 hex digits of md5("bal:"+doc_id) fall
+    * under the language's quota fraction of the 16-bit space. The
+    * threshold is compared as a hex STRING (a 4-digit lowercase hex
+    * compare is a numeric compare), so no engine-specific hex-to-int
+    * conversion is involved; the minimum language keeps everything
+    * exactly. Membership is a pure function of (doc_id, per-lang counts)
+    * — re-runs, engines, and re-shards agree row-for-row. */
+  private def qRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // global min via an unpartitioned window over the per-lang COUNTS
+    // table (#languages rows, not #docs) — a single-partition window on
+    // a table this small beats a scalar cross join, and keeps the plan
+    // free of nested-loop joins (PlanAuditSpec forbids them globally)
+    val target = min(col("n_docs"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val quotas = counts.withColumn("target", target)
+      .withColumn("thresh", format_string("%04x",
+        floor(lit(65536.0) * col("target") / col("n_docs"))
+          .cast(IntegerType)))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("keep", when(col("n_docs") === col("target"), lit(true))
+        .otherwise(
+          substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4)
+            < col("thresh")))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("target")).as("target"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L))
+          .as("kept_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  private val qRebalanceSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT min(n_docs) AS target FROM c),
+      |th AS (
+      |  SELECT lang, n_docs, target,
+      |   printf('%04x', CAST(floor(65536.0 * target / n_docs) AS INT)) AS thresh
+      |  FROM c CROSS JOIN t),
+      |k AS (
+      |  SELECT d.lang, th.n_docs, th.target, d.doc_id,
+      |   CASE WHEN th.n_docs = th.target THEN TRUE
+      |        ELSE substring(md5('bal:' || d.doc_id), 1, 4) < th.thresh
+      |   END AS keep
+      |  FROM documents d JOIN th ON d.lang = th.lang)
+      |SELECT lang, max(n_docs) AS n_docs, max(target) AS target,
+      | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+      |   AS kept_checksum
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q59_decontaminate" -> QueryDef(qDecontam, Some(qDecontamSql),
+      "eval-set n-gram decontamination: broadcast eval shingles, per-doc match counts"),
+    "q60_unigram_lm" -> QueryDef(qUnigramLM, Some(qUnigramLMSql),
+      "unigram-LM quality score: corpus word model -> integer per-doc frequency stats"),
+    "q61_embed_quantize" -> QueryDef(qQuantize, Some(qQuantizeSql),
+      "int8 embedding quantization: per-dim stats broadcast -> map-side encode"),
+    "q62_lang_rebalance" -> QueryDef(qRebalance, Some(qRebalanceSql),
+      "per-language rebalancing via deterministic hash quota thresholds"))
+}

@@ -32,12 +32,21 @@ class SaltingAndSketchSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 5% of exact on this data") {
-    val rows = Registry.queries("q16_approx_distinct")(spark, dir).collect()
+    // tighter than the gate query's 10% verdict column: recompute the
+    // raw HLL estimate here and hold it to the default-rsd 5% bound
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
       val approx = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"flag=${r.getString(0)} exact=$exact approx=$approx")
     }
+    // and the gate query's verdict column must be uniformly true
+    val gate = Registry.queries("q16_approx_distinct")(spark, dir).collect()
+    assert(gate.nonEmpty && gate.forall(_.getBoolean(2)))
   }
 }
