@@ -485,6 +485,37 @@ object Cdc {
        |FROM routed WHERE entity <> 'IgnoreTx'
        |GROUP BY entity ORDER BY entity""".stripMargin
 
+  /** q63: streaming watermarked dedup as a gate query — events become
+    * JSON lines on disk, replayed through `withWatermark` +
+    * `dropDuplicates` (AvailableNow, parquet file sink), and the
+    * re-read emitted set is summarized per event type. The oracle is
+    * the batch restatement (DISTINCT over the same keys): streaming
+    * dedup == batch distinct, the same convergence contract q27 pins
+    * for the FSM. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_").toString
+    load(s, dir, "events")
+      .select(to_json(struct(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts"))).as("value"))
+      .coalesce(8)
+      .write.mode("overwrite").text(s"$tmp/in")
+    val q = graft.streaming.ChangeStreamPipeline.startDedup(
+      s"$tmp/in", s"$tmp/out", s"$tmp/chk", statePartitions = Some(8))
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qStreamDedupSql =
+    """SELECT event_type, COUNT(*) AS n_keys,
+      | CAST(SUM(user_id) AS BIGINT) AS checksum
+      |FROM (SELECT DISTINCT user_id, event_type FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
@@ -507,5 +538,7 @@ object Cdc {
     "q44_cdc_replica_lag" -> QueryDef(qReplicaLag, Some(qReplicaLagSql),
       "J2 replica-state table: replication lag + snapshot-done Backlog decision"),
     "q48_cdc_delta_pointer" -> QueryDef(qDeltaPointer, Some(qDeltaPointerSql),
-      "K7 delta upload + pointer: route -> avro delta per entity -> read-back summary"))
+      "K7 delta upload + pointer: route -> avro delta per entity -> read-back summary"),
+    "q63_stream_dedup" -> QueryDef(qStreamDedup, Some(qStreamDedupSql),
+      "T6/F3 watermarked streaming dropDuplicates == batch distinct"))
 }

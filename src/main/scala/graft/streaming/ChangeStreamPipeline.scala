@@ -160,6 +160,49 @@ object ChangeStreamPipeline {
     }
   }
 
+  /** Streaming exact dedup (the F3 duplicate guard at record level, as
+    * its own operator): first arrival of each (user_id, event_type)
+    * wins; `withWatermark` + `dropDuplicates` keeps the key state
+    * bounded — state for a key is dropped once the watermark passes its
+    * event time plus the delay, which is what lets the operator run
+    * forever on an unbounded stream. The gate replay uses an
+    * effectively-infinite delay so arrival order (file listing order is
+    * nondeterministic) cannot re-emit a key whose state expired
+    * mid-replay; a production deployment sets the delay to its real
+    * out-of-orderness bound and the plan is unchanged. */
+  def startDedup(inDir: String, outDir: String, checkpoint: String,
+      watermarkDelay: String = "3650 days",
+      statePartitions: Option[Int] = None)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", LongType)))
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir)
+        .select(from_json(col("value"), schema).as("e"))
+        .select(col("e.user_id").as("user_id"),
+          col("e.event_type").as("event_type"),
+          timestamp_millis(col("e.ts")).as("ts"))
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("user_id", "event_type")
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions.isDefined) spark.conf.set(key, saved)
+    }
+  }
+
   /** Kafka-shaped sink projection (K1/K2/F8): entity-keyed records so the
     * default partitioner totally orders each entity's events within a
     * partition (ref `agent/pipeline/ChangeDeltaKafkaPartitioner.java:
