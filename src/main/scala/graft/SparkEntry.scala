@@ -5,12 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The corpus-curation pipeline (q46) composes scans, narrow quality
-    * projections, hash-agg dedup, the MinHash LSH band join, the
-    * candidate-scoped Jaccard verify, anti-join removal, and the final
-    * per-language report — the engine's identity in one query. */
+    * The full pretraining-release pipeline (q64) composes scans, narrow
+    * quality projections, hash-agg dedup, the MinHash LSH band join, the
+    * candidate-scoped Jaccard verify, eval-set decontamination, hash-quota
+    * rebalancing, and the deterministic split report — the engine's
+    * identity in one query. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q46_corpus_curation")(spark, "/root/testdata/sf0.001")
+    Registry.queries("q64_corpus_release")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

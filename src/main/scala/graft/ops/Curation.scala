@@ -197,11 +197,145 @@ object Curation {
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin
 
+  /** q64: the full PRETRAINING RELEASE pipeline in one hash-gated query
+    * — what a data team actually ships, composed from the operators the
+    * battery verifies one by one:
+    *
+    *   held-out eval exclusion → quality gate → exact dedup → LSH
+    *   near-dup removal (candidate-scoped Jaccard) → eval-set
+    *   decontamination → per-language rebalancing → deterministic
+    *   train/val/test split → per-(lang, split) release report.
+    *
+    * Composition is where silent bugs live (a stage applied to the
+    * wrong survivor set, a threshold computed pre- instead of
+    * post-cleanup), so the oracle restates the WHOLE chain: any
+    * mis-wiring flips the hash. Scale shape: every stage is a narrow
+    * projection, a keyed aggregation, a broadcast lookup, or an
+    * anti-join against a (small) drop list — the only self-join
+    * anywhere is the LSH band-bucket candidate join. */
+  private def qRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+          .cast(LongType).as("n_stop"))
+      .filter(col("doc_id") % Training.EvalMod =!= 0) // eval docs held out
+    val quality = docs.filter(
+      col("n_tokens").between(20, 400) &&
+        col("n_stop").cast(DoubleType) / col("n_tokens") < 0.2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // near-dup removal: higher id of any verified pair whose BOTH ends
+    // survived exact dedup
+    val survivors = exact.select(col("doc_id"))
+    val ndDrops = Dedup.jaccardPairs(s, dir)
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+    // decontamination: any 5-gram shared with the held-out eval set
+    val g = Training.grams(s, dir)
+    val evalGrams = g.filter(col("doc_id") % Training.EvalMod === 0)
+      .select(col("g")).distinct()
+    val contaminated = g.filter(col("doc_id") % Training.EvalMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    val clean = exact
+      .join(ndDrops, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // rebalance to the smallest language of the CLEAN set (quota from
+    // post-cleanup counts — computing it earlier is exactly the
+    // mis-wiring this gate exists to catch)
+    val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val target = min(col("n_docs"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val quotas = counts.withColumn("target", target)
+      .withColumn("thresh", format_string("%04x",
+        floor(lit(65536.0) * col("target") / col("n_docs"))
+          .cast(org.apache.spark.sql.types.IntegerType)))
+    val kept = clean.join(broadcast(quotas), "lang")
+      .filter(col("n_docs") === col("target") ||
+        substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4)
+          < col("thresh"))
+    kept
+      .withColumn("b",
+        substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2))
+      .withColumn("split",
+        when(col("b") < "cd", "train")
+          .when(col("b") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val qReleaseSql = {
+    val em = Training.EvalMod
+    s"""WITH ${Dedup.candidatesCte},
+       |${Training.gramsCte},
+       |q AS (
+       |  SELECT doc_id, lang, text,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |  FROM documents WHERE doc_id % $em <> 0),
+       |qual AS (
+       |  SELECT * FROM q
+       |  WHERE n_tokens BETWEEN 20 AND 400
+       |    AND CAST(n_stop AS DOUBLE) / n_tokens < 0.2),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |                                 ORDER BY doc_id) AS rn
+       |    FROM qual) t WHERE rn = 1),
+       |d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents),
+       |nd AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN exact a ON a.doc_id = c.doc_a
+       |  JOIN exact b ON b.doc_id = c.doc_b
+       |  JOIN d da ON da.doc_id = c.doc_a
+       |  JOIN d db ON db.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))) >= 0.5),
+       |ev AS (SELECT DISTINCT g FROM gg WHERE doc_id % $em = 0),
+       |cont AS (
+       |  SELECT DISTINCT c.doc_id FROM gg c JOIN ev ON c.g = ev.g
+       |  WHERE c.doc_id % $em <> 0),
+       |clean AS (
+       |  SELECT * FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+       |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |cnt AS (SELECT lang, COUNT(*) AS n_docs FROM clean GROUP BY lang),
+       |quota AS (
+       |  SELECT lang, n_docs, min(n_docs) OVER () AS target,
+       |   printf('%04x', CAST(floor(65536.0 * (min(n_docs) OVER ()) / n_docs) AS INT)) AS thresh
+       |  FROM cnt),
+       |kept AS (
+       |  SELECT cl.* FROM clean cl JOIN quota qu ON cl.lang = qu.lang
+       |  WHERE qu.n_docs = qu.target
+       |     OR substring(md5('bal:' || cl.doc_id), 1, 4) < qu.thresh)
+       |SELECT lang,
+       |  CASE WHEN substring(md5('split:' || doc_id), 1, 2) < 'cd' THEN 'train'
+       |       WHEN substring(md5('split:' || doc_id), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q46_corpus_curation" -> QueryDef(qCurate, Some(qCurateSql),
       "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"),
     "q54_sample_split" -> QueryDef(qSampleSplit, Some(qSampleSplitSql),
       "deterministic hash-bucketed train/val/test split, stratified report"),
     "q57_token_packing" -> QueryDef(qTokenPacking, Some(qTokenPackingSql),
-      "token-budget shard packing: per-lang cumsum window -> shard layout"))
+      "token-budget shard packing: per-lang cumsum window -> shard layout"),
+    "q64_corpus_release" -> QueryDef(qRelease, Some(qReleaseSql),
+      "full pretraining release: quality -> dedup -> near-dup -> decontam -> rebalance -> split"))
 }

@@ -28,11 +28,11 @@ import Tables.load
 object Training {
 
   /** Every ~97th doc plays the held-out eval set in the gate corpus. */
-  private val EvalMod = 97
+  private[ops] val EvalMod = 97
   private val GramN = 5
 
   /** (doc_id, lang, g): one row per word-5-gram occurrence. */
-  private def grams(s: SparkSession, dir: String): DataFrame =
+  private[ops] def grams(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= GramN)
@@ -58,19 +58,25 @@ object Training {
       .orderBy(col("doc_id"))
   }
 
-  private val qDecontamSql =
-    s"""WITH w AS (
+  /** Shared DuckDB CTE pair `gw`/`gg` reproducing [[grams]] (names are
+    * collision-free with [[Dedup.candidatesCte]] so release-pipeline
+    * compositions can include both). */
+  private[ops] val gramsCte =
+    s"""gw AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
        |  WHERE len(string_split(text, ' ')) >= $GramN),
-       |g AS (
+       |gg AS (
        |  SELECT doc_id, lang,
        |   unnest(list_transform(range(1, len(ws) - ${GramN - 2}),
        |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
-       |  FROM w),
-       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $EvalMod = 0)
+       |  FROM gw)""".stripMargin
+
+  private val qDecontamSql =
+    s"""WITH $gramsCte,
+       |ev AS (SELECT DISTINCT g FROM gg WHERE doc_id % $EvalMod = 0)
        |SELECT c.doc_id, c.lang,
        | CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared_grams
-       |FROM g c JOIN ev ON c.g = ev.g
+       |FROM gg c JOIN ev ON c.g = ev.g
        |WHERE c.doc_id % $EvalMod <> 0
        |GROUP BY c.doc_id, c.lang ORDER BY doc_id""".stripMargin
 
