@@ -23,8 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
     * audited via their batch twins (q26 for q27; q26+cogroup for
-    * q28/q44). */
-  private val skipBuild = Set("q27_cdc_stream_fsm")
+    * q28/q44; the batch DISTINCT oracle for q63). */
+  private val skipBuild = Set("q27_cdc_stream_fsm", "q63_stream_dedup")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
@@ -55,6 +55,19 @@ class PlanAuditSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"$q: expected a broadcast hash join for the dimension side")
+    }
+  }
+
+  test("training-pipeline lookups broadcast the small side") {
+    // q59: the eval-gram table; q60: the vocabulary; q61: the 64-row
+    // per-dimension stats; q64: the quota table. Each must reach the
+    // corpus scan as a broadcast, never a shuffle of the big side.
+    for (q <- Seq("q59_decontaminate", "q60_unigram_lm",
+        "q61_embed_quantize", "q64_corpus_release")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected the model/lookup side to broadcast")
     }
   }
 
