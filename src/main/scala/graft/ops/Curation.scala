@@ -241,9 +241,13 @@ object Curation {
     val contaminated = g.filter(col("doc_id") % Training.EvalMod =!= 0)
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct()
+    // clean feeds BOTH the quota computation and the kept join —
+    // checkpoint it so the near-dup + decontam chain (the expensive
+    // subtree) is materialized once, not recomputed per consumer
     val clean = exact
       .join(ndDrops, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // rebalance to the smallest language of the CLEAN set (quota from
     // post-cleanup counts — computing it earlier is exactly the
     // mis-wiring this gate exists to catch)

@@ -235,6 +235,55 @@ object Extras {
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q65: multimodal resize, oracle-checked end to end — "image" blobs
+    * carry the document text as a w0×16 row-major raster (w0 =
+    * byte-length/16, so the sample grid never leaves the payload);
+    * nearest-neighbor resampling to 8×8 then re-decoding the rewritten
+    * header exercises the full binary-in → binary-out contract, and the
+    * oracle independently recomputes every sampled byte as a text
+    * substring (ASCII corpus: byte == char) plus the pass-through rule
+    * for non-image kinds. md5 over the payload pins the exact bytes. */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = load(s, dir, "documents")
+      .select(col("doc_id"), kindExpr.as("kind"), col("text"))
+      .filter(length(col("text")) >= 16)
+    val withBin = src.as[(Long, String, String)]
+      .map { case (id, kind, text) =>
+        val b = text.getBytes("UTF-8")
+        (id, Multimodal.encodeStubHeader(kind, b.length / 16, 16,
+          rate = 0, frames = 0, b))
+      }
+      .toDF("id", "content")
+    val resized = Multimodal.resize(withBin, 8, 8)
+      .select(col("id"), col("resized").as("content"))
+    Multimodal.withMeta(resized)
+      .select(col("id").as("doc_id"),
+        length(col("content")).cast(LongType).as("out_len"),
+        col("meta.width").as("out_w"), col("meta.height").as("out_h"),
+        md5(expr("substring(content, 17, 1073741824)")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qMultimodalResizeSql =
+    """WITH src AS (
+      |  SELECT doc_id, lang, text, strlen(text) AS len,
+      |   CAST(strlen(text) // 16 AS BIGINT) AS w0
+      |  FROM documents WHERE strlen(text) >= 16),
+      |img AS (
+      |  SELECT doc_id,
+      |   array_to_string(list_transform(range(0, 64),
+      |     i -> substring(text,
+      |       CAST((2 * (i // 8)) * w0 + ((i % 8) * w0) // 8 + 1 AS INT), 1)), '') AS p
+      |  FROM src WHERE lang = 'en')
+      |SELECT s.doc_id,
+      |  CASE WHEN s.lang = 'en' THEN 80 ELSE 16 + s.len END AS out_len,
+      |  CASE WHEN s.lang = 'en' THEN 8 ELSE CAST(s.w0 AS INT) END AS out_w,
+      |  CASE WHEN s.lang = 'en' THEN 8 ELSE 16 END AS out_h,
+      |  CASE WHEN s.lang = 'en' THEN md5(i.p) ELSE md5(s.text) END AS payload_md5
+      |FROM src s LEFT JOIN img i USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q55: exact distribution statistics — interpolated percentiles of
     * the quantity distribution per return flag. Spark's `percentile` is
     * the exact sort-based aggregate (not the t-digest approximation);
@@ -283,5 +332,8 @@ object Extras {
       Some(qMultimodalFeaturesSql),
       "multimodal feature extraction (byte-histogram, float-exact oracle)"),
     "q47_multimodal_frames" -> QueryDef(qMultimodalFrames, Some(qMultimodalFramesSql),
-      "strided frame sampling over binary payloads, byte-exact oracle"))
+      "strided frame sampling over binary payloads, byte-exact oracle"),
+    "q65_multimodal_resize" -> QueryDef(qMultimodalResize,
+      Some(qMultimodalResizeSql),
+      "nearest-neighbor raster resize, byte-exact oracle + pass-through rule"))
 }
