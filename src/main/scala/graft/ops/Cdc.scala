@@ -504,9 +504,19 @@ object Cdc {
     val q = graft.streaming.ChangeStreamPipeline.startDedup(
       s"$tmp/in", s"$tmp/out", s"$tmp/chk", statePartitions = Some(8))
     q.awaitTermination()
-    s.read.parquet(s"$tmp/out")
+    // the summary is a handful of rows — read it eagerly so the replay
+    // scratch dir (inputs + sink + checkpoint) can be deleted before
+    // returning instead of leaking a copy of the event log per run
+    import s.implicits._
+    val rows = s.read.parquet(s"$tmp/out")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
+      .orderBy(col("event_type"))
+      .as[(String, Long, Long)].collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    rows.toDF("event_type", "n_keys", "checksum")
       .orderBy(col("event_type"))
   }
 

@@ -117,40 +117,43 @@ object Curation {
        |LEFT JOIN c3 ON l.lang = c3.lang
        |ORDER BY l.lang""".stripMargin
 
-  /** q54: deterministic train/val/test assignment by content-free key
-    * hash — the split has to be a PURE function of the stable document
-    * id (not row order, not partitioning, not sampling state) so it is
+  /** Deterministic train/val/test assignment by content-free key hash —
+    * the split has to be a PURE function of the stable document id (not
+    * row order, not partitioning, not sampling state) so it is
     * reproducible across runs, engines, and re-shards of a 100 TB
     * corpus. The 2-hex-digit md5 prefix gives 256 buckets compared as
     * strings — identical lexicographically in both engines, no
     * hex-to-int conversion to disagree on: < 'cd' (205/256 ≈ 80%) →
-    * train, < 'e6' (230/256 ≈ 90%) → val, else test. Output is the
-    * per-(split, lang) stratification report. */
+    * train, < 'e6' (230/256 ≈ 90%) → val, else test. Shared by q54 and
+    * the q64 release pipeline. */
+  private[ops] def splitCol: org.apache.spark.sql.Column = {
+    val b = substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2)
+    when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+  }
+
+  /** SQL twin of [[splitCol]] (expects a `doc_id` column in scope). */
+  private[ops] val splitCaseSql =
+    """CASE WHEN substring(md5('split:' || doc_id), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substring(md5('split:' || doc_id), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END""".stripMargin
+
+  /** q54: the hash split as a per-(split, lang) stratification report. */
   private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .withColumn("b",
-        substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2))
-      .withColumn("split",
-        when(col("b") < "cd", "train")
-          .when(col("b") < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast(LongType).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
   private val qSampleSplitSql =
-    """SELECT split, lang, COUNT(*) AS n_docs,
-      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM (
-      |  SELECT lang, n_chars,
-      |   CASE WHEN b < 'cd' THEN 'train'
-      |        WHEN b < 'e6' THEN 'val'
-      |        ELSE 'test' END AS split
-      |  FROM (SELECT lang, n_chars,
-      |         substring(md5('split:' || doc_id), 1, 2) AS b
-      |        FROM documents) x) y
-      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    s"""SELECT split, lang, COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |   $splitCaseSql AS split
+       |  FROM documents) y
+       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
   private val PackBudget = 2048L
 
@@ -241,34 +244,25 @@ object Curation {
     val contaminated = g.filter(col("doc_id") % Training.EvalMod =!= 0)
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct()
-    // clean feeds BOTH the quota computation and the kept join —
-    // checkpoint it so the near-dup + decontam chain (the expensive
-    // subtree) is materialized once, not recomputed per consumer
+    // clean feeds BOTH the quota computation and the kept join and is
+    // recomputed by each consumer here — deliberately NOT checkpointed:
+    // an eager checkpoint would execute the LSH subtree at plan-build
+    // time and truncate it out of the plan PlanAuditSpec audits. A
+    // production release run materializes `clean` to storage between
+    // stages instead (the stage boundary a 100 TB pipeline wants anyway).
     val clean = exact
       .join(ndDrops, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
     // rebalance to the smallest language of the CLEAN set (quota from
     // post-cleanup counts — computing it earlier is exactly the
-    // mis-wiring this gate exists to catch)
-    val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val target = min(col("n_docs"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val quotas = counts.withColumn("target", target)
-      .withColumn("thresh", format_string("%04x",
-        floor(lit(65536.0) * col("target") / col("n_docs"))
-          .cast(org.apache.spark.sql.types.IntegerType)))
+    // mis-wiring this gate exists to catch); quota/keep/split machinery
+    // is shared with q62/q54, never restated
+    val quotas = Training.withQuotas(
+      clean.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
     val kept = clean.join(broadcast(quotas), "lang")
-      .filter(col("n_docs") === col("target") ||
-        substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4)
-          < col("thresh"))
+      .filter(Training.keepByQuota)
     kept
-      .withColumn("b",
-        substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2))
-      .withColumn("split",
-        when(col("b") < "cd", "train")
-          .when(col("b") < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -314,19 +308,12 @@ object Curation {
        |  SELECT * FROM exact
        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)
        |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
-       |cnt AS (SELECT lang, COUNT(*) AS n_docs FROM clean GROUP BY lang),
-       |quota AS (
-       |  SELECT lang, n_docs, min(n_docs) OVER () AS target,
-       |   printf('%04x', CAST(floor(65536.0 * (min(n_docs) OVER ()) / n_docs) AS INT)) AS thresh
-       |  FROM cnt),
+       |${Training.quotaCteSql("clean")},
        |kept AS (
-       |  SELECT cl.* FROM clean cl JOIN quota qu ON cl.lang = qu.lang
-       |  WHERE qu.n_docs = qu.target
-       |     OR substring(md5('bal:' || cl.doc_id), 1, 4) < qu.thresh)
+       |  SELECT d.* FROM clean d JOIN quota q ON d.lang = q.lang
+       |  WHERE ${Training.keepByQuotaSql("d", "q")})
        |SELECT lang,
-       |  CASE WHEN substring(md5('split:' || doc_id), 1, 2) < 'cd' THEN 'train'
-       |       WHEN substring(md5('split:' || doc_id), 1, 2) < 'e6' THEN 'val'
-       |       ELSE 'test' END AS split,
+       |  $splitCaseSql AS split,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import Tables.load
@@ -110,14 +110,12 @@ object Training {
       |FROM t JOIN v USING (w)
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
-  /** q61: int8 scalar quantization of the embedding column — the
-    * compression pass an ANN index build runs before sharding. Stage 1
-    * computes per-dimension min/max (a 64-row table, broadcast back);
-    * stage 2 encodes each component to `floor(255·(x−mn)/(mx−mn)+0.5)`
-    * map-side. `floor(x+0.5)` instead of `round` keeps the two engines'
-    * rounding identical; per-vector int sums make the output order-free.
-    * Output: per-vector code checksum, range, and dimension count. */
-  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+  /** The scalar-quantizer encode stage — (vec_id, d, x, mn, mx, code)
+    * with `code = floor(255·(x−mn)/(mx−mn)+0.5)` per component.
+    * Shared by q61 and TrainingPropertySpec's reconstruction-error
+    * property so the property binds to the production encode, not a
+    * copy of the formula. */
+  private[graft] def quantizeCodes(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
@@ -127,12 +125,23 @@ object Training {
       .withColumn("code", when(col("mx") > col("mn"),
           floor(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn"))
             + 0.5))
-        .otherwise(lit(0.0)).cast(LongType))
+        .otherwise(lit(0.0)))
+  }
+
+  /** q61: int8 scalar quantization of the embedding column — the
+    * compression pass an ANN index build runs before sharding. Stage 1
+    * computes per-dimension min/max (a 64-row table, broadcast back);
+    * stage 2 encodes each component map-side ([[quantizeCodes]]).
+    * `floor(x+0.5)` instead of `round` keeps the two engines' rounding
+    * identical; per-vector int sums make the output order-free.
+    * Output: per-vector code checksum, range, and dimension count. */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame =
+    quantizeCodes(s, dir)
+      .withColumn("code", col("code").cast(LongType))
       .groupBy(col("vec_id"))
       .agg(sum(col("code")).as("qsum"), min(col("code")).as("qmin"),
         max(col("code")).as("qmax"), count(lit(1)).as("dim"))
       .orderBy(col("vec_id"))
-  }
 
   private val qQuantizeSql =
     """WITH e AS (
@@ -151,33 +160,59 @@ object Training {
       | min(code) AS qmin, max(code) AS qmax, COUNT(*) AS dim
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** q62: per-language corpus rebalancing — downsample every language to
-    * the smallest language's size by deterministic hash thresholding:
-    * keep a doc iff the first 4 hex digits of md5("bal:"+doc_id) fall
-    * under the language's quota fraction of the 16-bit space. The
-    * threshold is compared as a hex STRING (a 4-digit lowercase hex
-    * compare is a numeric compare), so no engine-specific hex-to-int
-    * conversion is involved; the minimum language keeps everything
-    * exactly. Membership is a pure function of (doc_id, per-lang counts)
-    * — re-runs, engines, and re-shards agree row-for-row. */
-  private def qRebalance(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents")
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    // global min via an unpartitioned window over the per-lang COUNTS
-    // table (#languages rows, not #docs) — a single-partition window on
-    // a table this small beats a scalar cross join, and keeps the plan
-    // free of nested-loop joins (PlanAuditSpec forbids them globally)
+  /** Quota table for per-language downsampling: adds `target` (global
+    * min count) and `thresh` (the language's quota fraction of the
+    * 16-bit space, as a 4-digit hex string) to a per-lang counts table.
+    * The global min is an unpartitioned window over the per-lang COUNTS
+    * (#languages rows, not #docs) — a single-partition window on a
+    * table this small beats a scalar cross join, and keeps plans free
+    * of nested-loop joins (PlanAuditSpec forbids them globally).
+    * Shared by q62 and the q64 release pipeline. */
+  private[ops] def withQuotas(counts: DataFrame): DataFrame = {
     val target = min(col("n_docs"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val quotas = counts.withColumn("target", target)
+    counts.withColumn("target", target)
       .withColumn("thresh", format_string("%04x",
         floor(lit(65536.0) * col("target") / col("n_docs"))
           .cast(IntegerType)))
+  }
+
+  /** Keep rule against the quota columns: the smallest language keeps
+    * everything exactly; others keep a doc iff the first 4 hex digits
+    * of md5("bal:"+doc_id) fall under the quota threshold. A 4-digit
+    * lowercase hex compare IS a numeric compare, so no engine-specific
+    * hex-to-int conversion is involved. Membership is a pure function
+    * of (doc_id, per-lang counts) — re-runs, engines, and re-shards
+    * agree row-for-row. */
+  private[ops] def keepByQuota: Column =
+    col("n_docs") === col("target") ||
+      substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4) < col("thresh")
+
+  /** SQL twin of [[withQuotas]]: `cnt`/`quota` CTE pair over `src`
+    * (any relation exposing `lang`). */
+  private[ops] def quotaCteSql(src: String): String =
+    s"""cnt AS (SELECT lang, COUNT(*) AS n_docs FROM $src GROUP BY lang),
+       |quota AS (
+       |  SELECT lang, n_docs, min(n_docs) OVER () AS target,
+       |   printf('%04x', CAST(floor(65536.0 * (min(n_docs) OVER ()) / n_docs) AS INT)) AS thresh
+       |  FROM cnt)""".stripMargin
+
+  /** SQL twin of [[keepByQuota]] against aliases `d` (docs) / `q`
+    * (quota). */
+  private[ops] def keepByQuotaSql(d: String, q: String): String =
+    s"""CASE WHEN $q.n_docs = $q.target THEN TRUE
+       |        ELSE substring(md5('bal:' || $d.doc_id), 1, 4) < $q.thresh
+       |   END""".stripMargin
+
+  /** q62: per-language corpus rebalancing — downsample every language to
+    * the smallest language's size by deterministic hash thresholding
+    * ([[withQuotas]] / [[keepByQuota]]). */
+  private def qRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val quotas = withQuotas(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
     docs.join(broadcast(quotas), "lang")
-      .withColumn("keep", when(col("n_docs") === col("target"), lit(true))
-        .otherwise(
-          substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4)
-            < col("thresh")))
+      .withColumn("keep", keepByQuota)
       .groupBy(col("lang"))
       .agg(max(col("n_docs")).as("n_docs"), max(col("target")).as("target"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -187,23 +222,16 @@ object Training {
   }
 
   private val qRebalanceSql =
-    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-      |t AS (SELECT min(n_docs) AS target FROM c),
-      |th AS (
-      |  SELECT lang, n_docs, target,
-      |   printf('%04x', CAST(floor(65536.0 * target / n_docs) AS INT)) AS thresh
-      |  FROM c CROSS JOIN t),
-      |k AS (
-      |  SELECT d.lang, th.n_docs, th.target, d.doc_id,
-      |   CASE WHEN th.n_docs = th.target THEN TRUE
-      |        ELSE substring(md5('bal:' || d.doc_id), 1, 4) < th.thresh
-      |   END AS keep
-      |  FROM documents d JOIN th ON d.lang = th.lang)
-      |SELECT lang, max(n_docs) AS n_docs, max(target) AS target,
-      | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      | CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
-      |   AS kept_checksum
-      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    s"""WITH ${quotaCteSql("documents")},
+       |k AS (
+       |  SELECT d.lang, q.n_docs, q.target, d.doc_id,
+       |   ${keepByQuotaSql("d", "q")} AS keep
+       |  FROM documents d JOIN quota q ON d.lang = q.lang)
+       |SELECT lang, max(n_docs) AS n_docs, max(target) AS target,
+       | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS kept_checksum
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q59_decontaminate" -> QueryDef(qDecontam, Some(qDecontamSql),

@@ -189,12 +189,16 @@ object ChangeStreamPipeline {
           timestamp_millis(col("e.ts")).as("ts"))
         .withWatermark("ts", watermarkDelay)
         .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
         .writeStream
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select("user_id", "event_type")
-            .write.mode("append").parquet(outDir)
-        }
+        // the TRANSACTIONAL file sink (not foreachBatch + append): its
+        // _spark_metadata commit log makes a retried micro-batch
+        // invisible to readers, so the emitted set stays exactly-once
+        // even when a batch fails after writing part files — which is
+        // the contract (streaming == batch DISTINCT) this operator pins
+        .format("parquet")
+        .option("path", outDir)
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .start()

@@ -66,18 +66,19 @@ class StreamingSpec extends AnyFunSuite {
       s"""{"user_id":$uid,"event_type":"$et","ts":$ts}"""
     val lines = Seq(keyLine(1, "click", 1000), keyLine(2, "click", 2000),
       keyLine(1, "click", 3000), keyLine(1, "view", 4000))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/in_a.txt"),
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/in/a.txt"),
       lines.mkString("\n").getBytes)
-    ChangeStreamPipeline.startDedup(tmp, s"$tmp/out", s"$tmp/chk",
+    ChangeStreamPipeline.startDedup(s"$tmp/in", s"$tmp/out", s"$tmp/chk",
       statePartitions = Some(2)).awaitTermination()
     val first = spark.read.parquet(s"$tmp/out").collect().map(_.toSeq).toSet
     assert(first == Set(Seq(1L, "click"), Seq(2L, "click"), Seq(1L, "view")))
     // at-least-once upstream: the same keys arrive again in NEW files;
     // the keyed state (still live under the infinite watermark delay)
     // must swallow every one of them
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/in_b.txt"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/in/b.txt"),
       lines.mkString("\n").getBytes)
-    ChangeStreamPipeline.startDedup(tmp, s"$tmp/out", s"$tmp/chk",
+    ChangeStreamPipeline.startDedup(s"$tmp/in", s"$tmp/out", s"$tmp/chk",
       statePartitions = Some(2)).awaitTermination()
     val second = spark.read.parquet(s"$tmp/out").collect()
     assert(second.length == 3) // nothing re-emitted

@@ -84,19 +84,13 @@ class TrainingPropertySpec extends AnyFunSuite {
   }
 
   test("quantization reconstruction error is within half a step") {
-    // real embeddings: decode(code) must sit within (mx-mn)/255/2 of x
-    // for every component — the defining property of the scalar
-    // quantizer the checksum gate cannot see directly
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
-    val stats = e.groupBy(col("d"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val bad = e.join(broadcast(stats), "d")
-      .withColumn("code", when(col("mx") > col("mn"),
-          floor(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn"))
-            + 0.5))
-        .otherwise(lit(0.0)))
+    // real embeddings through the PRODUCTION encode stage
+    // (Training.quantizeCodes — not a copy of the formula): decode(code)
+    // must sit within (mx-mn)/255/2 of x for every component — the
+    // defining property of the scalar quantizer the checksum gate
+    // cannot see directly
+    val bad = graft.ops.Training
+      .quantizeCodes(spark, "/root/testdata/sf0.001")
       .withColumn("decoded",
         col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
       .withColumn("step", (col("mx") - col("mn")) / 255.0)
