@@ -48,7 +48,7 @@ object Curation {
         size(array_intersect(col("ws_a"), col("ws_b"))).cast(LongType))
       .filter(col("inter").cast(DoubleType) /
         (size(col("ws_a")).cast(LongType) + size(col("ws_b")) - col("inter"))
-        >= 0.5)
+        >= Dedup.JaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val fin = exact.join(nearDupDrops, Seq("doc_id"), "left_anti")
 

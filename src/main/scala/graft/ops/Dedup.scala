@@ -32,8 +32,20 @@ object Dedup {
       | min(doc_id) AS keeper_doc
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
-  private val NumHashes = 8
-  private val Bands = 4 // 2 hashes per band
+  /** Target Jaccard threshold the near-dup chain is tuned for — q37's
+    * verify stage filters on the same value, so the LSH curve and the
+    * exact confirmation agree on what "duplicate" means. */
+  private[ops] val JaccardThreshold = 0.5
+
+  /** Banding derived from the threshold by [[LshPlanner]] (fn-weighted:
+    * a missed dup pollutes the corpus, a false candidate only costs one
+    * verify-stage Jaccard). 8 hashes = two md5 digests per shingle;
+    * at t = 0.5 the planner lands on 4 bands × 2 rows. */
+  private val LshParams = LshPlanner.plan(JaccardThreshold, maxHashes = 8)
+  private val NumHashes = LshParams.numHashes
+  private val Bands = LshParams.bands
+  private val Rows = LshParams.rows
+  require(NumHashes <= 8, "hash family below draws from two md5 digests")
 
   /** Word-set projection shared by the Jaccard verify stage. */
   private[ops] def wordSets(s: SparkSession, dir: String): DataFrame =
@@ -68,8 +80,10 @@ object Dedup {
     }
     val sigs = shingles.groupBy(col("doc_id"))
       .agg(hashAggs.head, hashAggs.tail: _*)
-    val bandCols = (0 until Bands).map(b =>
-      md5(concat(lit(s"$b:"), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))))
+    val bandCols = (0 until Bands).map { b =>
+      val rowCols = (0 until Rows).map(i => col(s"h${b * Rows + i}"))
+      md5(concat((lit(s"$b:") +: rowCols): _*))
+    }
     val bands = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
     bands.as("x")
@@ -86,7 +100,9 @@ object Dedup {
       s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS h$i"
     }.mkString(",\n   ")
     val bs = (0 until Bands)
-      .map(b => s"md5('$b:' || h${2 * b} || h${2 * b + 1})").mkString(", ")
+      .map(b => s"md5('$b:' || " +
+        (0 until Rows).map(i => s"h${b * Rows + i}").mkString(" || ") + ")")
+      .mkString(", ")
     s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -184,7 +200,7 @@ object Dedup {
       .withColumn("uni",
         size(col("ws_a")).cast(LongType) + size(col("ws_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -201,7 +217,8 @@ object Dedup {
        |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
        |FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
        |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-       |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
+       |   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+       |   >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 64-bit SimHash for the Hamming near-dup JOIN (the 16-bit q36 form
