@@ -248,10 +248,13 @@ object vec {
   * expressions into every session created with the extension — the
   * standard deployment path on a shared cluster. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       vec.dotBuilder))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+  }
 }

@@ -313,7 +313,34 @@ object Extras {
       | COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Top-k per group through the custom whole-operator plan
+    * ([[graft.plans.TopKPerGroup]]): longest 3 documents per source,
+    * tie-broken on doc_id so the result set is deterministic. The
+    * post-top-k `source <> 'src19'` filter is deliberately placed ABOVE
+    * the operator: the PushFilterThroughTopK rule must carry it below
+    * (and from there into the scan) — TopKPlanSpec asserts the plan
+    * shape, this gate asserts the semantics against the window-rank
+    * formulation DuckDB runs. */
+  private def qTopKGroups(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+        load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .filter(col("source") =!= "src19")
+      .orderBy(col("source"), col("doc_id"))
+
+  private val qTopKGroupsSql =
+    """SELECT source, doc_id, lang, n_chars FROM (
+      |  SELECT source, doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents WHERE source <> 'src19') t
+      |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q66_topk_per_group" -> QueryDef(qTopKGroups, Some(qTopKGroupsSql),
+      "custom LogicalPlan+Strategy top-k-per-group (bounded heaps, no sort)"),
     "q55_stats_percentile" -> QueryDef(qPercentiles, Some(qPercentilesSql),
       "exact interpolated percentiles per group (sketch-validation baseline)"),
     "q16_approx_distinct" -> QueryDef(qApprox, Some(qApproxSql),

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Minimal bridge into the `private[sql]` Column↔Expression converters —
   * the standard pattern for registering custom Catalyst expressions from
@@ -16,4 +17,24 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Eager Column→Expression conversion. `expression` defers through a
+    * lazy `ColumnNodeExpression`, which is fine inside standard nodes
+    * (the analyzer's converter rewrites them) but a sort Column must
+    * surface its catalyst `SortOrder` NOW so callers can pattern-match
+    * direction/null ordering. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Build a DataFrame from a (possibly custom) logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Per-session hook for extra planner strategies / optimizer rules. */
+  def experimental(spark: SparkSession): ExperimentalMethods =
+    spark.asInstanceOf[classic.SparkSession].experimental
 }
