@@ -351,6 +351,84 @@ object Dedup {
        |FROM comp c JOIN sizes s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q67: EXACT n-gram overlap — the exact-substring complement to the
+    * MinHash chain (the "dedup by shared 8-token span" operator of the
+    * deduplicating-training-data literature). Every pair of documents
+    * sharing at least [[MinShared]] distinct 8-token shingles is
+    * reported with its shared count and overlap fraction.
+    *
+    * Scale shape: the shuffle key is the shingle digest, so pairs only
+    * materialize inside one shingle's posting list. Discriminative power
+    * and the scale bound come from the same knob: shingles occurring in
+    * more than [[MaxDf]] documents are boilerplate (they identify
+    * nothing) AND are the only place a posting-list self-join could go
+    * quadratic — dropping them caps per-key join fan-out at MaxDf² while
+    * the long-tail shingles that actually indicate copying all survive.
+    * The document-frequency filter reuses the posting list's own
+    * partitioning (groupBy and join share the digest key — one shuffle).
+    */
+  private val NgramK = 8
+  private val MaxDf = 50
+  private val MinShared = 5
+
+  private def qNgramOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= NgramK)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(ws) - $NgramK),
+           |  i -> concat_ws(' ', slice(ws, i + 1, $NgramK)))""".stripMargin)))
+        .as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    // document frequency via groupBy, NOT a count-over-window: partial
+    // aggregation collapses a hot shingle map-side, where a window
+    // would materialize its entire posting list in one partition
+    val dfreq = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+    val kept = grams.join(dfreq.select(col("h")), "h")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= MinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_ngrams"),
+        (col("shared_ngrams").cast(DoubleType) / least(col("na"), col("nb")))
+          .as("overlap_frac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val qNgramOverlapSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $NgramK),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - ${NgramK - 2}),
+       |    i -> array_to_string(ws[i : i + ${NgramK - 1}], ' ')))) AS sh
+       |  FROM w),
+       |g AS (SELECT doc_id, md5(sh) AS h FROM g0),
+       |dfreq AS (
+       |  SELECT h FROM g GROUP BY h HAVING COUNT(*) <= $MaxDf),
+       |kept AS (SELECT g.doc_id, g.h FROM g JOIN dfreq USING (h)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    COUNT(*) AS shared_ngrams
+       |  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.shared_ngrams,
+       |  CAST(p.shared_ngrams AS DOUBLE) / least(a.n_grams, b.n_grams)
+       |    AS overlap_frac
+       |FROM pairs p JOIN sizes a ON a.doc_id = p.doc_a
+       |             JOIN sizes b ON b.doc_id = p.doc_b
+       |WHERE p.shared_ngrams >= $MinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
       "exact dedup via content-hash groupBy"),
@@ -363,5 +441,7 @@ object Dedup {
     "q43_dedup_simhash_hamming" -> QueryDef(qSimHashHamming, Some(qSimHashHammingSql),
       "SimHash Hamming-band near-dup join (exact for radius 3 by pigeonhole)"),
     "q52_dedup_clusters" -> QueryDef(qClusters, Some(qClustersSql),
-      "near-dup clusters: connected components over verified pairs"))
+      "near-dup clusters: connected components over verified pairs"),
+    "q67_exact_ngram_overlap" -> QueryDef(qNgramOverlap, Some(qNgramOverlapSql),
+      "exact 8-token shingle overlap pairs (df-capped posting-list join)"))
 }

@@ -233,6 +233,53 @@ object Training {
        |   AS kept_checksum
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q68: length-weighted Bernoulli sampling — each document is kept
+    * with probability proportional to its weight (here n_chars, the
+    * "sample long documents more" curation knob), capped at 1. The
+    * decision is a pure function of doc_id: keep iff the first 8 hex
+    * digits of md5("smp:"+doc_id) — a uniform 32-bit draw — fall below
+    * floor(2^32 · min(w, cap) / cap), rendered as 8 lowercase hex
+    * digits so the compare stays lexicographic-=-numeric with no
+    * engine-specific hex parsing (same device as [[keepByQuota]]).
+    * Zero shuffles until the per-source report: the keep decision is
+    * map-side, so at 100 TB this is a pure scan — and any executor can
+    * re-derive any row's fate (re-runs and re-shards agree exactly). */
+  private val SampleCap = 600L
+
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val thresh = format_string("%08x",
+      ((least(col("n_chars"), lit(SampleCap)) * lit(4294967296L))
+        / lit(SampleCap)).cast(LongType))
+    load(s, dir, "documents")
+      .withColumn("keep",
+        col("n_chars") >= SampleCap ||
+          substring(md5(concat(lit("smp:"), col("doc_id"))), 1, 8) < thresh)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L))
+          .as("sampled_chars"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L))
+          .as("sampled_checksum"))
+      .orderBy(col("source"))
+  }
+
+  private val qWeightedSampleSql =
+    s"""WITH k AS (
+       |  SELECT source, doc_id, n_chars,
+       |   n_chars >= $SampleCap OR
+       |     substring(md5('smp:' || doc_id), 1, 8) <
+       |       printf('%08x', (least(n_chars, $SampleCap) * 4294967296)
+       |                        // $SampleCap) AS keep
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       | CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+       |   AS sampled_chars,
+       | CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS sampled_checksum
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q59_decontaminate" -> QueryDef(qDecontam, Some(qDecontamSql),
       "eval-set n-gram decontamination: broadcast eval shingles, per-doc match counts"),
@@ -241,5 +288,7 @@ object Training {
     "q61_embed_quantize" -> QueryDef(qQuantize, Some(qQuantizeSql),
       "int8 embedding quantization: per-dim stats broadcast -> map-side encode"),
     "q62_lang_rebalance" -> QueryDef(qRebalance, Some(qRebalanceSql),
-      "per-language rebalancing via deterministic hash quota thresholds"))
+      "per-language rebalancing via deterministic hash quota thresholds"),
+    "q68_weighted_sample" -> QueryDef(qWeightedSample, Some(qWeightedSampleSql),
+      "length-weighted Bernoulli sampling, map-side deterministic keep rule"))
 }
