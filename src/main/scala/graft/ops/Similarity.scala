@@ -318,7 +318,125 @@ object Similarity {
        |      JOIN n b2 ON b2.vec_id = cand.nid)
        |SELECT qid, nid, rnk FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  /** q69: k-means (Lloyd) — the trainer q45's coarse quantizer
+    * deliberately skipped. The reason it skipped it was cross-engine
+    * float nondeterminism in the centroid MEAN (a shuffled SUM of
+    * doubles has no summation order); this implementation removes the
+    * nondeterminism instead of the trainer:
+    *
+    *  - inputs snap to a 2^-20 grid (`floor(x·2^20 + 0.5)` — the q61
+    *    integer-exact device), so component sums are BIGINT: exact and
+    *    order-free under any shuffle;
+    *  - the centroid update rounds the integer mean back onto the grid
+    *    (one IEEE division + floor of exactly-represented integers —
+    *    deterministic everywhere);
+    *  - distances expand to dot(x,x) − 2·dot(x,c) + dot(c,c), each dot
+    *    a left-to-right codegen fold identical to DuckDB's
+    *    list_dot_product, so assignments tie out bit-for-bit (ties →
+    *    lower cell id).
+    *
+    * The ~1e-6 grid error is orders of magnitude below clustering
+    * resolution; what it buys is a hash-gateable trainer: every
+    * assignment, every centroid, every iteration is reproducible across
+    * engines, re-runs, and re-shards. Scale shape per iteration: one
+    * broadcast of k×dim centroids against a linear scan (assign), one
+    * integer hash-agg on (cell, dim) with map-side partials (update) —
+    * no shuffle of the corpus itself, which is exactly how you'd train
+    * IVF cells over 100 TB of embeddings. */
+  private val KmK = 8
+  private val KmIters = 2
+  private val KmQ = 1048576L // 2^20
+
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0 + 0.5) AS BIGINT))")
+        .as("xq"))
+      .withColumn("x", expr(s"transform(xq, q -> CAST(q AS DOUBLE) / $KmQ.0)"))
+    var cent = ed.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cell"), col("x").as("c"))
+    var assigned: DataFrame = null
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    for (t <- 1 to KmIters) {
+      assigned = ed.join(broadcast(cent))
+        .withColumn("dist",
+          dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("c"))
+            + dot(col("c"), col("c")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cell"), col("xq"), col("x"), col("dist"))
+      if (t < KmIters) {
+        cent = assigned
+          .select(col("cell"), posexplode(col("xq")).as(Seq("d", "q")))
+          .groupBy(col("cell"), col("d"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .withColumn("cq", floor(col("sq").cast("double")
+            / col("n").cast("double") + 0.5).cast("long"))
+          .groupBy(col("cell"))
+          .agg(expr(
+            s"transform(array_sort(collect_list(struct(d, cq))), s -> CAST(s.cq AS DOUBLE) / $KmQ.0)")
+            .as("c"))
+      }
+    }
+    val wMedoid = Window.partitionBy(col("cell"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    assigned
+      .withColumn("mrnk", row_number().over(wMedoid))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).as("member_checksum"),
+        min(when(col("mrnk") === 1, col("vec_id"))).as("medoid"))
+      .select(col("cell").as("cluster"), col("n_vecs"),
+        col("member_checksum"), col("medoid"))
+      .orderBy(col("cluster"))
+  }
+
+  private val qKmeansSql = {
+    def assign(src: String, cents: String) =
+      s"""SELECT vec_id, cell, xq, x, dist FROM (
+         |  SELECT e.vec_id, c.cell, e.xq, e.x,
+         |    list_dot_product(e.x, e.x) - 2.0 * list_dot_product(e.x, c.c)
+         |      + list_dot_product(c.c, c.c) AS dist,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.x, e.x)
+         |          - 2.0 * list_dot_product(e.x, c.c)
+         |          + list_dot_product(c.c, c.c) ASC, c.cell ASC) AS rnk
+         |  FROM $src e CROSS JOIN $cents c) t WHERE rnk = 1""".stripMargin
+    s"""WITH ed AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $KmQ.0 + 0.5) AS BIGINT)) AS xq,
+       |    list_transform(list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $KmQ.0 + 0.5) AS BIGINT)),
+       |      q -> CAST(q AS DOUBLE) / $KmQ.0) AS x
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, x AS c FROM ed WHERE vec_id < $KmK),
+       |m1 AS (${assign("ed", "c0")}),
+       |s1 AS (
+       |  SELECT cell, r.d AS d, SUM(xq[r.d + 1]) AS sq, COUNT(*) AS n
+       |  FROM m1 CROSS JOIN range(0, $Dim) r(d) GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cell, array_agg(
+       |      CAST(CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+       |        AS BIGINT) AS DOUBLE) / $KmQ.0 ORDER BY d) AS c
+       |  FROM s1 GROUP BY cell),
+       |m2 AS (${assign("ed", "c1")}),
+       |md AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY dist ASC, vec_id ASC) AS mrnk
+       |  FROM m2)
+       |SELECT cell AS cluster, COUNT(*) AS n_vecs,
+       |  CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
+       |  min(CASE WHEN mrnk = 1 THEN vec_id END) AS medoid
+       |FROM md GROUP BY cell ORDER BY cluster""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q69_kmeans_lloyd" -> QueryDef(qKmeans, Some(qKmeansSql),
+      "bit-reproducible Lloyd k-means on a 2^-20 grid (IVF centroid trainer)"),
     "q38_sim_cosine_topk" -> QueryDef(qTopK, Some(qTopKSql),
       "brute-force cosine top-k (exact ANN baseline)"),
     "q39_sim_ann_lsh" -> QueryDef(qAnnLsh, Some(qAnnLshSql),

@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * 16-pivot assign stage q45, ANN probe table q39). A broadcast BNL
     * over a BOUNDED side is a linear scan, not a cartesian blow-up. */
   private val broadcastNlAllowed = Set(
-    "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh")
+    "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh",
+    "q69_kmeans_lloyd") // k x dim centroid table broadcast per iteration
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
