@@ -3,7 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import Tables.load
 
 /** Text-analysis operators a large-scale training-data pipeline needs:
@@ -314,7 +314,98 @@ object TextAnalysis {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, df
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** q70: TF-IDF sparse cosine similarity — the sparse-vector twin of
+    * the dense embedding battery (q38/q40). A document is a sparse
+    * vector over its vocabulary; similar pairs are found by joining
+    * POSTING LISTS on the term (the classic inverted-index shape), so
+    * the shuffle key is the term and pairs only materialize between
+    * docs sharing one — never an all-pairs scan.
+    *
+    * Hash-gateability comes from integer-exact weights: idf is the
+    * floor-divided rational ((N·1024) // df) instead of a log — a
+    * monotone-equivalent weighting (both order term rarity the same
+    * way) that avoids cross-engine libm drift (Java's Math.log is not
+    * guaranteed correctly rounded; C's is a different 1-ulp story).
+    * Dot products and norms are then exact integer sums (DECIMAL in
+    * Spark, HUGEINT in DuckDB — order-free under any shuffle), and the
+    * final cosine is sqrt/divide over exactly-agreed integers: IEEE-
+    * deterministic in both engines.
+    *
+    * The df ≤ [[TfIdfMaxDf]] vocabulary cap plays the same double role
+    * as in q67: stopwords carry no signal AND are the only unbounded
+    * posting lists — dropping them bounds the per-term join fan-out at
+    * any corpus size. */
+  private val TfIdfMaxDf = 50
+  private val TfIdfCosine = 0.4
+  private val DecimalType38 = DecimalType(38, 0)
+
+  private def qTfIdfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val nTotal = docs.groupBy().agg(count(lit(1)).as("n_total"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= TfIdfMaxDf)
+    val weights = tf.join(dfreq, "w")
+      .join(broadcast(nTotal))
+      .withColumn("wq", expr("tf * ((n_total * 1024) div df)"))
+      .select(col("doc_id"), col("w"), col("wq"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum((col("wq") * col("wq")).cast(DecimalType38)).as("nq"))
+    val pairs = weights.as("a")
+      .join(weights.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum((col("a.wq") * col("b.wq")).cast(DecimalType38)).as("dotq"),
+        count(lit(1)).as("shared_terms"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nq").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nq").as("nb")), "doc_b")
+      .withColumn("cosine", col("dotq").cast(DoubleType)
+        / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("cosine") >= TfIdfCosine)
+      .select(col("doc_a"), col("doc_b"), col("shared_terms"), col("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val qTfIdfCosineSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  GROUP BY doc_id, w),
+       |dfreq AS (
+       |  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+       |  HAVING COUNT(*) <= $TfIdfMaxDf),
+       |weights AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    tf.tf * (((SELECT COUNT(*) FROM documents) * 1024) // df.df) AS wq
+       |  FROM tf JOIN dfreq df USING (w)),
+       |norms AS (SELECT doc_id, SUM(wq * wq) AS nq FROM weights GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    SUM(a.wq * b.wq) AS dotq, COUNT(*) AS shared_terms
+       |  FROM weights a JOIN weights b
+       |    ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.shared_terms,
+       |  CAST(p.dotq AS DOUBLE)
+       |    / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+       |    AS cosine
+       |FROM pairs p
+       |JOIN norms na ON na.doc_id = p.doc_a
+       |JOIN norms nb ON nb.doc_id = p.doc_b
+       |WHERE CAST(p.dotq AS DOUBLE)
+       |    / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+       |    >= $TfIdfCosine
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q70_tfidf_cosine" -> QueryDef(qTfIdfCosine, Some(qTfIdfCosineSql),
+      "TF-IDF sparse cosine pairs via posting-list join, integer-exact idf"),
     "q30_text_token_stats" -> QueryDef(qStats, Some(qStatsSql),
       "token counting + type-token ratio"),
     "q31_text_quality" -> QueryDef(qQuality, Some(qQualitySql),

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * over a BOUNDED side is a linear scan, not a cartesian blow-up. */
   private val broadcastNlAllowed = Set(
     "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh",
-    "q69_kmeans_lloyd") // k x dim centroid table broadcast per iteration
+    "q69_kmeans_lloyd", // k x dim centroid table broadcast per iteration
+    "q70_tfidf_cosine") // 1-row corpus-size scalar broadcast
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
