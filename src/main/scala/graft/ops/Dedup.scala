@@ -144,19 +144,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("m1", graft.functions.vec.hexHighBits(md5(col("w"))))
-    // one packed-mask expression per row, then a shift-and per bit — vs
-    // the former substring+set-membership per BIT per row (16-64 string
-    // ops/row); `(m1 >> j) & 1 = 1` ⟺ digit j+1 ∈ HighHex, so the
-    // oracle's substring formulation is untouched
-    val bitAggs = (0 until 16).map(j =>
-      sum(when(shiftright(col("m1"), j).bitwiseAND(lit(1L)) === 1L,
-        1).otherwise(-1)).as(s"b$j"))
-    val fp = (0 until 16)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // one packed-mask expression per row ((m1 >> j) & 1 = 1 ⟺ digit
+    // j+1 ∈ HighHex — the oracle's substring formulation is untouched),
+    // then the native SimHashVotes aggregate: ONE int-array buffer per
+    // group in place of 16 separate SUM columns of agg state (see
+    // functions/SimHashAgg.scala; the q36 gate pins the equivalence)
     words.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+      .agg(graft.functions.SimHashVotes.simhash(col("m1"), 16).as("simhash"))
   }
 
   /** DuckDB CTE `fp(doc_id, simhash)` mirroring the fingerprints. */
@@ -233,19 +227,16 @@ object Dedup {
       .withColumn("m1", graft.functions.vec.hexHighBits(md5(col("w"))))
       .withColumn("m2",
         graft.functions.vec.hexHighBits(md5(concat(lit("s:"), col("w")))))
-    // same packed-mask trick as the 16-bit form: two masks per row, then
-    // 64 shift-and aggregates (was 64 substring+set-membership per row)
-    val bitAggs = (0 until 64).map { j =>
-      val src = if (j < 32) col("m1") else col("m2")
-      sum(when(shiftright(src, j % 32).bitwiseAND(lit(1L)) === 1L,
-        1).otherwise(-1)).as(s"b$j")
-    }
-    val fp = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // same packed-mask trick as the 16-bit form; the two 32-bit vote
+    // aggregates run as ONE SimHashVotes buffer each (vs 64 SUM columns
+    // of per-group agg state), recombined into the 64-bit fingerprint —
+    // the q43 gate pins the equivalence to the oracle's substring form
     words.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+      .agg(
+        graft.functions.SimHashVotes.simhash(col("m1"), 32).as("lo"),
+        graft.functions.SimHashVotes.simhash(col("m2"), 32).as("hi"))
+      .select(col("doc_id"),
+        col("lo").bitwiseOR(shiftleft(col("hi"), 32)).as("simhash"))
   }
 
   private val simhash64Cte = {
