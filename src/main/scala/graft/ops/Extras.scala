@@ -235,6 +235,40 @@ object Extras {
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q71: mergeable percentile sketch, gated the q16 way. q55 records
+    * the exact interpolated percentiles — the right oracle but a full
+    * sort per group; at 100 TB you ship `approx_percentile`
+    * (Greenwald–Khanna summaries: one pass, bounded memory, mergeable
+    * across partitions like any partial agg). Raw sketch outputs are
+    * implementation- and merge-order-specific, so the gate hashes the
+    * exact values plus a within-tolerance VERDICT per percentile; the
+    * sketch value itself stays out of the hash. Relative-error bound:
+    * GK with accuracy parameter eps=10^-4 guarantees rank error
+    * ≤ eps·n, far inside the 5%-of-value tolerance asserted here. */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("p50_exact"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").as("p95_exact"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)")
+          .as("p50_sketch"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, 10000)")
+          .as("p95_sketch"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        (abs(col("p50_sketch") - col("p50_exact"))
+          <= col("p50_exact") * 0.05).as("p50_ok"),
+        (abs(col("p95_sketch") - col("p95_exact"))
+          <= col("p95_exact") * 0.05).as("p95_ok"))
+      .orderBy(col("l_returnflag"))
+
+  private val qApproxPercentileSql =
+    """SELECT l_returnflag,
+      | quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50_exact,
+      | quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95_exact,
+      | TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q65: multimodal resize, oracle-checked end to end — "image" blobs
     * carry the document text as a w0×16 row-major raster (w0 =
     * byte-length/16, so the sample grid never leaves the payload);
@@ -341,6 +375,9 @@ object Extras {
   val defs: Seq[(String, QueryDef)] = Seq(
     "q66_topk_per_group" -> QueryDef(qTopKGroups, Some(qTopKGroupsSql),
       "custom LogicalPlan+Strategy top-k-per-group (bounded heaps, no sort)"),
+    "q71_approx_percentile" -> QueryDef(qApproxPercentile,
+      Some(qApproxPercentileSql),
+      "GK percentile sketch vs exact baseline, error-bound verdict gate"),
     "q55_stats_percentile" -> QueryDef(qPercentiles, Some(qPercentilesSql),
       "exact interpolated percentiles per group (sketch-validation baseline)"),
     "q16_approx_distinct" -> QueryDef(qApprox, Some(qApproxSql),
