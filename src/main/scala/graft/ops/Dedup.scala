@@ -52,15 +52,18 @@ object Dedup {
     load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
-  /** MinHash+LSH candidate pairs: word-3-shingles → 8 min-hashes → 4
-    * bands → docs sharing any band. Hash family: TWO keyed md5s per
-    * shingle, each split into four 8-hex chunks (md5 bits are
-    * independent, so one digest yields four 32-bit hash values) — this
-    * quarters the digest cost of the signature aggregation versus one
-    * md5 per hash, and the lexicographic min over fixed-width hex chunks
-    * is reproducible bit-for-bit in DuckDB. */
-  private[ops] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents")
+  /** (doc_id, band) LSH band-key table for a (doc_id, text) frame:
+    * word-3-shingles → 8 min-hashes → 4 band keys per doc. Hash
+    * family: TWO keyed md5s per shingle, each split into four 8-hex
+    * chunks (md5 bits are independent, so one digest yields four
+    * 32-bit hash values) — this quarters the digest cost of the
+    * signature aggregation versus one md5 per hash, and the
+    * lexicographic min over fixed-width hex chunks is reproducible
+    * bit-for-bit in DuckDB. Shared by the batch candidate join (q35)
+    * and the streaming incremental index (q72), so both paths bucket
+    * identically by construction. */
+  private[ops] def bandTable(docs0: DataFrame): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
     // no pre-agg distinct: min over a multiset equals min over its set,
@@ -84,8 +87,11 @@ object Dedup {
       val rowCols = (0 until Rows).map(i => col(s"h${b * Rows + i}"))
       md5(concat((lit(s"$b:") +: rowCols): _*))
     }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  private[ops] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandTable(load(s, dir, "documents"))
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
@@ -420,6 +426,73 @@ object Dedup {
        |WHERE p.shared_ngrams >= $MinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q72: STREAMING incremental LSH index — the dedup index as a
+    * maintained structure instead of a batch recomputation. Documents
+    * arrive in micro-batches (file source, one input file per batch);
+    * each batch computes band keys for its NEW docs only ([[bandTable]],
+    * the exact chain q35 uses), appends them to a persistent band-table
+    * (one `batch=<id>` partition per micro-batch — idempotent under
+    * retry because a replayed batch OVERWRITES its own partition), and
+    * joins the new bands against the accumulated index to emit the
+    * candidate pairs this batch introduces. Per-batch cost tracks the
+    * NEW docs' bucket sizes, not corpus size — the only shape that
+    * keeps a dedup index alive under continuous ingestion at 100 TB.
+    *
+    * Convergence gate: the union of incrementally-emitted pairs must
+    * equal the batch q35 candidate set — same oracle SQL, the q27/q63
+    * streaming==batch contract applied to the index. */
+  private def qStreamLshIndex(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_slsh_").toString
+    // stage the corpus as 4 JSON-line files = 4 micro-batches
+    load(s, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .repartition(4, col("value"))
+      .write.mode("overwrite").text(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$tmp/in")
+      .select(from_json(col("value"), schema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+    val query = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = bandTable(batch)
+        b.write.mode("overwrite").parquet(s"$tmp/bands/batch=$id")
+        // accumulated index INCLUDING this batch (so within-batch pairs
+        // surface too); `batch <= id` keeps a half-written later
+        // partition from a concurrent retry out of scope
+        val index = batch.sparkSession.read.parquet(s"$tmp/bands")
+          .filter(col("batch") <= id)
+          .select(col("doc_id"), col("band"))
+        b.as("n").join(index.as("o"),
+            col("n.band") === col("o.band") &&
+              col("n.doc_id") =!= col("o.doc_id"))
+          .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+            greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tmp/pairs/batch=$id")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    import s.implicits._
+    val rows = s.read.parquet(s"$tmp/pairs")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    rows.toDF("doc_a", "doc_b").orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
       "exact dedup via content-hash groupBy"),
@@ -434,5 +507,7 @@ object Dedup {
     "q52_dedup_clusters" -> QueryDef(qClusters, Some(qClustersSql),
       "near-dup clusters: connected components over verified pairs"),
     "q67_exact_ngram_overlap" -> QueryDef(qNgramOverlap, Some(qNgramOverlapSql),
-      "exact 8-token shingle overlap pairs (df-capped posting-list join)"))
+      "exact 8-token shingle overlap pairs (df-capped posting-list join)"),
+    "q72_stream_lsh_index" -> QueryDef(qStreamLshIndex, Some(qMinHashSql),
+      "streaming incremental LSH index converges to the batch q35 candidates"))
 }

@@ -96,7 +96,16 @@ object TopKPerGroupStrategy extends SparkStrategy {
 /** One bounded-heap pass: for each group key, retain the k rows that
   * sort FIRST under `order`. `partial = true` runs before the shuffle on
   * whatever grouping the input has; `partial = false` requires the group
-  * key clustered and produces the exact answer. */
+  * key clustered and produces the exact answer.
+  *
+  * Memory bound: the PARTIAL pass flushes its heap table whenever more
+  * than [[TopKPerGroupExec.FlushGroups]] groups are resident — emitting
+  * a group's current heap early is always correct for a partial pass
+  * (it is a filter that keeps a superset of the group's true top k;
+  * the final pass re-merges), it just shuffles up to k extra rows per
+  * flush epoch for re-seen groups. The FINAL pass holds (groups in its
+  * hash partition) × k rows — the same residency shape as Spark's hash
+  * aggregate on the same key. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -117,8 +126,11 @@ case class TopKPerGroupExec(
     val groups = groupExprs
     val ord = order
     val limit = k
+    val isPartial = partial
     val childOutput = child.output
+    val flushAt = TopKPerGroupExec.FlushGroups
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groups, childOutput)
       // codegen'd comparator over the unbound sort order, bound lazily
       // on the executor (same mechanism TakeOrderedAndProject uses)
@@ -126,8 +138,8 @@ case class TopKPerGroupExec(
       // max-heap under cmp: the head is the WORST retained row, evicted
       // as soon as a better one arrives while the heap is full
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+
+      def consume(row: UnsafeRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -140,13 +152,45 @@ case class TopKPerGroupExec(
           heap.add(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values().asScala.toArray.iterator
+          .flatMap(_.iterator().asScala)
+        heaps.clear()
+        out
+      }
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        private def advance(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            consume(iter.next().asInstanceOf[UnsafeRow])
+            // partial pass under group-cardinality pressure: flush the
+            // resident heaps into the output and start over — exact
+            // (the final pass re-merges), bounded (≤ flushAt × k rows)
+            if (isPartial && heaps.size() > flushAt) pending = drain()
+          }
+          if (!pending.hasNext && !iter.hasNext && !heaps.isEmpty)
+            pending = drain()
+        }
+
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+        override def next(): InternalRow = { advance(); pending.next() }
+      }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Resident-group cap for the partial pass before it flushes
+    * (overridable for tests via the system property). At k=10 and
+    * 64-byte rows this bounds the heap table near 64 MB. */
+  def FlushGroups: Int =
+    Integer.getInteger("graft.topk.flushGroups", 100000)
 }
 
 /** User-facing API + per-session registration. */

@@ -84,6 +84,23 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters") && scan.contains("src19"), scan)
   }
 
+  test("partial-pass flush under group-cardinality pressure stays exact") {
+    // force a flush every 3 resident groups (20 sources at sf0.001)
+    System.setProperty("graft.topk.flushGroups", "3")
+    try {
+      val got = TopK.perGroup(docs, Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 4)
+        .orderBy(col("source"), col("doc_id")).collect().toSeq
+      val want = docs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 4).drop("rn")
+        .orderBy(col("source"), col("doc_id")).collect().toSeq
+      assert(got == want)
+    } finally System.clearProperty("graft.topk.flushGroups")
+  }
+
   test("a non-group filter is NOT pushed (it would change the result)") {
     val q = TopK.perGroup(docs, Seq(col("source")),
       Seq(col("n_chars").desc, col("doc_id").asc), 3)
