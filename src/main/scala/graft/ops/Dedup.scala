@@ -463,7 +463,11 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$tmp/chk")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = bandTable(batch)
+        // a micro-batch is one input file: a handful of output files
+        // per batch keeps the incremental index from accreting
+        // per-shuffle-partition small files (at cluster scale this is
+        // the same maxRecordsPerFile-style output sizing as writeTopic)
+        val b = bandTable(batch).coalesce(4)
         b.write.mode("overwrite").parquet(s"$tmp/bands/batch=$id")
         // accumulated index INCLUDING this batch (so within-batch pairs
         // surface too); `batch <= id` keeps a half-written later
@@ -477,6 +481,7 @@ object Dedup {
           .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
             greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
           .distinct()
+          .coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/pairs/batch=$id")
         ()
       }
