@@ -320,7 +320,137 @@ object Curation {
        |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
+  /** q73: ANALYZE-style column profiling — the first operator any data
+    * team runs against an unknown table: per column, row/null/distinct
+    * counts and value bounds, emitted as one narrow (column, metric)
+    * report. One pass over the table (all aggregates in a single
+    * projection — Catalyst plans one scan + one partial/final agg),
+    * then a fixed unpivot; at 100 TB the exact distinct counts swap for
+    * approx_count_distinct (q16 pins that sketch's verdict gate). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    val agg = d.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("text")).as("text_nn"),
+      countDistinct(col("text")).as("text_nd"),
+      min(length(col("text")).cast(LongType)).as("text_minlen"),
+      max(length(col("text")).cast(LongType)).as("text_maxlen"),
+      count(col("lang")).as("lang_nn"),
+      countDistinct(col("lang")).as("lang_nd"),
+      count(col("source")).as("source_nn"),
+      countDistinct(col("source")).as("source_nd"),
+      count(col("n_chars")).as("n_chars_nn"),
+      countDistinct(col("n_chars")).as("n_chars_nd"),
+      min(col("n_chars")).as("n_chars_min"),
+      max(col("n_chars")).as("n_chars_max"))
+    agg.select(expr(
+      """stack(4,
+        |  'text',    text_nn,    text_nd,    text_minlen, text_maxlen,
+        |  'lang',    lang_nn,    lang_nd,    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'source',  source_nn,  source_nd,  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'n_chars', n_chars_nn, n_chars_nd, n_chars_min, n_chars_max)
+        |  AS (column_name, n_nonnull, n_distinct, min_val, max_val)""".stripMargin),
+      col("n_rows"))
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  private val qProfileSql =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |   COUNT(text) AS text_nn, CAST(COUNT(DISTINCT text) AS BIGINT) AS text_nd,
+      |   CAST(min(len(text)) AS BIGINT) AS text_minlen,
+      |   CAST(max(len(text)) AS BIGINT) AS text_maxlen,
+      |   COUNT(lang) AS lang_nn, CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_nd,
+      |   COUNT(source) AS source_nn,
+      |   CAST(COUNT(DISTINCT source) AS BIGINT) AS source_nd,
+      |   COUNT(n_chars) AS n_chars_nn,
+      |   CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_chars_nd,
+      |   min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
+      |  FROM documents)
+      |SELECT u.column_name, a.n_rows, u.n_nonnull, u.n_distinct,
+      |       u.min_val, u.max_val
+      |FROM a, LATERAL (VALUES
+      |  ('text',    a.text_nn,    a.text_nd,    a.text_minlen, a.text_maxlen),
+      |  ('lang',    a.lang_nn,    a.lang_nd,    NULL, NULL),
+      |  ('source',  a.source_nn,  a.source_nd,  NULL, NULL),
+      |  ('n_chars', a.n_chars_nn, a.n_chars_nd, a.n_chars_min, a.n_chars_max))
+      |  AS u(column_name, n_nonnull, n_distinct, min_val, max_val)
+      |ORDER BY column_name""".stripMargin
+
+  /** q74: data-quality expectations — the Deequ/dbt-tests operator: a
+    * fixed suite of declarative checks (key uniqueness, referential
+    * integrity, domain membership, value ranges, cross-field
+    * consistency) evaluated in one pass each and emitted as a
+    * (check, n_violations, pass) report. Violation counting shapes:
+    * uniqueness = groupBy-HAVING, FK = broadcast/shuffle ANTI join,
+    * ranges/domains = map-side predicates — each the plan you would
+    * run at 100 TB (the anti-join is the only shuffle). */
+  private def qQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val li = load(s, dir, "lineitem")
+    val ord = load(s, dir, "orders")
+    val dupKeys = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+      .select(lit("doc_id_unique").as("check_name"), col("v").as("n_violations"))
+    val fkOrphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("lineitem_order_fk").as("check_name"),
+        col("v").as("n_violations"))
+    val langDomain = docs
+      .filter(!col("lang").isin("en", "de", "fr", "es", "zh"))
+      .agg(count(lit(1)).as("v"))
+      .select(lit("lang_in_domain").as("check_name"),
+        col("v").as("n_violations"))
+    val charRange = docs.filter(col("n_chars") <= 0L)
+      .agg(count(lit(1)).as("v"))
+      .select(lit("n_chars_positive").as("check_name"),
+        col("v").as("n_violations"))
+    val lenConsistent = docs
+      .filter(length(col("text")).cast(LongType) =!= col("n_chars"))
+      .agg(count(lit(1)).as("v"))
+      .select(lit("n_chars_matches_text").as("check_name"),
+        col("v").as("n_violations"))
+    dupKeys.union(fkOrphans).union(langDomain).union(charRange)
+      .union(lenConsistent)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  private val qQualityChecksSql =
+    """WITH checks AS (
+      |  SELECT 'doc_id_unique' AS check_name,
+      |    COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM (
+      |      SELECT COUNT(*) AS n FROM documents GROUP BY doc_id
+      |      HAVING COUNT(*) > 1) t), 0) AS n_violations
+      |  UNION ALL
+      |  SELECT 'lineitem_order_fk',
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lang_in_domain',
+      |    (SELECT COUNT(*) FROM documents
+      |     WHERE lang NOT IN ('en','de','fr','es','zh'))
+      |  UNION ALL
+      |  SELECT 'n_chars_positive',
+      |    (SELECT COUNT(*) FROM documents WHERE n_chars <= 0)
+      |  UNION ALL
+      |  SELECT 'n_chars_matches_text',
+      |    (SELECT COUNT(*) FROM documents WHERE len(text) <> n_chars)
+      |)
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q73_column_profile" -> QueryDef(qProfile, Some(qProfileSql),
+      "ANALYZE-style per-column profiling report (one scan, one agg)"),
+    "q74_quality_checks" -> QueryDef(qQualityChecks, Some(qQualityChecksSql),
+      "data-quality expectations: uniqueness / FK / domain / range report"),
     "q46_corpus_curation" -> QueryDef(qCurate, Some(qCurateSql),
       "end-to-end corpus curation: quality gate -> exact dedup -> LSH near-dup removal -> per-lang stats"),
     "q54_sample_split" -> QueryDef(qSampleSplit, Some(qSampleSplitSql),
