@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
@@ -323,7 +323,77 @@ object Relational {
       |  ON e.event_id BETWEEN o.o_orderkey * 100 AND o.o_orderkey * 100 + 249
       |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
 
+  /** q75: outer-join surface — customers with no orders and (synthetic)
+    * order keys with no customer must both survive, so the gate pins
+    * null-extension semantics on BOTH sides. Spark plans a single
+    * shuffled full-outer hash join; the per-side aggregates make
+    * missing rows visible in the hashed output. */
+  private def qOuterJoins(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("_nokey")).as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_no_orders"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_no_customer"),
+        dsumOf(col("spend")).as("segment_spend"))
+      .orderBy(col("segment"))
+  }
+
+  /** Exact decimal re-sum of an already-decimal-summed double column. */
+  private def dsumOf(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .cast(org.apache.spark.sql.types.DoubleType)
+
+  private val qOuterJoinsSql =
+    """WITH o AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(c.c_mktsegment, '_nokey') AS segment,
+      | COUNT(*) AS n_rows,
+      | CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_no_orders,
+      | CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_no_customer,
+      | CAST(SUM(CAST(o.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+      |FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** q76: pivot — order counts and exact spend per priority, one output
+    * column group per order status (Spark's relational pivot; the
+    * oracle restates it as conditional aggregation, which is also
+    * exactly what Catalyst lowers pivot to: one scan, one agg, no
+    * join). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      | CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_spend,
+      | CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_spend,
+      | CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_spend
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q75_outer_joins" -> QueryDef(qOuterJoins, Some(qOuterJoinsSql),
+      "full-outer join with both-side null extension pinned"),
+    "q76_pivot" -> QueryDef(qPivot, Some(qPivotSql),
+      "relational pivot == conditional aggregation (one scan, no join)"),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql),
       "agg+pushdown (SURVEY A2/A3, F-class)"),
     "q03_top_revenue_orders" -> QueryDef(q03, Some(q03Sql),
