@@ -235,6 +235,66 @@ object Extras {
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q77: STREAMING top-k maintenance — the custom top-k operator
+    * ([[graft.plans.TopK]]) kept current under continuous ingestion.
+    * Each micro-batch folds its new documents into the retained top-k
+    * table: state(id) = topk(state(id−1) ∪ batch), written to a
+    * batch=<id> version dir so a replayed batch recomputes exactly the
+    * same version from the same inputs (idempotent under retry, same
+    * device as q72). State size is groups × k rows — constant, and the
+    * per-batch fold costs |batch| + |state|, never corpus size.
+    * Convergence gate: the final version equals the batch q66 answer
+    * (window-rank oracle) — streaming == batch for the custom plan. */
+  private def qStreamTopK(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stopk_").toString
+    load(s, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))).as("value"))
+      .repartition(4, col("value"))
+      .write.mode("overwrite").text(s"$tmp/in")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$tmp/in")
+      .select(from_json(col("value"), schema).as("d"))
+      .select(col("d.source").as("source"), col("d.doc_id").as("doc_id"),
+        col("d.lang").as("lang"), col("d.n_chars").as("n_chars"))
+    val query = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val prev =
+          if (id == 0) batch.limit(0)
+          else ss.read.parquet(s"$tmp/state/batch=${id - 1}")
+            .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+        graft.plans.TopK.perGroup(prev.unionByName(batch),
+            Seq(col("source")),
+            Seq(col("n_chars").desc, col("doc_id").asc), 3)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/state/batch=$id")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    import s.implicits._
+    val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
+      .collect()(0).getInt(0)
+    val rows = s.read.parquet(s"$tmp/state/batch=$last")
+      .filter(col("source") =!= "src19")
+      .orderBy(col("source"), col("doc_id"))
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .as[(String, Long, String, Long)].collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    rows.toDF("source", "doc_id", "lang", "n_chars")
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** q71: mergeable percentile sketch, gated the q16 way. q55 records
     * the exact interpolated percentiles — the right oracle but a full
     * sort per group; at 100 TB you ship `approx_percentile`
@@ -378,6 +438,8 @@ object Extras {
     "q71_approx_percentile" -> QueryDef(qApproxPercentile,
       Some(qApproxPercentileSql),
       "GK percentile sketch vs exact baseline, error-bound verdict gate"),
+    "q77_stream_topk" -> QueryDef(qStreamTopK, Some(qTopKGroupsSql),
+      "streaming top-k maintenance via the custom plan == batch q66"),
     "q55_stats_percentile" -> QueryDef(qPercentiles, Some(qPercentilesSql),
       "exact interpolated percentiles per group (sketch-validation baseline)"),
     "q16_approx_distinct" -> QueryDef(qApprox, Some(qApproxSql),
