@@ -403,7 +403,60 @@ object TextAnalysis {
        |    >= $TfIdfCosine
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q78: curriculum phases — documents bucketed into 4 quality
+    * quartiles PER LANGUAGE (ntile over the q31 score with a doc_id
+    * tie-break so the bucketing is total), reported as per-(lang, phase)
+    * stats. This is the curriculum-learning data op: train on phase 4
+    * (cleanest) first, widen downward. The window partitions by
+    * language — at 100 TB a language is a skewed giant, so the scale
+    * form replaces exact ntile with approx-quantile phase BOUNDARIES
+    * (q71's sketch, broadcast back as a map-side bucketer); the exact
+    * form here is the oracle that sketch is validated against. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+          .cast(LongType).as("n_stop"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType)
+          .as("n_uniq"))
+      .withColumn("score",
+        (col("n_uniq").cast(DoubleType) / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")))
+      .withColumn("phase", ntile(4).over(w).cast(LongType))
+      .groupBy(col("lang"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("phase_tokens"),
+        sum(col("doc_id")).as("member_checksum"))
+      .orderBy(col("lang"), col("phase"))
+  }
+
+  private val qCurriculumSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |   CAST(len(list_filter(string_split(text, ' '),
+      |     w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |   CAST(ntile(4) OVER (PARTITION BY lang ORDER BY
+      |     (CAST(n_uniq AS DOUBLE) / n_tokens)
+      |       * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) ASC, doc_id ASC)
+      |     AS BIGINT) AS phase
+      |  FROM t)
+      |SELECT lang, phase, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+      | CAST(SUM(doc_id) AS BIGINT) AS member_checksum
+      |FROM p GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q78_curriculum_ntile" -> QueryDef(qCurriculum, Some(qCurriculumSql),
+      "curriculum phases: per-language quality quartiles (total-order ntile)"),
     "q70_tfidf_cosine" -> QueryDef(qTfIdfCosine, Some(qTfIdfCosineSql),
       "TF-IDF sparse cosine pairs via posting-list join, integer-exact idf"),
     "q30_text_token_stats" -> QueryDef(qStats, Some(qStatsSql),

@@ -11,6 +11,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the cluster deployment path: custom expressions + the TopK
+      // strategy injected at session build (static conf — must be set
+      // when the FIRST context is created; ExtensionsSpec asserts it)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
