@@ -280,7 +280,77 @@ object Training {
        |   AS sampled_checksum
        |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** q79: source-mixture sampling — the data-mixture op behind every
+    * pretraining run ("40% en, 15% each of de/es/fr/zh"): q62's
+    * equalizer generalized to specified ratios. The feasible corpus
+    * budget is T = min_k(n_k / r_k) (the binding language caps the
+    * whole mixture — you cannot upsample what you don't have without
+    * repetition); per-language targets floor(T·r_k) then become the
+    * same deterministic hash thresholds as q62. All driver-side
+    * arithmetic happens on a #languages-row table; the per-doc keep
+    * rule stays a broadcast-join + map-side compare. */
+  private val MixtureRatios = Seq(
+    ("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+
+  private def qSourceMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = load(s, dir, "documents")
+    val ratios = MixtureRatios.toDF("lang", "ratio")
+    val budget = min(col("n_docs") / col("ratio"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val quotas = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(ratios), "lang")
+      .withColumn("target",
+        floor(budget * col("ratio")).cast(LongType))
+      .withColumn("thresh", format_string("%04x",
+        floor(lit(65536.0) * col("target") / col("n_docs"))
+          .cast(IntegerType)))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("keep",
+        col("target") === col("n_docs") ||
+          substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 4)
+            < col("thresh"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("target")).as("target_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L))
+          .as("kept_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  private val qSourceMixtureSql = {
+    val vals = MixtureRatios
+      .map { case (l, r) => s"('$l', CAST($r AS DOUBLE))" }.mkString(", ")
+    s"""WITH r(lang, ratio) AS (VALUES $vals),
+       |cnt AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |q AS (
+       |  SELECT cnt.lang, cnt.n_docs, r.ratio,
+       |   min(cnt.n_docs / r.ratio) OVER () AS budget
+       |  FROM cnt JOIN r USING (lang)),
+       |q2 AS (
+       |  SELECT lang, n_docs,
+       |   CAST(floor(budget * ratio) AS BIGINT) AS target,
+       |   printf('%04x', CAST(floor(
+       |     65536.0 * CAST(floor(budget * ratio) AS BIGINT) / n_docs)
+       |     AS INT)) AS thresh
+       |  FROM q),
+       |k AS (
+       |  SELECT d.lang, q2.n_docs, q2.target, d.doc_id,
+       |   CASE WHEN q2.target = q2.n_docs THEN TRUE
+       |        ELSE substring(md5('mix:' || d.doc_id), 1, 4) < q2.thresh
+       |   END AS keep
+       |  FROM documents d JOIN q2 USING (lang))
+       |SELECT lang, max(n_docs) AS n_docs, max(target) AS target_docs,
+       | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS kept_checksum
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q79_source_mixture" -> QueryDef(qSourceMixture, Some(qSourceMixtureSql),
+      "data-mixture sampling: ratio quotas bounded by the binding language"),
     "q59_decontaminate" -> QueryDef(qDecontam, Some(qDecontamSql),
       "eval-set n-gram decontamination: broadcast eval shingles, per-doc match counts"),
     "q60_unigram_lm" -> QueryDef(qUnigramLM, Some(qUnigramLMSql),
