@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE path for the block-replica file sink (K5's
+  * `<blockId>-<prevBlockId>.blk` layout) with the two-phase commit
+  * protocol a 1000-executor write actually needs:
+  *
+  *  1. every task attempt writes its files under a private
+  *     `_tmp/<attemptUUID>/` directory — task retries and SPECULATIVE
+  *     DUPLICATES each get their own, so concurrent attempts never
+  *     collide;
+  *  2. a task's `commit()` returns the attempt's file list as its
+  *     [[WriterCommitMessage]]; Spark guarantees at most one attempt
+  *     per task is committed;
+  *  3. the driver's `BatchWrite.commit` publishes EXACTLY the files
+  *     named in commit messages (rename out of the temp dir — a
+  *     same-filesystem metadata op), then removes `_tmp`: losers of
+  *     speculation and failed attempts vanish without a trace;
+  *  4. any task failure aborts the job → `BatchWrite.abort` deletes
+  *     the whole temp tree and the target keeps NO partial output.
+  *
+  * `spark.read.format(binaryFile)` over the published layout is the
+  * read-back path (`ChangeSetAssembler.readReplicas`); a spec drives
+  * both the happy path and an injected mid-write task failure.
+  */
+class BlockFileSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlockFileSink.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BlockSinkTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object BlockFileSink {
+  val Schema: StructType = StructType(Seq(
+    StructField("block_id", LongType, nullable = false),
+    StructField("prev_block_id", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+private class BlockSinkTable(path: String) extends Table with SupportsWrite {
+  require(path != null, "graft block sink needs a .save(path)")
+  override def name(): String = s"graft-blocksink:$path"
+  override def schema(): StructType = BlockFileSink.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BlockSinkBatchWrite(path)
+      }
+    }
+}
+
+private case class BlockFilesCommitted(files: Seq[String])
+    extends WriterCommitMessage
+
+private class BlockSinkBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new BlockSinkWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val target = new Path(path)
+    fs.mkdirs(target)
+    // publish exactly the committed attempts' files; anything else in
+    // _tmp (failed / speculative-loser attempts) is discarded below
+    messages.foreach {
+      case BlockFilesCommitted(files) => files.foreach { f =>
+        val src = new Path(f)
+        if (!fs.rename(src, new Path(target, src.getName)))
+          throw new java.io.IOException(s"commit rename failed for $f")
+      }
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    fs.delete(new Path(target, "_tmp"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    fs.delete(new Path(new Path(path), "_tmp"), true)
+  }
+}
+
+private class BlockSinkWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BlockSinkWriter(path)
+}
+
+private class BlockSinkWriter(path: String) extends DataWriter[InternalRow] {
+  // one private dir per ATTEMPT (not per task id): speculative twins
+  // of the same task write side by side and only one gets committed
+  private val attemptDir = new Path(new Path(path, "_tmp"), UUID.randomUUID().toString)
+  private lazy val fs = {
+    val f = FileSystem.get(java.net.URI.create(path), new Configuration())
+    f.mkdirs(attemptDir)
+    f
+  }
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def write(row: InternalRow): Unit = {
+    val blockId = row.getLong(0)
+    val prev = row.getLong(1)
+    val data = row.getBinary(2)
+    val f = new Path(attemptDir, s"$blockId-$prev.blk")
+    val out = fs.create(f, true)
+    try out.write(data) finally out.close()
+    written += f.toString
+  }
+
+  override def commit(): WriterCommitMessage = BlockFilesCommitted(written.toSeq)
+
+  override def abort(): Unit = fs.delete(attemptDir, true)
+
+  override def close(): Unit = ()
+}
