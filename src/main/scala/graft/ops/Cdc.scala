@@ -494,28 +494,25 @@ object Cdc {
     * for the FSM. */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_sdedup_").toString
-    load(s, dir, "events")
-      .select(to_json(struct(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts"))).as("value"))
-      .coalesce(8)
-      .write.mode("overwrite").text(s"$tmp/in")
-    val q = graft.streaming.ChangeStreamPipeline.startDedup(
-      s"$tmp/in", s"$tmp/out", s"$tmp/chk", statePartitions = Some(8))
-    q.awaitTermination()
-    // the summary is a handful of rows — read it eagerly so the replay
-    // scratch dir (inputs + sink + checkpoint) can be deleted before
-    // returning instead of leaking a copy of the event log per run
     import s.implicits._
-    val rows = s.read.parquet(s"$tmp/out")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
-      .orderBy(col("event_type"))
-      .as[(String, Long, Long)].collect().toSeq
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // the summary is a handful of rows — read it eagerly inside the
+    // scratch scope (which deletes the staged event log + sink +
+    // checkpoint even on failure) and return a local frame
+    val rows = graft.streaming.StreamScratch.withScratch("graft_sdedup_") { tmp =>
+      load(s, dir, "events")
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts"))).as("value"))
+        .coalesce(8)
+        .write.mode("overwrite").text(s"$tmp/in")
+      val q = graft.streaming.ChangeStreamPipeline.startDedup(
+        s"$tmp/in", s"$tmp/out", s"$tmp/chk", statePartitions = Some(8))
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
+        .orderBy(col("event_type"))
+        .as[(String, Long, Long)].collect().toSeq
+    }
     rows.toDF("event_type", "n_keys", "checksum")
       .orderBy(col("event_type"))
   }

@@ -97,7 +97,8 @@ object Curation {
        |  JOIN d da ON da.doc_id = c.doc_a
        |  JOIN d db ON db.doc_id = c.doc_b
        |  WHERE CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
-       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))) >= 0.5),
+       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws)))
+       |    >= ${Dedup.JaccardThreshold}),
        |fin AS (
        |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
        |langs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
@@ -299,7 +300,8 @@ object Curation {
        |  JOIN d da ON da.doc_id = c.doc_a
        |  JOIN d db ON db.doc_id = c.doc_b
        |  WHERE CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
-       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))) >= 0.5),
+       |    / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws)))
+       |    >= ${Dedup.JaccardThreshold}),
        |ev AS (SELECT DISTINCT g FROM gg WHERE doc_id % $em = 0),
        |cont AS (
        |  SELECT DISTINCT c.doc_id FROM gg c JOIN ev ON c.g = ev.g

@@ -442,8 +442,9 @@ object Dedup {
     * equal the batch q35 candidate set — same oracle SQL, the q27/q63
     * streaming==batch contract applied to the index. */
   private def qStreamLshIndex(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_slsh_").toString
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rows = graft.streaming.StreamScratch.withScratch("graft_slsh_") { tmp =>
     // stage the corpus as 4 JSON-line files = 4 micro-batches
     load(s, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
@@ -487,14 +488,11 @@ object Dedup {
       }
       .start()
     query.awaitTermination()
-    import s.implicits._
-    val rows = s.read.parquet(s"$tmp/pairs")
+    s.read.parquet(s"$tmp/pairs")
       .select(col("doc_a"), col("doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
       .as[(Long, Long)].collect().toSeq
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     rows.toDF("doc_a", "doc_b").orderBy(col("doc_a"), col("doc_b"))
   }
 

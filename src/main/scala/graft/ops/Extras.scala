@@ -246,8 +246,9 @@ object Extras {
     * Convergence gate: the final version equals the batch q66 answer
     * (window-rank oracle) — streaming == batch for the custom plan. */
   private def qStreamTopK(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stopk_").toString
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rows = graft.streaming.StreamScratch.withScratch("graft_stopk_") { tmp =>
     load(s, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
         col("n_chars"))).as("value"))
@@ -280,17 +281,14 @@ object Extras {
       }
       .start()
     query.awaitTermination()
-    import s.implicits._
     val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
       .collect()(0).getInt(0)
-    val rows = s.read.parquet(s"$tmp/state/batch=$last")
+    s.read.parquet(s"$tmp/state/batch=$last")
       .filter(col("source") =!= "src19")
       .orderBy(col("source"), col("doc_id"))
       .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
       .as[(String, Long, String, Long)].collect().toSeq
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     rows.toDF("source", "doc_id", "lang", "n_chars")
       .orderBy(col("source"), col("doc_id"))
   }

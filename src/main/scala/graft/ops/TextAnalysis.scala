@@ -353,13 +353,17 @@ object TextAnalysis {
       .join(broadcast(nTotal))
       .withColumn("wq", expr("tf * ((n_total * 1024) div df)"))
       .select(col("doc_id"), col("w"), col("wq"))
+    // cast each FACTOR to decimal before multiplying: wq can reach
+    // ~tf * N * 1024, so a Long product wq*wq overflows near N ≈ 3M
+    // docs — the decimal multiply keeps the "exact integer sums"
+    // invariant at any corpus size (DuckDB mirrors with HUGEINT)
     val norms = weights.groupBy(col("doc_id"))
-      .agg(sum((col("wq") * col("wq")).cast(DecimalType38)).as("nq"))
+      .agg(sum(col("wq").cast(DecimalType38) * col("wq")).as("nq"))
     val pairs = weights.as("a")
       .join(weights.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum((col("a.wq") * col("b.wq")).cast(DecimalType38)).as("dotq"),
+      .agg(sum(col("a.wq").cast(DecimalType38) * col("b.wq")).as("dotq"),
         count(lit(1)).as("shared_terms"))
     pairs
       .join(norms.select(col("doc_id").as("doc_a"), col("nq").as("na")), "doc_a")
@@ -384,10 +388,11 @@ object TextAnalysis {
        |  SELECT tf.doc_id, tf.w,
        |    tf.tf * (((SELECT COUNT(*) FROM documents) * 1024) // df.df) AS wq
        |  FROM tf JOIN dfreq df USING (w)),
-       |norms AS (SELECT doc_id, SUM(wq * wq) AS nq FROM weights GROUP BY doc_id),
+       |norms AS (SELECT doc_id, SUM(CAST(wq AS HUGEINT) * wq) AS nq
+       |          FROM weights GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    SUM(a.wq * b.wq) AS dotq, COUNT(*) AS shared_terms
+       |    SUM(CAST(a.wq AS HUGEINT) * b.wq) AS dotq, COUNT(*) AS shared_terms
        |  FROM weights a JOIN weights b
        |    ON a.w = b.w AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)

@@ -168,13 +168,20 @@ object Training {
     * table this small beats a scalar cross join, and keeps plans free
     * of nested-loop joins (PlanAuditSpec forbids them globally).
     * Shared by q62 and the q64 release pipeline. */
+  /** Quota threshold from `target`/`n_docs` columns: the language's
+    * quota fraction of the 16-bit space as a 4-digit hex string. ONE
+    * implementation of the threshold encoding — q62's equalizer, q79's
+    * mixture, and the q64 release chain all derive from it, so an edge
+    * fix (e.g. the 65536 boundary) lands everywhere at once. */
+  private[ops] def withThresh(quotas: DataFrame): DataFrame =
+    quotas.withColumn("thresh", format_string("%04x",
+      floor(lit(65536.0) * col("target") / col("n_docs"))
+        .cast(IntegerType)))
+
   private[ops] def withQuotas(counts: DataFrame): DataFrame = {
     val target = min(col("n_docs"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    counts.withColumn("target", target)
-      .withColumn("thresh", format_string("%04x",
-        floor(lit(65536.0) * col("target") / col("n_docs"))
-          .cast(IntegerType)))
+    withThresh(counts.withColumn("target", target))
   }
 
   /** Keep rule against the quota columns: the smallest language keeps
@@ -184,9 +191,11 @@ object Training {
     * hex-to-int conversion is involved. Membership is a pure function
     * of (doc_id, per-lang counts) — re-runs, engines, and re-shards
     * agree row-for-row. */
-  private[ops] def keepByQuota: Column =
+  private[ops] def keepBySaltedQuota(salt: String): Column =
     col("n_docs") === col("target") ||
-      substring(md5(concat(lit("bal:"), col("doc_id"))), 1, 4) < col("thresh")
+      substring(md5(concat(lit(salt), col("doc_id"))), 1, 4) < col("thresh")
+
+  private[ops] def keepByQuota: Column = keepBySaltedQuota("bal:")
 
   /** SQL twin of [[withQuotas]]: `cnt`/`quota` CTE pair over `src`
     * (any relation exposing `lang`). */
@@ -197,11 +206,12 @@ object Training {
        |   printf('%04x', CAST(floor(65536.0 * (min(n_docs) OVER ()) / n_docs) AS INT)) AS thresh
        |  FROM cnt)""".stripMargin
 
-  /** SQL twin of [[keepByQuota]] against aliases `d` (docs) / `q`
+  /** SQL twin of [[keepBySaltedQuota]] against aliases `d` (docs) / `q`
     * (quota). */
-  private[ops] def keepByQuotaSql(d: String, q: String): String =
+  private[ops] def keepByQuotaSql(d: String, q: String,
+      salt: String = "bal:"): String =
     s"""CASE WHEN $q.n_docs = $q.target THEN TRUE
-       |        ELSE substring(md5('bal:' || $d.doc_id), 1, 4) < $q.thresh
+       |        ELSE substring(md5('$salt' || $d.doc_id), 1, 4) < $q.thresh
        |   END""".stripMargin
 
   /** q62: per-language corpus rebalancing — downsample every language to
@@ -298,18 +308,12 @@ object Training {
     val ratios = MixtureRatios.toDF("lang", "ratio")
     val budget = min(col("n_docs") / col("ratio"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val quotas = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(ratios), "lang")
-      .withColumn("target",
-        floor(budget * col("ratio")).cast(LongType))
-      .withColumn("thresh", format_string("%04x",
-        floor(lit(65536.0) * col("target") / col("n_docs"))
-          .cast(IntegerType)))
+    val quotas = withThresh(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(ratios), "lang")
+        .withColumn("target", floor(budget * col("ratio")).cast(LongType)))
     docs.join(broadcast(quotas), "lang")
-      .withColumn("keep",
-        col("target") === col("n_docs") ||
-          substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 4)
-            < col("thresh"))
+      .withColumn("keep", keepBySaltedQuota("mix:"))
       .groupBy(col("lang"))
       .agg(max(col("n_docs")).as("n_docs"),
         max(col("target")).as("target_docs"),
@@ -337,9 +341,7 @@ object Training {
        |  FROM q),
        |k AS (
        |  SELECT d.lang, q2.n_docs, q2.target, d.doc_id,
-       |   CASE WHEN q2.target = q2.n_docs THEN TRUE
-       |        ELSE substring(md5('mix:' || d.doc_id), 1, 4) < q2.thresh
-       |   END AS keep
+       |   ${keepByQuotaSql("d", "q2", "mix:")} AS keep
        |  FROM documents d JOIN q2 USING (lang))
        |SELECT lang, max(n_docs) AS n_docs, max(target) AS target_docs,
        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

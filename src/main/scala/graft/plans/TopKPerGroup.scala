@@ -132,6 +132,10 @@ case class TopKPerGroupExec(
     child.execute().mapPartitions({ iter =>
       import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groups, childOutput)
+      // in-tree children all emit UnsafeRow, but the contract is only
+      // InternalRow — convert stragglers instead of class-casting
+      val toUnsafe = UnsafeProjection.create(
+        childOutput.map(_.dataType).toArray)
       // codegen'd comparator over the unbound sort order, bound lazily
       // on the executor (same mechanism TakeOrderedAndProject uses)
       val cmp = new LazilyGeneratedOrdering(ord, childOutput)
@@ -165,7 +169,10 @@ case class TopKPerGroupExec(
 
         private def advance(): Unit = {
           while (!pending.hasNext && iter.hasNext) {
-            consume(iter.next().asInstanceOf[UnsafeRow])
+            consume(iter.next() match {
+              case u: UnsafeRow => u
+              case r => toUnsafe(r)
+            })
             // partial pass under group-cardinality pressure: flush the
             // resident heaps into the output and start over — exact
             // (the final pass re-merges), bounded (≤ flushAt × k rows)

@@ -56,35 +56,68 @@ private class BlockSinkTable(path: String) extends Table with SupportsWrite {
   require(path != null, "graft block sink needs a .save(path)")
   override def name(): String = s"graft-blocksink:$path"
   override def schema(): StructType = BlockFileSink.Schema
+  // BATCH_WRITE only: advertising TRUNCATE without a SupportsTruncate
+  // builder would pass analysis and then fail at physical planning —
+  // a clean analysis error for overwrite mode beats a late surprise
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BlockSinkBatchWrite(path)
+        override def toBatch: BatchWrite = new BlockSinkBatchWrite(path,
+          HadoopConfSnapshot.capture())
       }
     }
+}
+
+/** The session's Hadoop configuration as a serializable key/value
+  * snapshot — executors reconstruct it so fs.s3a credentials, custom
+  * scheme impls, and kerberos settings set via spark.hadoop.* reach the
+  * writer/reader (a fresh `new Configuration()` would silently drop
+  * them). */
+private[sources] case class HadoopConfSnapshot(entries: Array[(String, String)]) {
+  def toConf: Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+private[sources] object HadoopConfSnapshot {
+  def capture(): HadoopConfSnapshot = {
+    import scala.jdk.CollectionConverters._
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    HadoopConfSnapshot(conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray)
+  }
 }
 
 private case class BlockFilesCommitted(files: Seq[String])
     extends WriterCommitMessage
 
-private class BlockSinkBatchWrite(path: String) extends BatchWrite {
+private class BlockSinkBatchWrite(path: String, conf: HadoopConfSnapshot)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new BlockSinkWriterFactory(path)
+    new BlockSinkWriterFactory(path, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val fs = FileSystem.get(java.net.URI.create(path), conf.toConf)
     val target = new Path(path)
     fs.mkdirs(target)
     // publish exactly the committed attempts' files; anything else in
-    // _tmp (failed / speculative-loser attempts) is discarded below
+    // _tmp (failed / speculative-loser attempts) is discarded below.
+    // Last-write-wins on name collisions: a re-run of the same append
+    // (or a duplicate key across tasks) replaces the file instead of
+    // failing the whole job after every task already succeeded.
     messages.foreach {
       case BlockFilesCommitted(files) => files.foreach { f =>
         val src = new Path(f)
-        if (!fs.rename(src, new Path(target, src.getName)))
+        val dst = new Path(target, src.getName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
           throw new java.io.IOException(s"commit rename failed for $f")
       }
       case other =>
@@ -94,26 +127,30 @@ private class BlockSinkBatchWrite(path: String) extends BatchWrite {
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val fs = FileSystem.get(java.net.URI.create(path), conf.toConf)
     fs.delete(new Path(new Path(path), "_tmp"), true)
   }
 }
 
-private class BlockSinkWriterFactory(path: String) extends DataWriterFactory {
+private class BlockSinkWriterFactory(path: String, conf: HadoopConfSnapshot)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BlockSinkWriter(path)
+    new BlockSinkWriter(path, conf)
 }
 
-private class BlockSinkWriter(path: String) extends DataWriter[InternalRow] {
+private class BlockSinkWriter(path: String, conf: HadoopConfSnapshot)
+    extends DataWriter[InternalRow] {
   // one private dir per ATTEMPT (not per task id): speculative twins
   // of the same task write side by side and only one gets committed
   private val attemptDir = new Path(new Path(path, "_tmp"), UUID.randomUUID().toString)
   private lazy val fs = {
-    val f = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val f = FileSystem.get(java.net.URI.create(path), conf.toConf)
     f.mkdirs(attemptDir)
     f
   }
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  // a LinkedHashSet, not a buffer: a duplicate (block_id, prev) within
+  // the attempt overwrites the same file and must be published once
+  private val written = scala.collection.mutable.LinkedHashSet.empty[String]
 
   override def write(row: InternalRow): Unit = {
     val blockId = row.getLong(0)

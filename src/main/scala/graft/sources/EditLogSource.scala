@@ -132,8 +132,10 @@ private class EditLogScan(path: String, startTx: Long, endTx: Long)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side: the session's Hadoop conf directly
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), new org.apache.hadoop.conf.Configuration())
+      java.net.URI.create(path), org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath.getName).toSeq
     EditsFileFinder.findEditsFiles(names, startTx, endTx)
@@ -143,19 +145,21 @@ private class EditLogScan(path: String, startTx: Long, endTx: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EditLogReaderFactory
+    // executor-side: ship the conf as a serializable snapshot
+    new EditLogReaderFactory(HadoopConfSnapshot.capture())
 }
 
 private case class EditLogPartition(file: String, startTx: Long, endTx: Long)
     extends InputPartition
 
-private class EditLogReaderFactory extends PartitionReaderFactory {
+private class EditLogReaderFactory(conf: HadoopConfSnapshot)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EditLogPartition]
     new PartitionReader[InternalRow] {
       private val ops = {
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(p.file), new org.apache.hadoop.conf.Configuration())
+          java.net.URI.create(p.file), conf.toConf)
         val in = fs.open(new org.apache.hadoop.fs.Path(p.file))
         val bytes = try {
           val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p.file)).getLen

@@ -188,7 +188,14 @@ object ChangeStreamPipeline {
           col("e.event_type").as("event_type"),
           timestamp_millis(col("e.ts")).as("ts"))
         .withWatermark("ts", watermarkDelay)
-        .dropDuplicates("user_id", "event_type")
+        // dropDuplicatesWithinWatermark, NOT dropDuplicates(keys): with
+        // plain dropDuplicates the state store only evicts entries whose
+        // KEY carries the event-time column — keying on (user, type)
+        // alone would grow state forever on an unbounded stream. The
+        // WithinWatermark variant dedups on the keys and evicts each
+        // entry once the watermark passes its event time + delay, which
+        // is the bounded-state contract the delay parameter promises.
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
         .writeStream
         .outputMode("append")
