@@ -448,7 +448,62 @@ object Curation {
       |  n_violations = 0 AS pass
       |FROM checks ORDER BY check_name""".stripMargin
 
+  /** q81: corpus snapshot DIFF — the dataset-versioning op: given two
+    * corpus snapshots, classify every doc_id as added / removed /
+    * changed / unchanged and report counts + membership checksums per
+    * class. One full-outer join on the stable id with an md5 content
+    * compare — at 100 TB both sides shuffle once on the id (or zero
+    * times if the snapshots share bucketing), and the md5 comparison
+    * prunes to 2 columns per side at the scan. The "v2" snapshot is
+    * derived deterministically from the same table so the gate is
+    * self-contained: every 11th doc deleted, every 7th rewritten,
+    * one synthetic addition per 13th doc. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val base = load(s, dir, "documents")
+    val v2 = base
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h2"))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(lit("new:"), col("text"))).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("class",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .orderBy(col("class"))
+  }
+
+  private val qSnapshotDiffSql =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS h2
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |   CASE WHEN v1.h1 IS NULL THEN 'added'
+      |        WHEN v2.h2 IS NULL THEN 'removed'
+      |        WHEN v1.h1 <> v2.h2 THEN 'changed'
+      |        ELSE 'unchanged' END AS class
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT class, COUNT(*) AS n_docs,
+      | CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM j GROUP BY class ORDER BY class""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q81_snapshot_diff" -> QueryDef(qSnapshotDiff, Some(qSnapshotDiffSql),
+      "corpus snapshot diff: added/removed/changed via full-outer md5 compare"),
     "q73_column_profile" -> QueryDef(qProfile, Some(qProfileSql),
       "ANALYZE-style per-column profiling report (one scan, one agg)"),
     "q74_quality_checks" -> QueryDef(qQualityChecks, Some(qQualityChecksSql),

@@ -293,6 +293,72 @@ object Extras {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q80: STREAMING aggregate maintenance — the materialized-view
+    * pattern: a per-language stats table kept current by ADDITIVE merge,
+    * state(id) = state(id−1) ⊕ agg(batch). Counts and sums are
+    * commutative monoids, so per-batch partial aggregation composes
+    * exactly (the same algebra that makes map-side combine correct),
+    * and each version dir recomputes identically under retry (the
+    * q72/q77 device). The maintained table is #languages rows; each
+    * batch costs one narrow agg of the batch plus a tiny merge — never
+    * a rescan of history. Gate: the final version hash-matches the
+    * batch groupBy oracle. */
+  private def qStreamAggMaintain(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rows = graft.streaming.StreamScratch.withScratch("graft_sagg_") { tmp =>
+      load(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"))
+        .repartition(4, col("value"))
+        .write.mode("overwrite").text(s"$tmp/in")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$tmp/in")
+        .select(from_json(col("value"), schema).as("d"))
+        .select(col("d.lang").as("lang"), col("d.doc_id").as("doc_id"),
+          col("d.n_chars").as("n_chars"))
+      val query = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ss = batch.sparkSession
+          val delta = batch.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+              sum(col("doc_id")).as("checksum"))
+          val prev =
+            if (id == 0) delta.limit(0)
+            else ss.read.parquet(s"$tmp/state/batch=${id - 1}")
+              .select(col("lang"), col("n_docs"), col("chars"), col("checksum"))
+          prev.unionByName(delta)
+            .groupBy(col("lang"))
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+              sum(col("checksum")).as("checksum"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/state/batch=$id")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
+        .collect()(0).getInt(0)
+      s.read.parquet(s"$tmp/state/batch=$last")
+        .orderBy(col("lang"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("checksum"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    }
+    rows.toDF("lang", "n_docs", "chars", "checksum").orderBy(col("lang"))
+  }
+
+  private val qStreamAggMaintainSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS chars,
+      | CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q71: mergeable percentile sketch, gated the q16 way. q55 records
     * the exact interpolated percentiles — the right oracle but a full
     * sort per group; at 100 TB you ship `approx_percentile`
@@ -438,6 +504,9 @@ object Extras {
       "GK percentile sketch vs exact baseline, error-bound verdict gate"),
     "q77_stream_topk" -> QueryDef(qStreamTopK, Some(qTopKGroupsSql),
       "streaming top-k maintenance via the custom plan == batch q66"),
+    "q80_stream_agg_maintain" -> QueryDef(qStreamAggMaintain,
+      Some(qStreamAggMaintainSql),
+      "streaming additive aggregate maintenance == batch groupBy"),
     "q55_stats_percentile" -> QueryDef(qPercentiles, Some(qPercentilesSql),
       "exact interpolated percentiles per group (sketch-validation baseline)"),
     "q16_approx_distinct" -> QueryDef(qApprox, Some(qApproxSql),
