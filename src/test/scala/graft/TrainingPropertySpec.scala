@@ -83,6 +83,43 @@ class TrainingPropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
+  test("mixture sampling == brute-force ratio quotas on random corpora") {
+    val ratios = Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val genAllLangs: Gen[Seq[(Long, String, String)]] = for {
+      n <- Gen.choose(10, 25)
+      texts <- Gen.listOfN(n, genDoc)
+      langs <- Gen.listOfN(n, Gen.oneOf(ratios.keys.toSeq))
+    } yield {
+      // ensure every ratio language is present so the budget is finite
+      val forced = ratios.keys.toSeq.zipWithIndex
+        .map { case (l, i) => (1000L + i, s"seed text $i", l) }
+      forced ++ texts.zip(langs).zipWithIndex
+        .map { case ((t, l), i) => (i.toLong + 1, t, l) }
+    }
+    check(Prop.forAll(genAllLangs) { docs =>
+      val dir = docsDir(docs)
+      val got = Registry.queries("q79_source_mixture")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val counts = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val budget = counts.map { case (l, n) => n / ratios(l) }.min
+      val want = docs.groupBy(_._3).map { case (lang, ds) =>
+        val n = counts(lang)
+        val target = math.floor(budget * ratios(lang)).toLong
+        val thresh = "%04x".format(math.floor(65536.0 * target / n).toInt)
+        val kept = ds.filter { case (id, _, _) =>
+          n == target || md5hex(s"mix:$id").substring(0, 4) < thresh }
+        lang -> (target, kept.size.toLong, kept.map(_._1).sum)
+      }
+      got == want
+    }, n = 10)
+  }
+
   test("quantization reconstruction error is within half a step") {
     // real embeddings through the PRODUCTION encode stage
     // (Training.quantizeCodes — not a copy of the formula): decode(code)
