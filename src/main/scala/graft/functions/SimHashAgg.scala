@@ -104,4 +104,15 @@ object SimHashVotes {
     GraftBridge.column(
       SimHashVotes(GraftBridge.expression(mask), nBits)
         .toAggregateExpression())
+
+  /** SQL builder: `graft_simhash(mask, nBits)` — nBits must be an
+    * integer literal (it shapes the aggregation buffer). */
+  private[functions] val sqlBuilder
+      : Seq[Expression] => Expression = {
+    case Seq(mask, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+      SimHashVotes(mask, n).toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      "graft_simhash expects (mask, <int literal> nBits), got " +
+        other.mkString(", "))
+  }
 }

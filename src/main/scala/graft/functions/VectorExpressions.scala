@@ -254,6 +254,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       vec.dotBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHashVotes].getName, "graft_simhash"),
+      SimHashVotes.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

@@ -23,6 +23,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(d == 11.0)
 
+    // SQL-callable custom AGGREGATE: two +1 votes on bit0 (masks 1, 3)
+    // outvote nothing; bit1 splits 1-1 → negative wins → fp = 1
+    val fp = s2.sql(
+      "SELECT graft_simhash(m, 4) AS fp FROM VALUES (1L), (3L), (0L) t(m)")
+      .collect()(0).getLong(0)
+    assert(fp == 1L, s"fp=$fp")
+
     // the custom logical node plans through the INJECTED strategy —
     // TopK.ensure is deliberately not called on this session
     import s2.implicits._
