@@ -248,46 +248,26 @@ object Extras {
   private def qStreamTopK(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val rows = graft.streaming.StreamScratch.withScratch("graft_stopk_") { tmp =>
-    load(s, dir, "documents")
-      .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
-        col("n_chars"))).as("value"))
-      .repartition(4, col("value"))
-      .write.mode("overwrite").text(s"$tmp/in")
     val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("source", StringType), StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("n_chars", LongType)))
-    val stream = s.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(s"$tmp/in")
-      .select(from_json(col("value"), schema).as("d"))
-      .select(col("d.source").as("source"), col("d.doc_id").as("doc_id"),
-        col("d.lang").as("lang"), col("d.n_chars").as("n_chars"))
-    val query = stream.writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$tmp/chk")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val ss = batch.sparkSession
-        val prev =
-          if (id == 0) batch.limit(0)
-          else ss.read.parquet(s"$tmp/state/batch=${id - 1}")
-            .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
-        graft.plans.TopK.perGroup(prev.unionByName(batch),
+    val rows = graft.streaming.StreamScratch.withScratch("graft_stopk_") { tmp =>
+      val staged = load(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"))).as("value"))
+      graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
+        (prev, batch) =>
+          val base = prev
+            .map(_.select(schema.fieldNames.map(col).toSeq: _*))
+            .getOrElse(batch.limit(0))
+          graft.plans.TopK.perGroup(base.unionByName(batch),
             Seq(col("source")),
             Seq(col("n_chars").desc, col("doc_id").asc), 3)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/state/batch=$id")
-        ()
       }
-      .start()
-    query.awaitTermination()
-    val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
-      .collect()(0).getInt(0)
-    s.read.parquet(s"$tmp/state/batch=$last")
-      .filter(col("source") =!= "src19")
-      .orderBy(col("source"), col("doc_id"))
-      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
-      .as[(String, Long, String, Long)].collect().toSeq
+        .filter(col("source") =!= "src19")
+        .orderBy(col("source"), col("doc_id"))
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+        .as[(String, Long, String, Long)].collect().toSeq
     }
     rows.toDF("source", "doc_id", "lang", "n_chars")
       .orderBy(col("source"), col("doc_id"))
@@ -306,51 +286,30 @@ object Extras {
   private def qStreamAggMaintain(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val stateCols = Seq("lang", "n_docs", "chars", "checksum")
     val rows = graft.streaming.StreamScratch.withScratch("graft_sagg_") { tmp =>
-      load(s, dir, "documents")
+      val staged = load(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("lang"),
           col("n_chars"))).as("value"))
-        .repartition(4, col("value"))
-        .write.mode("overwrite").text(s"$tmp/in")
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("n_chars", LongType)))
-      val stream = s.readStream
-        .option("maxFilesPerTrigger", 1)
-        .text(s"$tmp/in")
-        .select(from_json(col("value"), schema).as("d"))
-        .select(col("d.lang").as("lang"), col("d.doc_id").as("doc_id"),
-          col("d.n_chars").as("n_chars"))
-      val query = stream.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/chk")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val ss = batch.sparkSession
+      graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
+        (prev, batch) =>
           val delta = batch.groupBy(col("lang"))
             .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
               sum(col("doc_id")).as("checksum"))
-          val prev =
-            if (id == 0) delta.limit(0)
-            else ss.read.parquet(s"$tmp/state/batch=${id - 1}")
-              .select(col("lang"), col("n_docs"), col("chars"), col("checksum"))
-          prev.unionByName(delta)
+          prev.map(_.select(stateCols.map(col): _*)).getOrElse(delta.limit(0))
+            .unionByName(delta)
             .groupBy(col("lang"))
             .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
               sum(col("checksum")).as("checksum"))
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$tmp/state/batch=$id")
-          ()
-        }
-        .start()
-      query.awaitTermination()
-      val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
-        .collect()(0).getInt(0)
-      s.read.parquet(s"$tmp/state/batch=$last")
+      }
         .orderBy(col("lang"))
-        .select(col("lang"), col("n_docs"), col("chars"), col("checksum"))
+        .select(stateCols.map(col): _*)
         .as[(String, Long, Long, Long)].collect().toSeq
     }
-    rows.toDF("lang", "n_docs", "chars", "checksum").orderBy(col("lang"))
+    rows.toDF(stateCols: _*).orderBy(col("lang"))
   }
 
   private val qStreamAggMaintainSql =

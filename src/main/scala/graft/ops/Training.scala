@@ -160,24 +160,26 @@ object Training {
       | min(code) AS qmin, max(code) AS qmax, COUNT(*) AS dim
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** Quota table for per-language downsampling: adds `target` (global
-    * min count) and `thresh` (the language's quota fraction of the
-    * 16-bit space, as a 4-digit hex string) to a per-lang counts table.
-    * The global min is an unpartitioned window over the per-lang COUNTS
-    * (#languages rows, not #docs) — a single-partition window on a
-    * table this small beats a scalar cross join, and keeps plans free
-    * of nested-loop joins (PlanAuditSpec forbids them globally).
-    * Shared by q62 and the q64 release pipeline. */
   /** Quota threshold from `target`/`n_docs` columns: the language's
     * quota fraction of the 16-bit space as a 4-digit hex string. ONE
     * implementation of the threshold encoding — q62's equalizer, q79's
     * mixture, and the q64 release chain all derive from it, so an edge
-    * fix (e.g. the 65536 boundary) lands everywhere at once. */
+    * fix (the 0-doc guard here, or a 65536-boundary change) lands
+    * everywhere at once. */
   private[ops] def withThresh(quotas: DataFrame): DataFrame =
-    quotas.withColumn("thresh", format_string("%04x",
-      floor(lit(65536.0) * col("target") / col("n_docs"))
-        .cast(IntegerType)))
+    quotas.withColumn("thresh",
+      when(col("n_docs") === 0, lit("0000")) // 0-doc language: keep none
+        .otherwise(format_string("%04x",
+          floor(lit(65536.0) * col("target") / col("n_docs"))
+            .cast(IntegerType))))
 
+  /** Quota table for per-language downsampling: adds `target` (global
+    * min count) and `thresh` via [[withThresh]] to a per-lang counts
+    * table. The global min is an unpartitioned window over the per-lang
+    * COUNTS (#languages rows, not #docs) — a single-partition window on
+    * a table this small beats a scalar cross join, and keeps plans free
+    * of nested-loop joins (PlanAuditSpec forbids them globally).
+    * Shared by q62 and the q64 release pipeline. */
   private[ops] def withQuotas(counts: DataFrame): DataFrame = {
     val target = min(col("n_docs"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
@@ -308,9 +310,15 @@ object Training {
     val ratios = MixtureRatios.toDF("lang", "ratio")
     val budget = min(col("n_docs") / col("ratio"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    // ratios LEFT JOIN counts, not inner: a ratio language absent from
+    // the corpus must bind the budget to 0 (T = min n_k/r_k with
+    // n_k = 0 — the mixture is infeasible and NOTHING should be kept),
+    // not silently drop out of the min
     val quotas = withThresh(
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        .join(broadcast(ratios), "lang")
+      broadcast(ratios)
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+          Seq("lang"), "left")
+        .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
         .withColumn("target", floor(budget * col("ratio")).cast(LongType)))
     docs.join(broadcast(quotas), "lang")
       .withColumn("keep", keepBySaltedQuota("mix:"))
@@ -329,15 +337,17 @@ object Training {
     s"""WITH r(lang, ratio) AS (VALUES $vals),
        |cnt AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
        |q AS (
-       |  SELECT cnt.lang, cnt.n_docs, r.ratio,
-       |   min(cnt.n_docs / r.ratio) OVER () AS budget
-       |  FROM cnt JOIN r USING (lang)),
+       |  SELECT r.lang, COALESCE(cnt.n_docs, 0) AS n_docs, r.ratio,
+       |   min(COALESCE(cnt.n_docs, 0) / r.ratio) OVER () AS budget
+       |  FROM r LEFT JOIN cnt USING (lang)),
        |q2 AS (
        |  SELECT lang, n_docs,
        |   CAST(floor(budget * ratio) AS BIGINT) AS target,
-       |   printf('%04x', CAST(floor(
-       |     65536.0 * CAST(floor(budget * ratio) AS BIGINT) / n_docs)
-       |     AS INT)) AS thresh
+       |   CASE WHEN n_docs = 0 THEN '0000'
+       |        ELSE printf('%04x', CAST(floor(
+       |          65536.0 * CAST(floor(budget * ratio) AS BIGINT) / n_docs)
+       |          AS INT))
+       |   END AS thresh
        |  FROM q),
        |k AS (
        |  SELECT d.lang, q2.n_docs, q2.target, d.doc_id,

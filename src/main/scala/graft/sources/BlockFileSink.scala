@@ -66,85 +66,86 @@ private class BlockSinkTable(path: String) extends Table with SupportsWrite {
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BlockSinkBatchWrite(path,
-          HadoopConfSnapshot.capture())
+          HadoopConfShip.capture())
       }
     }
 }
 
-/** The session's Hadoop configuration as a serializable key/value
-  * snapshot — executors reconstruct it so fs.s3a credentials, custom
-  * scheme impls, and kerberos settings set via spark.hadoop.* reach the
-  * writer/reader (a fresh `new Configuration()` would silently drop
-  * them). */
-private[sources] case class HadoopConfSnapshot(entries: Array[(String, String)]) {
-  def toConf: Configuration = {
-    val c = new Configuration(false)
-    entries.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
-}
+/** Ships the session's Hadoop configuration to executor-side DSv2
+  * factories via Spark's own SerializableConfiguration — so fs.s3a
+  * credentials, custom scheme impls, and kerberos settings set through
+  * spark.hadoop.* reach the writer/reader (a fresh
+  * `new Configuration()` would silently drop them). */
+private[sources] object HadoopConfShip {
+  type Shipped = org.apache.spark.util.SerializableConfiguration
 
-private[sources] object HadoopConfSnapshot {
-  def capture(): HadoopConfSnapshot = {
-    import scala.jdk.CollectionConverters._
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    HadoopConfSnapshot(conf.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toArray)
-  }
+  def capture(): Shipped =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
 }
 
 private case class BlockFilesCommitted(files: Seq[String])
     extends WriterCommitMessage
 
-private class BlockSinkBatchWrite(path: String, conf: HadoopConfSnapshot)
+private class BlockSinkBatchWrite(path: String, conf: HadoopConfShip.Shipped)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new BlockSinkWriterFactory(path, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(java.net.URI.create(path), conf.toConf)
+    val all = messages.flatMap {
+      case BlockFilesCommitted(files) => files
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    // conflicting data inside ONE job fails LOUDLY before anything is
+    // published: two tasks emitting the same (block_id, prev) name may
+    // carry different payloads, and last-write-wins there would lose
+    // one silently in a sink whose contract is commit integrity
+    val dupes = all.groupBy(f => new Path(f).getName)
+      .collect { case (name, fs) if fs.length > 1 => name }
+    if (dupes.nonEmpty)
+      throw new IllegalStateException(
+        s"duplicate block files within one write: ${dupes.mkString(", ")}")
+    val fs = FileSystem.get(java.net.URI.create(path), conf.value)
     val target = new Path(path)
     fs.mkdirs(target)
     // publish exactly the committed attempts' files; anything else in
     // _tmp (failed / speculative-loser attempts) is discarded below.
-    // Last-write-wins on name collisions: a re-run of the same append
-    // (or a duplicate key across tasks) replaces the file instead of
-    // failing the whole job after every task already succeeded.
-    messages.foreach {
-      case BlockFilesCommitted(files) => files.foreach { f =>
-        val src = new Path(f)
-        val dst = new Path(target, src.getName)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"commit rename failed for $f")
-      }
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message $other")
+    // ACROSS jobs, replacing an existing name is deliberate: a block
+    // delta re-emitted by a later run supersedes the earlier file
+    // (idempotent re-runs), matching the replica layout's semantics.
+    all.foreach { f =>
+      val src = new Path(f)
+      val dst = new Path(target, src.getName)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"commit rename failed for $f")
     }
     fs.delete(new Path(target, "_tmp"), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(java.net.URI.create(path), conf.toConf)
+    val fs = FileSystem.get(java.net.URI.create(path), conf.value)
     fs.delete(new Path(new Path(path), "_tmp"), true)
   }
 }
 
-private class BlockSinkWriterFactory(path: String, conf: HadoopConfSnapshot)
+private class BlockSinkWriterFactory(path: String, conf: HadoopConfShip.Shipped)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new BlockSinkWriter(path, conf)
 }
 
-private class BlockSinkWriter(path: String, conf: HadoopConfSnapshot)
+private class BlockSinkWriter(path: String, conf: HadoopConfShip.Shipped)
     extends DataWriter[InternalRow] {
   // one private dir per ATTEMPT (not per task id): speculative twins
   // of the same task write side by side and only one gets committed
   private val attemptDir = new Path(new Path(path, "_tmp"), UUID.randomUUID().toString)
   private lazy val fs = {
-    val f = FileSystem.get(java.net.URI.create(path), conf.toConf)
+    val f = FileSystem.get(java.net.URI.create(path), conf.value)
     f.mkdirs(attemptDir)
     f
   }

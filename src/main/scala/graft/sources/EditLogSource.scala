@@ -146,20 +146,20 @@ private class EditLogScan(path: String, startTx: Long, endTx: Long)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // executor-side: ship the conf as a serializable snapshot
-    new EditLogReaderFactory(HadoopConfSnapshot.capture())
+    new EditLogReaderFactory(HadoopConfShip.capture())
 }
 
 private case class EditLogPartition(file: String, startTx: Long, endTx: Long)
     extends InputPartition
 
-private class EditLogReaderFactory(conf: HadoopConfSnapshot)
+private class EditLogReaderFactory(conf: HadoopConfShip.Shipped)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EditLogPartition]
     new PartitionReader[InternalRow] {
       private val ops = {
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(p.file), conf.toConf)
+          java.net.URI.create(p.file), conf.value)
         val in = fs.open(new org.apache.hadoop.fs.Path(p.file))
         val bytes = try {
           val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p.file)).getLen

@@ -19,3 +19,53 @@ object StreamScratch {
     }
   }
 }
+
+/** The streaming MAINTENANCE device shared by q77 (top-k) and q80
+  * (additive aggregates): stage a table as JSON-line files, replay one
+  * file per micro-batch, and fold each batch into a `batch=<id>`
+  * VERSION of the maintained state — idempotent under retry because a
+  * replayed batch recomputes its version from unchanged inputs
+  * (state(id−1) + batch(id)). The caller supplies only the fold;
+  * staging, replay, versioning, and last-version discovery live here
+  * once, so a fix to the device reaches every maintained structure. */
+object VersionedMaintenance {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, from_json, max}
+
+  /** @param jsonRows one-string-column (`value`) frame of JSON lines
+    * @param schema   parsed record schema
+    * @param fold     (previous state version if any, new batch) → next
+    *                 state version
+    * @return the final state version */
+  def run(tmp: String, jsonRows: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, nFiles: Int = 4)(
+      fold: (Option[DataFrame], DataFrame) => DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    jsonRows.repartition(nFiles, col("value"))
+      .write.mode("overwrite").text(s"$tmp/in")
+    val cols = schema.fieldNames.toSeq
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$tmp/in")
+      .select(from_json(col("value"), schema).as("d"))
+      .select(cols.map(c => col(s"d.$c").as(c)): _*)
+    val query = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val prev =
+          if (id == 0) None
+          else Some(batch.sparkSession.read
+            .parquet(s"$tmp/state/batch=${id - 1}"))
+        fold(prev, batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/state/batch=$id")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
+      .collect()(0).getInt(0)
+    s.read.parquet(s"$tmp/state/batch=$last")
+  }
+}

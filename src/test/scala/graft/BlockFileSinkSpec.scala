@@ -38,6 +38,31 @@ class BlockFileSinkSpec extends AnyFunSuite {
     assert(back == (1 to 17).map(i => i.toLong -> s"payload-$i").toMap)
   }
 
+  test("conflicting duplicate block names across tasks fail the commit loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bsink_").toString
+    import spark.implicits._
+    // same (block_id, prev) from two different tasks with different
+    // payloads: last-write-wins would silently lose one — the commit
+    // must refuse before publishing anything
+    val a = Seq((7L, 0L, "payload-A".getBytes("UTF-8")))
+      .toDF("block_id", "prev_block_id", "data")
+    val b = Seq((7L, 0L, "payload-B".getBytes("UTF-8")))
+      .toDF("block_id", "prev_block_id", "data")
+    val err = intercept[Exception] {
+      a.union(b).write.format(fmt).mode("append").save(s"$tmp/out")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(err).exists(_.contains("duplicate block files")),
+      chain(err).mkString("\n"))
+    val out = new java.io.File(s"$tmp/out")
+    val published =
+      if (!out.exists()) Array.empty[String]
+      else out.listFiles().filterNot(_.getName == "_tmp")
+        .map(_.getName).filterNot(_.startsWith("."))
+    assert(published.isEmpty, published.mkString(","))
+  }
+
   test("a mid-write task failure aborts the job and leaves no partial output") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bsink_").toString
     import spark.implicits._

@@ -120,6 +120,20 @@ class TrainingPropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("mixture with a missing ratio language is infeasible: keeps nothing") {
+    // no 'zh' docs: T = min(n_k / r_k) = 0, so every target is 0 and
+    // the report must show zero kept everywhere (claiming the mixture
+    // was sampled while silently omitting a language would be wrong)
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "delta epsilon zeta", "en"),
+      (3L, "eta theta iota", "de"), (4L, "kappa lambda mu", "es"),
+      (5L, "alpha gamma epsilon", "fr")))
+    val got = Registry.queries("q79_source_mixture")(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+      got.mkString(", "))
+  }
+
   test("quantization reconstruction error is within half a step") {
     // real embeddings through the PRODUCTION encode stage
     // (Training.quantizeCodes — not a copy of the formula): decode(code)
