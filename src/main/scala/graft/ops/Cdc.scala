@@ -523,7 +523,94 @@ object Cdc {
       |FROM (SELECT DISTINCT user_id, event_type FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q82: ordered conversion FUNNEL — view → click → purchase, each
+    * stage strictly AFTER the previous one for the same user (the
+    * sequence constraint is what separates a funnel from three counts).
+    * Three conditional aggregations keyed on user_id: the first shuffle
+    * establishes the per-user partitioning and the following joins +
+    * aggs reuse that key, so at scale this is one real shuffle plus
+    * co-partitioned passes — never a per-user sort or collect. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val u1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v"))
+    val u2 = e.join(u1, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("v")).as("v"),
+        min(when(col("event_type") === "click" && col("ts") > col("v"),
+          col("ts"))).as("c"))
+    val u3 = e.join(u2, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("v")).as("v"), first(col("c")).as("c"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+          col("ts"))).as("p"))
+    u3.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v")).as("n_viewed"),
+      count(col("c")).as("n_clicked_after_view"),
+      count(col("p")).as("n_full_funnel"),
+      sum(when(col("p").isNotNull, col("user_id")).otherwise(0L))
+        .as("converted_checksum"))
+  }
+
+  private val qFunnelSql =
+    """WITH u1 AS (
+      |  SELECT user_id,
+      |   min(CASE WHEN event_type = 'view' THEN ts END) AS v
+      |  FROM events GROUP BY user_id),
+      |u2 AS (
+      |  SELECT e.user_id, u1.v,
+      |   min(CASE WHEN e.event_type = 'click' AND e.ts > u1.v
+      |            THEN e.ts END) AS c
+      |  FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id, u1.v),
+      |u3 AS (
+      |  SELECT e.user_id, u2.v, u2.c,
+      |   min(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.c
+      |            THEN e.ts END) AS p
+      |  FROM events e JOIN u2 USING (user_id)
+      |  GROUP BY e.user_id, u2.v, u2.c)
+      |SELECT COUNT(*) AS n_users,
+      | COUNT(v) AS n_viewed,
+      | COUNT(c) AS n_clicked_after_view,
+      | COUNT(p) AS n_full_funnel,
+      | CAST(SUM(CASE WHEN p IS NOT NULL THEN user_id ELSE 0 END) AS BIGINT)
+      |   AS converted_checksum
+      |FROM u3""".stripMargin
+
+  /** q83: retention COHORTS — users grouped by first-activity week,
+    * crossed with the weeks they were active (the classic retention
+    * triangle). Two aggregations and one equi-join, all keyed on
+    * user_id / week — the shape survives any user count. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    cohorts.join(active, "user_id")
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("checksum"))
+      .orderBy(col("cohort_week"), col("active_week"))
+  }
+
+  private val qRetentionSql =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      |  FROM events)
+      |SELECT f.cohort_week, a.active_week, COUNT(*) AS n_users,
+      | CAST(SUM(f.user_id) AS BIGINT) AS checksum
+      |FROM f JOIN a USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q82_event_funnel" -> QueryDef(qFunnel, Some(qFunnelSql),
+      "ordered conversion funnel (strictly-after sequencing per user)"),
+    "q83_retention_cohorts" -> QueryDef(qRetention, Some(qRetentionSql),
+      "retention triangle: first-activity cohorts x active weeks"),
     "q20_cdc_dedup_first" -> QueryDef(qDedup, Some(qDedupSql),
       "F3 duplicate suppression (first per key)"),
     "q21_cdc_gap_detect" -> QueryDef(qGaps, Some(qGapsSql),

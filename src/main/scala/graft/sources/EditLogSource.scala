@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,12 +83,23 @@ private class EditLogTable(path: String) extends Table with SupportsRead {
     new EditLogScanBuilder(path)
 }
 
-/** Accepts tx_id range predicates; everything else stays with Spark. */
+/** Accepts tx_id range predicates and column pruning; everything else
+  * stays with Spark. */
 private class EditLogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var startTx = -1L
   private var endTx = -1L
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = EditLogSource.Schema
+
+  // column pruning (SupportsPushDownRequiredColumns): a projection like
+  // `select(tx_id, op_name)` narrows the rows the reader MATERIALIZES —
+  // the decode still parses every op (the wire format is sequential),
+  // but strings/arrays for dropped columns are never converted to
+  // UTF8String/ArrayData or copied across the row boundary
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -121,14 +132,15 @@ private class EditLogScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EditLogScan(path, startTx, endTx)
+  override def build(): Scan = new EditLogScan(path, startTx, endTx, required)
 }
 
-private class EditLogScan(path: String, startTx: Long, endTx: Long)
-    extends Scan with Batch {
-  override def readSchema(): StructType = EditLogSource.Schema
+private class EditLogScan(path: String, startTx: Long, endTx: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftEditLog path=$path txRange=[$startTx,$endTx]"
+    s"GraftEditLog path=$path txRange=[$startTx,$endTx] " +
+      s"columns=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -146,17 +158,46 @@ private class EditLogScan(path: String, startTx: Long, endTx: Long)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // executor-side: ship the conf as a serializable snapshot
-    new EditLogReaderFactory(HadoopConfShip.capture())
+    new EditLogReaderFactory(HadoopConfShip.capture(), required)
 }
 
 private case class EditLogPartition(file: String, startTx: Long, endTx: Long)
     extends InputPartition
 
-private class EditLogReaderFactory(conf: HadoopConfShip.Shipped)
-    extends PartitionReaderFactory {
+private class EditLogReaderFactory(conf: HadoopConfShip.Shipped,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EditLogPartition]
     new PartitionReader[InternalRow] {
+      // per-column extractors for exactly the PRUNED schema, resolved
+      // once per reader: a dropped string/array column is never
+      // converted to UTF8String/ArrayData at all
+      private val fieldOf: Array[EditLogDecoder.EditOp => Any] =
+        required.fieldNames.map {
+          case "tx_id" => (e: EditLogDecoder.EditOp) => e.txId
+          case "op_code" => (e: EditLogDecoder.EditOp) => e.opCode
+          case "op_name" =>
+            (e: EditLogDecoder.EditOp) => UTF8String.fromString(e.opName)
+          case "path" =>
+            (e: EditLogDecoder.EditOp) => UTF8String.fromString(e.path)
+          case "dst" =>
+            (e: EditLogDecoder.EditOp) => UTF8String.fromString(e.dst)
+          case "inode_id" => (e: EditLogDecoder.EditOp) => e.inodeId
+          case "mtime" => (e: EditLogDecoder.EditOp) => e.mtime
+          case "block_size" => (e: EditLogDecoder.EditOp) => e.blockSize
+          case "new_length" => (e: EditLogDecoder.EditOp) => e.newLength
+          case "overwrite" => (e: EditLogDecoder.EditOp) => e.overwrite
+          case "rename_options" => (e: EditLogDecoder.EditOp) =>
+            new GenericArrayData(
+              e.renameOptions.map(UTF8String.fromString).toArray[Any])
+          case "blocks" => (e: EditLogDecoder.EditOp) =>
+            new GenericArrayData(e.blocks.map(b => new GenericInternalRow(
+              Array[Any](b.blockId, b.numBytes, b.genStamp))).toArray[Any])
+          case "crc_ok" => (e: EditLogDecoder.EditOp) => e.crcOk
+          case other => throw new IllegalArgumentException(
+            s"unknown edit-log column $other")
+        }
+
       private val ops = {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create(p.file), conf.value)
@@ -173,21 +214,14 @@ private class EditLogReaderFactory(conf: HadoopConfShip.Shipped)
 
       override def next(): Boolean =
         if (!ops.hasNext) false
-        else { row = toRow(ops.next()); true }
+        else {
+          val e = ops.next()
+          row = new GenericInternalRow(fieldOf.map(_(e)))
+          true
+        }
 
       override def get(): InternalRow = row
       override def close(): Unit = ()
-
-      private def toRow(e: EditLogDecoder.EditOp): InternalRow =
-        new GenericInternalRow(Array[Any](
-          e.txId, e.opCode, UTF8String.fromString(e.opName),
-          UTF8String.fromString(e.path), UTF8String.fromString(e.dst),
-          e.inodeId, e.mtime, e.blockSize, e.newLength, e.overwrite,
-          new GenericArrayData(
-            e.renameOptions.map(UTF8String.fromString).toArray[Any]),
-          new GenericArrayData(e.blocks.map(b => new GenericInternalRow(
-            Array[Any](b.blockId, b.numBytes, b.genStamp))).toArray[Any]),
-          e.crcOk))
     }
   }
 }

@@ -49,6 +49,19 @@ class EditLogSourceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("column pruning reaches the scan (projected ReadSchema)") {
+    val q = source.select(col("tx_id"), col("op_name"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("columns=[tx_id,op_name]"),
+      s"scan did not prune columns:\n$scan")
+    // and the projected read agrees with the full read
+    val a = q.orderBy(col("tx_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = source.orderBy(col("tx_id")).collect()
+      .map(r => (r.getAs[Long]("tx_id"), r.getAs[String]("op_name"))).toSeq
+    assert(a == b)
+  }
+
   test("nested columns surface (blocks, rename options)") {
     val withBlocks = source.filter(size(col("blocks")) > 0)
     assert(withBlocks.count() > 0)
