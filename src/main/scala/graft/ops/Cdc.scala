@@ -606,7 +606,38 @@ object Cdc {
       |FROM f JOIN a USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin
 
+  /** q84: event-transition matrix — per-user event streams turned into
+    * (from, to) bigram counts via a lead window (the Markov-chain /
+    * path-analysis view of a clickstream). One shuffle on user_id; the
+    * within-user sort is bounded by a single user's event count. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val qTransitionsSql =
+    """SELECT event_type AS from_type, next_type AS to_type,
+      | COUNT(*) AS n_transitions,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT user_id, event_type,
+      |   lead(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS next_type
+      |  FROM events) t
+      |WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q84_event_transitions" -> QueryDef(qTransitions, Some(qTransitionsSql),
+      "per-user event bigram counts via lead window (path analysis)"),
     "q82_event_funnel" -> QueryDef(qFunnel, Some(qFunnelSql),
       "ordered conversion funnel (strictly-after sequencing per user)"),
     "q83_retention_cohorts" -> QueryDef(qRetention, Some(qRetentionSql),

@@ -43,15 +43,37 @@ object Similarity {
   private val AnnBands = 8
   private val NearDupBands = 8
 
-  private[graft] def rBits(n: Long): Int =
-    math.max(4, math.ceil(math.log(n.toDouble / TargetBucket) / math.log(2)).toInt)
+  /** Smallest r ≥ 4 with n ≤ TargetBucket·2^r — INTEGER arithmetic, not
+    * ceil(log2(...)): Java's log-ratio and a SQL log2 can land on
+    * opposite sides of an exact power of two (4.0000000000000004 vs
+    * 3.9999999999999996 → ceil disagrees), and r MUST match the
+    * oracle's CASE chain bit for bit. */
+  private[graft] def rBits(n: Long): Int = {
+    var k = 4
+    while ((TargetBucket.toLong << k) < n) k += 1
+    k
+  }
 
-  /** The driver's correctness gate runs at sf0.01 = 500 embeddings; the
-    * static DuckDB oracles below are generated for that corpus size
-    * (r = rBits(500) = 4). The Spark side derives r from the actual
-    * count, so both sides agree at the gate SF while the Spark plan
-    * keeps scaling r on bigger inputs (bench runs sf0.1 with r = 6). */
-  private val GateR = rBits(500)
+  /** Plane-index stride: plane for (band b, bit i) is signPlane
+    * (b·RMaxBits + i) on BOTH engines, so the plane family is
+    * independent of the corpus-derived r — a bigger corpus adds bits
+    * WITHOUT reassigning the planes of existing bits. The oracle SQL
+    * embeds all RMaxBits bits per band and masks to the dynamic r,
+    * which keeps it scale-correct up to TargetBucket·2^RMaxBits = 8192
+    * vectors (covers every test SF; the Spark side keeps scaling r
+    * beyond that). */
+  private val RMaxBits = 8
+
+  /** `r = rBits(count)` as a DuckDB CASE chain over the same integer
+    * boundaries (no float log anywhere). */
+  private def rSelSql: String = {
+    val cases = (4 until RMaxBits)
+      .map(k => s"WHEN n <= ${TargetBucket.toLong << k} THEN $k")
+      .mkString(" ")
+    s"""rsel AS (
+       |  SELECT CASE $cases ELSE $RMaxBits END AS r
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings))""".stripMargin
+  }
 
   /** Deterministic ±1 (Rademacher) hyperplanes: component (j,d) is +1
     * iff md5("j:d") has its top bit set. A symmetric ±1 direction family
@@ -90,28 +112,38 @@ object Similarity {
     * analysis + Janino compilation at bench time (the data itself is
     * small) and to overflow codegen method limits as L×r grows. Bucket
     * assignment is bit-identical (same left-to-right dot fold). */
-  private def bandKeys(base: DataFrame, nBands: Int, r: Int): DataFrame = {
-    val planes = signPlanes(nBands * r)
-    base.select(col("vec_id"),
-        posexplode(graft.functions.vec.srpBands(col("v"), planes, nBands, r)))
-      .toDF("vec_id", "band", "bkey")
+  /** Planes for (band, bit) pairs in SrpBandKeys' (b·r + i) layout,
+    * drawn from the fixed-stride family (see [[RMaxBits]]). */
+  private def planesFor(nBands: Int, r: Int): Array[Array[Double]] = {
+    val all = signPlanes(nBands * RMaxBits)
+    Array.tabulate(nBands * r)(k => all((k / r) * RMaxBits + (k % r)))
   }
+
+  private def bandKeys(base: DataFrame, nBands: Int, r: Int): DataFrame =
+    base.select(col("vec_id"),
+        posexplode(graft.functions.vec.srpBands(col("v"),
+          planesFor(nBands, r), nBands, r)))
+      .toDF("vec_id", "band", "bkey")
 
   // ---- oracle-SQL generation (same planes, same keys, in DuckDB) ----
 
   private def planeSql(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
-  private def bandKeySql(planes: Array[Array[Double]], b: Int, r: Int): String =
-    (0 until r).map(i =>
-      s"(CASE WHEN list_dot_product(v, ${planeSql(planes(b * r + i))}) > 0 THEN ${1 << i} ELSE 0 END)")
+  /** All RMaxBits bit terms for one band, each masked by the dynamic r
+    * (`i < rsel.r`) — bits beyond r contribute 0, so the key equals the
+    * Spark side's r-bit key at any corpus size the oracle supports. */
+  private def bandKeySql(planes: Array[Array[Double]], b: Int): String =
+    (0 until RMaxBits).map(i =>
+      s"(CASE WHEN $i < rsel.r AND list_dot_product(v, ${planeSql(planes(b * RMaxBits + i))}) > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
-  /** `bands` CTE body: UNION ALL of one SELECT per band over CTE `e`. */
-  private def bandsSql(nBands: Int, r: Int): String = {
-    val planes = signPlanes(nBands * r)
+  /** `bands` CTE body: UNION ALL of one SELECT per band over CTEs `e`
+    * and `rsel` (the corpus-derived bit count). */
+  private def bandsSql(nBands: Int): String = {
+    val planes = signPlanes(nBands * RMaxBits)
     (0 until nBands).map(b =>
-      s"  SELECT vec_id, $b AS band, ${bandKeySql(planes, b, r)} AS bkey FROM e")
+      s"  SELECT vec_id, $b AS band, ${bandKeySql(planes, b)} AS bkey FROM e, rsel")
       .mkString("\n  UNION ALL\n")
   }
 
@@ -176,8 +208,9 @@ object Similarity {
   private val qNearDupSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |$rSelSql,
        |bands AS (
-       |${bandsSql(NearDupBands, GateR)}
+       |${bandsSql(NearDupBands)}
        |),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -231,8 +264,9 @@ object Similarity {
   private val qAnnLshSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |$rSelSql,
        |bands AS (
-       |${bandsSql(AnnBands, GateR)}
+       |${bandsSql(AnnBands)}
        |),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
