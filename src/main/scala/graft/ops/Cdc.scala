@@ -635,7 +635,61 @@ object Cdc {
       |WHERE next_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  /** q85: event-rate ANOMALY detection — hourly counts per event type
+    * z-scored against that type's own hourly distribution; hours with
+    * |z| ≥ 2 are flagged. Both moments accumulate in exact DECIMAL
+    * (counts are integers, squares are integers), so mean and variance
+    * agree bit-for-bit across engines before the one sqrt/divide —
+    * the q69/q70 determinism recipe applied to monitoring. Shape: one
+    * narrow agg to hourly counts, one tiny per-type agg over
+    * (#types × #hours) rows, broadcast back. */
+  private def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = load(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n").cast(DecimalType(38, 0))).as("s1"),
+        sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("s2"))
+      .withColumn("mean", col("s1").cast(DoubleType) / col("n_hours"))
+      .withColumn("variance",
+        (col("s2").cast(DoubleType)
+          - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+            / col("n_hours")) / col("n_hours"))
+      .select(col("event_type"), col("mean"), col("variance"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("n").cast(DoubleType) - col("mean"))
+        / sqrt(col("variance")))
+      // variance > 0 keeps a degenerate all-equal series from emitting
+      // ±Inf z-scores (deterministic but meaningless)
+      .filter(col("variance") > 0.0 && abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("hour"), col("n"), col("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val qRateAnomalySql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type,
+      |   CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean,
+      |   (CAST(SUM(CAST(n * n AS HUGEINT)) AS DOUBLE)
+      |     - CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE)
+      |       * CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE) / COUNT(*))
+      |     / COUNT(*) AS variance
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h.event_type, h.hour, h.n,
+      | (CAST(h.n AS DOUBLE) - s.mean) / sqrt(s.variance) AS z
+      |FROM hourly h JOIN stats s USING (event_type)
+      |WHERE s.variance > 0.0
+      |  AND abs((CAST(h.n AS DOUBLE) - s.mean) / sqrt(s.variance)) >= 2.0
+      |ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q85_rate_anomaly" -> QueryDef(qRateAnomaly, Some(qRateAnomalySql),
+      "hourly event-rate z-score anomalies (exact-decimal moments)"),
     "q84_event_transitions" -> QueryDef(qTransitions, Some(qTransitionsSql),
       "per-user event bigram counts via lead window (path analysis)"),
     "q82_event_funnel" -> QueryDef(qFunnel, Some(qFunnelSql),
