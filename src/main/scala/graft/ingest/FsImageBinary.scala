@@ -67,7 +67,10 @@ object FsImageBinary {
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
       case 1 => o += 8
-      case 2 => o += varint().toInt
+      // two statements, NOT `o += varint().toInt`: compound assignment
+      // reads the OLD o before varint() advances it, landing the skip
+      // short by the length-prefix bytes
+      case 2 => val n = varint().toInt; o += n
       case 5 => o += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }

@@ -35,6 +35,7 @@ object Mode {
   val Snapshot = "Snapshot"
   val Backlog = "Backlog"
   val Error = "Error"
+  val all: Set[String] = Set(New, Snapshot, Backlog, Error)
 }
 
 /** One file-system change event (envelope + payload united).

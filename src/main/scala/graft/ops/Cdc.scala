@@ -355,6 +355,33 @@ object Cdc {
         .filter(col("rn") === 1).drop("rn"))
   }
 
+  /** q86: the q26 replay through the reference's PROTOBUF WIRE — events
+    * are serialized to real `DFSChangeDelta` envelopes
+    * ([[graft.streaming.ChangeDeltaCodec]], field numbers from
+    * `common/src/main/proto/data_block.proto`), persisted as a
+    * file-backed topic, decoded back with the type-dispatch of
+    * `core/messaging/ChangeDeltaSerDe.java:259-288`, and folded through
+    * the same FSM. Same DuckDB oracle as q26/q27/q28: JSON wire ==
+    * protobuf wire == batch == oracle. Size-bearing appends ride as
+    * `DFSUpdateBlocks` (deltaSize) because `DFSAppendFile` carries no
+    * size on the real wire — the FSM folds both identically.
+    */
+  private def qProtoWire(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val evs = eventOps(s, dir).as[ChangeEvent]
+      .map(e => if (e.op == Op.AppendFile) e.copy(op = Op.UpdateBlocks) else e)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_proto_").toString
+    // write/read the topic so decode runs against persisted bytes, not a
+    // fused in-memory plan (the same reason q27 spools through files)
+    graft.streaming.ChangeDeltaCodec.encodeRecords(evs, "graft")
+      .write.mode("overwrite").parquet(tmp)
+    val decoded = graft.streaming.ChangeDeltaCodec
+      .decodeRecords(s.read.parquet(tmp))
+    stateReport(FileStateFSM.replayAll(decoded).toDF())
+  }
+
   /** q28: snapshot/backlog/live bootstrap (T4). The event log is split
     * at 40%/70% of the tx range: everything before t1 is folded into a
     * bootstrap state table (the FSImage/snapshot load), (t1, t2] is
@@ -651,7 +678,10 @@ object Cdc {
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("n").cast(DecimalType(38, 0))).as("s1"),
-        sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("s2"))
+        // cast ONE factor to decimal BEFORE multiplying (the q70 recipe):
+        // long*long would wrap silently past ~3e9 hourly events, and the
+        // wrapped product cast to decimal looks plausible downstream
+        sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("s2"))
       .withColumn("mean", col("s1").cast(DoubleType) / col("n_hours"))
       .withColumn("variance",
         (col("s2").cast(DoubleType)
@@ -675,7 +705,7 @@ object Cdc {
       |stats AS (
       |  SELECT event_type,
       |   CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean,
-      |   (CAST(SUM(CAST(n * n AS HUGEINT)) AS DOUBLE)
+      |   (CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
       |     - CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE)
       |       * CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE) / COUNT(*))
       |     / COUNT(*) AS variance
@@ -714,6 +744,8 @@ object Cdc {
       "T5/T6 streaming FSM replay (flatMapGroupsWithState) == batch == oracle"),
     "q28_cdc_bootstrap" -> QueryDef(qBootstrap, Some(qFsmSql),
       "T4 snapshot/backlog/live bootstrap converges to full replay"),
+    "q86_cdc_proto_wire" -> QueryDef(qProtoWire, Some(qFsmSql),
+      "F8/F9 DFSChangeDelta protobuf wire round-trip == batch == oracle"),
     "q44_cdc_replica_lag" -> QueryDef(qReplicaLag, Some(qReplicaLagSql),
       "J2 replica-state table: replication lag + snapshot-done Backlog decision"),
     "q48_cdc_delta_pointer" -> QueryDef(qDeltaPointer, Some(qDeltaPointerSql),

@@ -13,8 +13,11 @@ import Tables.{dsum, load}
   * over the driver's TPC-H-ish tables.
   *
   * Scale notes (100 TB design):
-  *  - dimension tables (region/nation/customer/supplier/part) are always
-  *    joined with an explicit `broadcast()` hint — no shuffle of the fact;
+  *  - CONSTANT-size dims (region = 5 rows, nation = 25 at any SF) carry an
+  *    explicit `broadcast()` hint — no shuffle of the fact, ever;
+  *  - LINEARLY-GROWING dims (customer/supplier/part) carry NO hint: AQE's
+  *    runtime size check broadcasts them while they fit and falls back to
+  *    shuffle when they don't — a forced hint is a latent OOM at scale;
   *  - fact-fact joins (orders⋈lineitem) are plain equi-joins on the
   *    natural key so Catalyst/AQE pick shuffle-hash or sort-merge and can
   *    re-plan on skew at runtime;
@@ -55,7 +58,13 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-shaped: broadcast dim ⋈ two facts, agg, top-k. */
+  /** TPC-H Q3-shaped: dim ⋈ two facts, agg, top-k. No broadcast HINT on
+    * customer: it grows linearly with SF (150k rows/SF), so a forced
+    * hint that is harmless at sf0.1 becomes a driver/executor OOM at
+    * true scale. AQE's runtime size check broadcasts it exactly while
+    * it actually fits (`spark.sql.adaptive.autoBroadcastJoinThreshold`)
+    * and shuffles it when it doesn't — the decision belongs to the
+    * engine, not the query. */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val cust = load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = load(s, dir, "orders")
@@ -63,7 +72,7 @@ object Relational {
     val li = load(s, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
         .as("revenue"))
@@ -83,7 +92,11 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-shaped: 6-way star join, all dims broadcast. */
+  /** TPC-H Q5-shaped: 6-way star join. Broadcast HINTS only on the
+    * genuinely constant dims (region = 5 rows, nation = 25 rows at any
+    * SF); customer/supplier grow with SF, so their join strategy is
+    * AQE's size-based call — forced hints on linearly-growing tables
+    * are a latent OOM at 100-TB scale. */
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val region = load(s, dir, "region")
     val nation = load(s, dir, "nation")
@@ -92,8 +105,8 @@ object Relational {
     val ord = load(s, dir, "orders")
     val li = load(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -211,10 +224,11 @@ object Relational {
       |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |) t ORDER BY c_custkey, tag""".stripMargin
 
-  /** Top-k by aggregate (orderBy.limit → TakeOrderedAndProject). */
+  /** Top-k by aggregate (orderBy.limit → TakeOrderedAndProject). `part`
+    * grows with SF → no broadcast hint; AQE size-decides (see q03/q05). */
   private def qTopK(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
-      .join(broadcast(load(s, dir, "part")),
+      .join(load(s, dir, "part"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_brand"))
       .agg(dsum(col("l_extendedprice")).as("total"),

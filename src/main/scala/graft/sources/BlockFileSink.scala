@@ -65,8 +65,12 @@ private class BlockSinkTable(path: String) extends Table with SupportsWrite {
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
+        // one UUID per logical write, minted on the driver and shipped
+        // to every writer: two CONCURRENT jobs targeting the same path
+        // each own `_tmp/<writeUUID>` and cannot wipe each other's
+        // in-flight attempts on commit/abort
         override def toBatch: BatchWrite = new BlockSinkBatchWrite(path,
-          HadoopConfShip.capture())
+          UUID.randomUUID().toString, HadoopConfShip.capture())
       }
     }
 }
@@ -88,11 +92,11 @@ private[sources] object HadoopConfShip {
 private case class BlockFilesCommitted(files: Seq[String])
     extends WriterCommitMessage
 
-private class BlockSinkBatchWrite(path: String, conf: HadoopConfShip.Shipped)
-    extends BatchWrite {
+private class BlockSinkBatchWrite(path: String, writeId: String,
+    conf: HadoopConfShip.Shipped) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new BlockSinkWriterFactory(path, conf)
+    new BlockSinkWriterFactory(path, writeId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.flatMap {
@@ -124,26 +128,34 @@ private class BlockSinkBatchWrite(path: String, conf: HadoopConfShip.Shipped)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"commit rename failed for $f")
     }
-    fs.delete(new Path(target, "_tmp"), true)
+    // clean ONLY this job's temp tree; a sibling job's in-flight
+    // attempts under _tmp/<otherUUID> must survive. The shared _tmp
+    // root is removed opportunistically once empty (non-recursive
+    // delete refuses a non-empty dir — ignore that outcome).
+    fs.delete(new Path(new Path(target, "_tmp"), writeId), true)
+    try fs.delete(new Path(target, "_tmp"), false) catch { case _: java.io.IOException => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(java.net.URI.create(path), conf.value)
-    fs.delete(new Path(new Path(path), "_tmp"), true)
+    fs.delete(new Path(new Path(new Path(path), "_tmp"), writeId), true)
+    try fs.delete(new Path(new Path(path), "_tmp"), false) catch { case _: java.io.IOException => () }
   }
 }
 
-private class BlockSinkWriterFactory(path: String, conf: HadoopConfShip.Shipped)
-    extends DataWriterFactory {
+private class BlockSinkWriterFactory(path: String, writeId: String,
+    conf: HadoopConfShip.Shipped) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BlockSinkWriter(path, conf)
+    new BlockSinkWriter(path, writeId, conf)
 }
 
-private class BlockSinkWriter(path: String, conf: HadoopConfShip.Shipped)
-    extends DataWriter[InternalRow] {
-  // one private dir per ATTEMPT (not per task id): speculative twins
-  // of the same task write side by side and only one gets committed
-  private val attemptDir = new Path(new Path(path, "_tmp"), UUID.randomUUID().toString)
+private class BlockSinkWriter(path: String, writeId: String,
+    conf: HadoopConfShip.Shipped) extends DataWriter[InternalRow] {
+  // one private dir per ATTEMPT (not per task id) under this JOB's
+  // writeId: speculative twins of the same task write side by side and
+  // only one gets committed; concurrent jobs never share a tree
+  private val attemptDir = new Path(
+    new Path(new Path(path, "_tmp"), writeId), UUID.randomUUID().toString)
   private lazy val fs = {
     val f = FileSystem.get(java.net.URI.create(path), conf.value)
     f.mkdirs(attemptDir)

@@ -204,6 +204,11 @@ private class EditLogReaderFactory(conf: HadoopConfShip.Shipped,
         val in = fs.open(new org.apache.hadoop.fs.Path(p.file))
         val bytes = try {
           val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p.file)).getLen
+          // len.toInt on a >2 GB segment wraps negative and surfaces as a
+          // baffling NegativeArraySizeException — fail with the real cause
+          require(len <= Int.MaxValue,
+            s"edit-log segment ${p.file} is $len bytes — too large to " +
+              "decode in one buffer; split the segment")
           val b = new Array[Byte](len.toInt)
           in.readFully(0, b)
           b

@@ -74,6 +74,53 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast hints ride only bounded sides (never a growing scan)") {
+    // The q03/q05 lesson (round-4 verdict): a forced broadcast() on a
+    // table that grows with SF is a latent OOM at 100-TB scale even
+    // though every test SF passes. Mechanically: every ResolvedHint in
+    // every analyzed plan must wrap a side that is bounded by
+    // construction — an Aggregate (group-cardinality bound), a
+    // Limit/Sample, a LocalRelation (driver literal), or a scan of a
+    // genuinely constant dim (region = 5 rows, nation = 25 at any SF).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val constantDims = Set("region", "nation")
+    // Hinted sides bounded by a CONSTANT key predicate (vec_id < 5/16/50
+    // query/pivot rows) rather than a plan shape the walker can prove:
+    // each is a fixed probe set whose size is SF-independent by
+    // construction. Anything newly flagged must either earn its row here
+    // (with the bound named) or drop its hint.
+    val constantFilterBounded = Set("q38_sim_cosine_topk",
+      "q39_sim_ann_lsh", "q45_sim_ann_ivf", "q69_kmeans_lloyd")
+    val offenders = Registry.queries.toSeq
+      .filterNot { case (name, _) =>
+        skipBuild(name) || constantFilterBounded(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.isDefined =>
+            val bounded = h.child.collectFirst {
+              case _: Aggregate => ()
+              case _: GlobalLimit => ()
+              case _: Sample => ()
+              case _: Deduplicate => ()
+            }.isDefined
+            val growingScans = h.child.collect {
+              case lr: LogicalRelation if (lr.relation match {
+                    case fs: HadoopFsRelation => !fs.location.rootPaths
+                      .exists(p => constantDims.exists(d =>
+                        p.toString.contains(s"/$d")))
+                    case _ => true
+                  }) => lr
+            }
+            if (!bounded && growingScans.nonEmpty)
+              Some(s"$name: ${h.hints.strategy.get} hint on an unbounded, " +
+                s"SF-growing side (${growingScans.size} raw scan(s))")
+            else None
+        }.flatten
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the similarity battery joins only on bucket/cell equi-keys") {
     for (q <- Seq("q39_sim_ann_lsh", "q40_sim_cosine_neardup",
         "q43_dedup_simhash_hamming", "q35_dedup_minhash_lsh",
