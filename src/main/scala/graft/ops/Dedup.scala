@@ -62,7 +62,7 @@ object Dedup {
     * bit-for-bit in DuckDB. Shared by the batch candidate join (q35)
     * and the streaming incremental index (q72), so both paths bucket
     * identically by construction. */
-  private[ops] def bandTable(docs0: DataFrame): DataFrame = {
+  private[graft] def bandTable(docs0: DataFrame): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -426,21 +426,77 @@ object Dedup {
        |WHERE p.shared_ngrams >= $MinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Hash-prefix partition count of the incremental band index. Each
+    * micro-batch reads ONLY the bucket partitions its own bands hash
+    * into (≤ min(|batch bands|, IndexBuckets)), so per-batch index I/O
+    * tracks the batch's band count, not the accumulated index size —
+    * the fix for the round-4 "per-batch full index rescan" finding. At
+    * cluster scale raise the constant with the index (hundreds of
+    * buckets at 100 TB); the prune/join shapes are unchanged. 16 keeps
+    * gate-scale file counts small. */
+  private[graft] val IndexBuckets = 16
+
+  /** Accumulated-index read pruned to the bucket partitions a batch
+    * touches: both `batch` and `bucket` are PARTITION columns, so the
+    * filter prunes at file-listing time — untouched partitions are
+    * never opened. `batch <= id` keeps a half-written later partition
+    * from a concurrent retry out of scope. */
+  private[graft] def readIndex(s: SparkSession, bandsDir: String, id: Long,
+      touched: Seq[Int]): DataFrame =
+    s.read.parquet(bandsDir)
+      .filter(col("batch") <= id && col("bucket").isin(touched: _*))
+      .select(col("doc_id"), col("band"))
+
+  /** One incremental-index step — the q72 foreachBatch body, exposed so
+    * the pruning spec can drive single batches directly: band the new
+    * docs, append them under `bands/batch=<id>/bucket=<hash prefix>`
+    * (idempotent under retry — a replayed batch overwrites its own
+    * partition), join the new bands against ONLY the touched buckets of
+    * the accumulated index (including this batch, so within-batch pairs
+    * surface), and write the pairs this batch introduces. */
+  private[graft] def streamIndexStep(batch: DataFrame, id: Long,
+      tmp: String): Unit = {
+    val b = bandTable(batch)
+      .withColumn("bucket", pmod(hash(col("band")), lit(IndexBuckets)))
+      // one file per (batch, bucket), not tasks × buckets: the bucketed
+      // layout must not multiply the per-batch small-file count (the
+      // same output sizing concern as writeTopic's maxRecordsPerFile)
+      .repartition(4, col("bucket"))
+      .persist()
+    try {
+      b.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/bands/batch=$id")
+      // bounded driver collect: at most IndexBuckets ints
+      val touched = b.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val index = readIndex(batch.sparkSession, s"$tmp/bands", id, touched)
+      b.as("n").join(index.as("o"),
+          col("n.band") === col("o.band") &&
+            col("n.doc_id") =!= col("o.doc_id"))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/pairs/batch=$id")
+    } finally { b.unpersist(); () }
+  }
+
   /** q72: STREAMING incremental LSH index — the dedup index as a
     * maintained structure instead of a batch recomputation. Documents
     * arrive in micro-batches (file source, one input file per batch);
-    * each batch computes band keys for its NEW docs only ([[bandTable]],
-    * the exact chain q35 uses), appends them to a persistent band-table
-    * (one `batch=<id>` partition per micro-batch — idempotent under
-    * retry because a replayed batch OVERWRITES its own partition), and
-    * joins the new bands against the accumulated index to emit the
-    * candidate pairs this batch introduces. Per-batch cost tracks the
-    * NEW docs' bucket sizes, not corpus size — the only shape that
-    * keeps a dedup index alive under continuous ingestion at 100 TB.
+    * each batch runs [[streamIndexStep]]: band keys for its NEW docs
+    * only (the exact chain q35 uses), appended to the bucket-partitioned
+    * persistent band-table, joined against ONLY the touched bucket
+    * partitions of the accumulated index. Per-batch cost tracks the NEW
+    * docs' band count — in compute AND in index I/O — not corpus size:
+    * the only shape that keeps a dedup index alive under continuous
+    * ingestion at 100 TB.
     *
     * Convergence gate: the union of incrementally-emitted pairs must
     * equal the batch q35 candidate set — same oracle SQL, the q27/q63
-    * streaming==batch contract applied to the index. */
+    * streaming==batch contract applied to the index. The I/O bound is
+    * pinned by StreamIndexPruneSpec (files read per batch stay
+    * O(touched buckets), not O(index)). */
   private def qStreamLshIndex(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
@@ -464,27 +520,7 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$tmp/chk")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // a micro-batch is one input file: a handful of output files
-        // per batch keeps the incremental index from accreting
-        // per-shuffle-partition small files (at cluster scale this is
-        // the same maxRecordsPerFile-style output sizing as writeTopic)
-        val b = bandTable(batch).coalesce(4)
-        b.write.mode("overwrite").parquet(s"$tmp/bands/batch=$id")
-        // accumulated index INCLUDING this batch (so within-batch pairs
-        // surface too); `batch <= id` keeps a half-written later
-        // partition from a concurrent retry out of scope
-        val index = batch.sparkSession.read.parquet(s"$tmp/bands")
-          .filter(col("batch") <= id)
-          .select(col("doc_id"), col("band"))
-        b.as("n").join(index.as("o"),
-            col("n.band") === col("o.band") &&
-              col("n.doc_id") =!= col("o.doc_id"))
-          .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-            greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-          .distinct()
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/pairs/batch=$id")
-        ()
+        streamIndexStep(batch, id, tmp)
       }
       .start()
     query.awaitTermination()
