@@ -28,14 +28,25 @@ object Op {
     ChangeData)
 }
 
-/** Message modes (ref `core/messaging/MessageObject.java:11-26`):
-  * bootstrap/catch-up/live protocol of SURVEY §2.10 T4. */
+/** Message modes (ref `core/messaging/MessageObject.java:11-26`, all
+  * SIX): bootstrap/catch-up/live protocol of SURVEY §2.10 T4 plus the
+  * two recovery modes. `ReSend` marks an idempotent re-emit of a
+  * possibly-already-delivered message (an at-least-once producer
+  * replaying its tail) — folded like `New`, and a duplicate is a
+  * silent no-op by design, never an anomaly. `Retry` marks an
+  * error-channel reprocess: it is the ONLY mode that applies to a
+  * path whose state is sticky-`Error`, un-sticking it (the reference
+  * declares both modes but never produces them in-tree; checkpoint
+  * replay covers ReSend's purpose and the DLQ flow covers Retry's —
+  * carrying them keeps wire parity with any out-of-tree producer). */
 object Mode {
   val New = "New"
+  val ReSend = "ReSend"
   val Snapshot = "Snapshot"
   val Backlog = "Backlog"
   val Error = "Error"
-  val all: Set[String] = Set(New, Snapshot, Backlog, Error)
+  val Retry = "Retry"
+  val all: Set[String] = Set(New, ReSend, Snapshot, Backlog, Error, Retry)
 }
 
 /** One file-system change event (envelope + payload united).

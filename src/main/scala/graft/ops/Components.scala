@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * eccentricity of each component's minimum node ≤ component diameter.
   * Near-dup clusters are dense (most pairs within a cluster are
   * themselves candidate pairs), so the diameter is small and bounded in
-  * practice; for adversarial long-chain graphs the standard upgrade is
-  * large-star/small-star (O(log² n) rounds) — same join shapes, more
-  * of them.
+  * practice; when a pathological long-chain graph exceeds the round
+  * budget, the solver FALLS BACK to alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) — O(log² n) rounds on any topology, same
+  * equi-join/aggregate shapes — instead of aborting the pipeline.
   *
   * Scale notes: per round, cost is O(|E|) shuffle + O(|V|) aggregate;
   * `localCheckpoint` truncates the growing lineage each round (without
@@ -79,10 +81,74 @@ object Components {
         labels = next.select(col("id"), col("component"))
         round += 1
       }
-      require(converged,
-        s"connectedComponents did not converge in $maxRounds rounds — " +
-          "component diameter exceeds the bound; switch to star contraction")
-      labels
+      if (converged) labels
+      else {
+        // long-chain topology: label propagation needs O(diameter)
+        // rounds; star contraction needs O(log² n) on anything
+        starLabels(both)
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** One LARGE-STAR round: every node links its strictly-larger
+    * neighbors to the minimum of its closed neighborhood
+    * (min(Γ(u) ∪ {u})). Halves the depth of tall trees each round. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: edges oriented larger→smaller, each node
+    * links its smaller neighbors AND itself to the smallest of them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Alternating star contraction to a fixpoint of star graphs (every
+    * node directly linked to its component's minimum), then labels.
+    * Round budget: the algorithm is O(log² n) rounds worst-case, and
+    * each round strictly contracts — 64 covers any graph that fits on
+    * a cluster (2^64 nodes) with a wide margin.
+    *
+    * @param both symmetrized edge list (eSrc, eDst), as built by
+    *             [[connectedComponents]] */
+  private[graft] def starLabels(both: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var edges = both.select(col("eSrc").as("u"), col("eDst").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val ss = smallStar(largeStar(edges)).localCheckpoint(true)
+      // equal edge sets ⟺ same size and no new rows: one count (cheap,
+      // just checkpointed) + one anti-join that short-circuits on the
+      // first difference
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).isEmpty
+      edges = ss
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds " +
+      "rounds — this should be impossible for any finite graph")
+    // fixpoint edges are (node, componentMin) stars; roots and isolated
+    // nodes (self-loop-only inputs) label themselves
+    val nodes = both.select(col("eSrc").as("id")).distinct()
+    nodes.join(edges, col("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
 }

@@ -31,11 +31,14 @@ object FileStateFSM {
 
   /** Mode-accept rules (SURVEY §2.3 F5/F7, §2.10 T4; ref
     * `agent/common/TransactionProcessor.java:76-84` and the per-stage
-    * mode filters): `Snapshot` events bootstrap — accepted only while
-    * the path is still Unknown (a live state means the snapshot is
-    * stale); `Backlog` catch-up accepted at-or-after the current
-    * watermark (txId >= lastTxId — it re-describes the snapshot head);
-    * `New` must strictly advance (txId > lastTxId). */
+    * mode filters; all six modes of `MessageObject.java:11-26`):
+    * `Snapshot` events bootstrap — accepted only while the path is
+    * still Unknown (a live state means the snapshot is stale);
+    * `Backlog` catch-up accepted at-or-after the current watermark
+    * (txId >= lastTxId — it re-describes the snapshot head); `New`,
+    * `ReSend` and `Retry` must strictly advance (txId > lastTxId) — a
+    * ReSend at-or-below the watermark is the DESIGNED no-op of an
+    * at-least-once re-emit, same guard as the F3 duplicate drop. */
   def accepts(st: FileState, ev: ChangeEvent): Boolean = ev.mode match {
     case graft.model.Mode.Snapshot => st.state == L.Unknown
     case graft.model.Mode.Backlog => ev.txId >= st.lastTxId
@@ -56,7 +59,10 @@ object FileStateFSM {
       st.blocks.lastOption.map(_.blockId).getOrElse(-1L) == ev.prevBlockId
 
   def transition(st: FileState, ev: ChangeEvent): FileState = {
-    if (st.state == L.Error) return st // sticky error
+    // sticky error: only a `Retry` (error-channel reprocess,
+    // MessageObject.java:11-26) may un-stick it — the op it carries
+    // maps the state out of Error like any live transition
+    if (st.state == L.Error && ev.mode != graft.model.Mode.Retry) return st
     if (!accepts(st, ev)) return st // duplicate/out-of-order/mode guard
     if (ev.mode == graft.model.Mode.Backlog && ev.txId == st.lastTxId) {
       // backlog event AT the watermark re-describes the snapshot head:

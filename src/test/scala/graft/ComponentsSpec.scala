@@ -38,6 +38,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("a 10k-node path (diameter >> round budget) converges via star contraction") {
+    // label propagation alone needs ~10k rounds here; the solver must
+    // fall back to large-star/small-star and still return exact labels
+    val n = 10000L
+    val path = (0L until (n - 1)).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L), "one component labeled by its min")
+  }
+
+  test("star contraction agrees with label propagation on mixed graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: a few dense blobs + chains +
+    // singleton self-loop, in mixed orientations
+    val edges = (
+      (0 until 60).map(i => ((i * 37 % 20).toLong, (i * 53 % 20 + 5).toLong)) ++
+      (100L until 140L).map(i => (i + 1, i)) ++
+      Seq((500L, 500L))
+    ).filter { case (a, b) => a != b } :+ ((500L, 500L))
+    val df = edges.toDF("src", "dst")
+    val viaProp = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val both = df.select(col("src").as("eSrc"), col("dst").as("eDst"))
+      .union(df.select(col("dst").as("eSrc"), col("src").as("eDst")))
+    val viaStar = Components.starLabels(both)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
   test("q52 cluster table: every member maps to its cluster minimum and sizes agree") {
     val df = Registry.queries("q52_dedup_clusters")(
       spark, "/root/testdata/sf0.001")

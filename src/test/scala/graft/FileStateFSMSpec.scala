@@ -86,6 +86,42 @@ class FileStateFSMSpec extends AnyFunSuite {
     assert(advance.dataSizeCents == 150)
   }
 
+  test("mode rules: ReSend is an idempotent re-emit (F5)") {
+    import graft.model.Mode
+    // a fresh ReSend folds exactly like New; a ReSend of an
+    // already-folded tx is a silent no-op, never an anomaly
+    val base = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.AppendFile, cents = 100)))
+    val resendDup = FileStateFSM.transition(base,
+      ev(2, Op.AppendFile, cents = 100).copy(mode = Mode.ReSend))
+    assert(resendDup == base, "duplicate ReSend must change nothing")
+    val resendNew = FileStateFSM.transition(base,
+      ev(3, Op.CloseFile).copy(mode = Mode.ReSend))
+    assert(resendNew.state == L.Finalized && resendNew.lastTxId == 3)
+  }
+
+  test("mode rules: only Retry un-sticks an Error state (F5)") {
+    import graft.model.Mode
+    val errored = FileStateFSM.replay("/f", Iterator(
+      ev(1, Op.AddFile), ev(2, Op.ErrorTx)))
+    assert(errored.state == L.Error)
+    // live, resend and backlog traffic stays blocked by the sticky error
+    for (m <- Seq(Mode.New, Mode.ReSend, Mode.Backlog)) {
+      val blocked = FileStateFSM.transition(errored,
+        ev(3, Op.AppendFile, cents = 50).copy(mode = m))
+      assert(blocked == errored, s"mode $m must not clear Error")
+    }
+    // the error-channel reprocess applies its op and resumes the flow
+    val retried = FileStateFSM.transition(errored,
+      ev(3, Op.AppendFile, cents = 50).copy(mode = Mode.Retry))
+    assert(retried.state == L.Updating && retried.dataSizeCents == 50
+      && retried.lastTxId == 3)
+    // a Retry at-or-below the watermark is still a duplicate → no-op
+    val staleRetry = FileStateFSM.transition(errored,
+      ev(2, Op.AppendFile, cents = 50).copy(mode = Mode.Retry))
+    assert(staleRetry == errored)
+  }
+
   test("delete terminal-ish: further adds recreate") {
     val st = FileStateFSM.replay("/f", Iterator(
       ev(1, Op.AddFile), ev(2, Op.DeleteFile)))

@@ -60,6 +60,32 @@ class FsmConvergencePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ReSend re-delivery of any prefix is a no-op (F5 ReSend mode)") {
+    check(Prop.forAll(genHistory, Gen.choose(1, 40)) { (h, kRaw) =>
+      val k = math.min(kRaw, h.size)
+      // same re-delivery, explicitly flagged as the producer's re-emit
+      fold(h ++ h.take(k).map(_.copy(mode = Mode.ReSend))) == fold(h)
+    })
+  }
+
+  test("Retry reprocesses a suffix past a sticky error (F5 Retry mode)") {
+    check(Prop.forAll(genHistory) { h0 =>
+      // an error lands after a prefix; the suffix is then reprocessed on
+      // the error channel (mode = Retry, fresh txIds). Every suffix op
+      // must fold — the sticky error blocks only non-Retry traffic.
+      val h = h0.filter(_.op != Op.ErrorTx)
+      val (pre, post) = h.splitAt(h.size / 2)
+      val errored = fold(pre :+ ChangeEvent(1000000L, Op.ErrorTx, "/f"))
+      val retried = post.zipWithIndex.map { case (e, i) =>
+        e.copy(mode = Mode.Retry, txId = 2000000L + i)
+      }.foldLeft(errored)(FileStateFSM.transition)
+      def nonIgnore(s: Seq[ChangeEvent]) = s.count(_.op != Op.IgnoreTx)
+      retried.nOps == nonIgnore(pre) + 1 + nonIgnore(post) &&
+        (post.forall(_.op == Op.IgnoreTx) ||
+          retried.state != graft.model.FileLifecycle.Error)
+    })
+  }
+
   test("replaying the full history twice equals replaying it once") {
     check(Prop.forAll(genHistory) { h => fold(h ++ h) == fold(h) })
   }
