@@ -46,7 +46,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full record to a file: the driver's stdout capture
+    // has truncated long lines from the LEFT in past rounds (BENCH_r04
+    // lost q01-q29), and a file survives whole. Path overridable so a
+    // wrapper can point it at the round artifact directly.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+      System.err.println(s"[bench] full record written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

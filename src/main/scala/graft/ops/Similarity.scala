@@ -58,11 +58,15 @@ object Similarity {
     * (b·RMaxBits + i) on BOTH engines, so the plane family is
     * independent of the corpus-derived r — a bigger corpus adds bits
     * WITHOUT reassigning the planes of existing bits. The oracle SQL
-    * embeds all RMaxBits bits per band and masks to the dynamic r,
-    * which keeps it scale-correct up to TargetBucket·2^RMaxBits = 8192
-    * vectors (covers every test SF; the Spark side keeps scaling r
-    * beyond that). */
-  private val RMaxBits = 8
+    * embeds all RMaxBits bits per band and masks to the dynamic r, and
+    * the Spark side draws from the same family, so BOTH engines are
+    * exact up to TargetBucket·2^RMaxBits = 2,097,152 vectors. Past
+    * that, [[planesFor]] fails loud (raise the constant — one value,
+    * both engines re-derive) instead of silently diverging from the
+    * oracle. 16 was 8 until the sf1 scale-step bench crossed 8192
+    * vectors and hit the stride bound — the exact failure this family
+    * design exists to catch. */
+  private val RMaxBits = 16
 
   /** `r = rBits(count)` as a DuckDB CASE chain over the same integer
     * boundaries (no float log anywhere). */
@@ -115,6 +119,10 @@ object Similarity {
   /** Planes for (band, bit) pairs in SrpBandKeys' (b·r + i) layout,
     * drawn from the fixed-stride family (see [[RMaxBits]]). */
   private def planesFor(nBands: Int, r: Int): Array[Array[Double]] = {
+    require(r <= RMaxBits,
+      s"r=$r bits exceeds the fixed plane stride RMaxBits=$RMaxBits " +
+        s"(corpus beyond ${TargetBucket.toLong << RMaxBits} vectors) — " +
+        "raise RMaxBits so Spark and the oracle stay bit-identical")
     val all = signPlanes(nBands * RMaxBits)
     Array.tabulate(nBands * r)(k => all((k / r) * RMaxBits + (k % r)))
   }
