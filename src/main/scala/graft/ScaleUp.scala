@@ -36,7 +36,10 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    // source through Tables.load so events.ts lands as a REAL timestamp
+    // in the output (the source stores TIMESTAMP(NANOS), readable only
+    // as a long) — the scaled directory is then oracle-runnable too
+    def src(t: String): DataFrame = Tables.load(spark, srcDir, t)
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
     def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit =

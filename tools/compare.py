@@ -12,7 +12,9 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written layout (e.g. the ScaleUp sf1 dir)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
