@@ -383,7 +383,15 @@ object Dedup {
     val dfreq = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
-    val kept = grams.join(dfreq.select(col("h")), "h")
+    // kept feeds THREE consumers (both self-join sides + the per-doc
+    // sizes): materialize the explode+md5+df-filter once instead of
+    // re-deriving ~190 shingles/doc per consumer. Exchange reuse only
+    // dedups the identical self-join sides; the sizes aggregate and the
+    // df aggregate shuffle on different keys and would each recompute
+    // the full shingle table. At cluster scale this is the same
+    // "checkpoint the shared frontier" device the label-propagation
+    // rounds use.
+    val kept = grams.join(dfreq.select(col("h")), "h").localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     kept.as("x")
       .join(kept.as("y"),
