@@ -14,8 +14,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * filter add/remove, snapshot run/status, edits-log processing;
   * `svc/namenode/SnapshotService.java:26-177`,
   * `svc/namenode/EditsLogReaderService.java:21-75`, and the runner
-  * mains under `agent/namenode/main/`). REST is deliberately out of scope:
-  * each endpoint was a thin wrapper over exactly these operations.
+  * mains under `agent/namenode/main/`). Each reference endpoint was a
+  * thin wrapper over exactly these operations; [[GraftRest]] serves
+  * the same routes over HTTP on the JDK's built-in server.
   *
   * Instances are driver-side session objects; all heavy lifting stays in
   * Spark jobs. The state table is a plain parquet directory — queryable
