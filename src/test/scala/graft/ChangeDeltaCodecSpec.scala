@@ -60,6 +60,39 @@ class ChangeDeltaCodecSpec extends AnyFunSuite {
     assert(ChangeDeltaCodec.decode(envelope, "ns:New:42:0") === ev)
   }
 
+  test("encode matches Google's own CodedOutputStream serialization") {
+    // ORC ships a relocated copy of protobuf-java — an INDEPENDENT
+    // implementation of tag/varint/length-delim encoding to pin the
+    // hand-rolled writer against (the fixture test above hand-builds
+    // bytes with the same helper style as the codec; this one uses
+    // Google's encoder, so a shared misconception would be caught)
+    import org.apache.orc.protobuf.{ByteString, CodedOutputStream}
+    def bytesOf(f: CodedOutputStream => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val c = CodedOutputStream.newInstance(bos)
+      f(c); c.flush(); bos.toByteArray
+    }
+    val ts = 1700000000123L
+    val ev = ChangeEvent(7L, Op.CloseFile, "/data/b.avro", Mode.New,
+      sizeCents = 777L, ts = ts)
+    val tx = bytesOf { c =>
+      c.writeInt64(1, 7L); c.writeEnum(2, 2); c.writeUInt64(3, ts) }
+    val file = bytesOf { c => c.writeString(2, "/data/b.avro"); c.writeInt64(3, 0L) }
+    val body = bytesOf { c =>
+      c.writeBytes(1, ByteString.copyFrom(tx))
+      c.writeBytes(2, ByteString.copyFrom(file))
+      c.writeUInt64(3, 777L); c.writeUInt64(4, 0L)
+      c.writeUInt64(5, ts); c.writeUInt64(6, ts) }
+    val envelope = bytesOf { c =>
+      c.writeString(1, "ns"); c.writeString(2, "7")
+      c.writeString(3, "/data/b.avro")
+      c.writeString(4, "ai.sapper.hcdc.common.model.DFSCloseFile")
+      c.writeUInt64(5, ts)
+      c.writeBytes(6, ByteString.copyFrom(body)) }
+    assert(java.util.Arrays.equals(ChangeDeltaCodec.encode(ev, "ns"), envelope),
+      "codec bytes diverge from protobuf-java's canonical encoding")
+  }
+
   test("decode tolerates reordered and unknown fields (forward compat)") {
     // same DFSAddFile, fields deliberately OUT of order plus an unknown
     // field 9 (string) in DFSFile and an unknown fixed64 in the envelope
