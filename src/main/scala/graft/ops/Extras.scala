@@ -455,7 +455,54 @@ object Extras {
       |  FROM documents WHERE source <> 'src19') t
       |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin
 
+  /** q87: count-min / top-k SKETCH heavy hitters, gated the q16/q71
+    * way. At 100 TB the per-key exact count is a full shuffle of the
+    * stream; the mergeable sketches (CMS cells and a bounded top-k
+    * summary) aggregate map-side into constant memory and collect to
+    * the driver as ONE bounded row — which is the entire point of a
+    * sketch, so the driver-side finalization here is the operator, not
+    * a shortcut. Raw sketch state is merge-order-specific, so the gate
+    * hashes the EXACT counts plus verdict booleans: the CMS estimate
+    * must sit inside its guaranteed one-sided band
+    * [exact, exact + ⌈eps·N⌉] for every key, and the top-k summary
+    * must recover the exact item set and the exact top-1 (both
+    * deterministic: CMS cells and the tracker are commutative, seeds
+    * fixed). */
+  private def qSketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.001
+    val ev = load(s, dir, "events")
+    val sk = ev.agg(
+      expr(s"count_min_sketch(event_type, ${eps}d, 0.99d, 42)").as("cms"),
+      expr("approx_top_k(event_type, 5)").as("topk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sk.getAs[Array[Byte]]("cms")))
+    val topk = sk.getSeq[org.apache.spark.sql.Row](1)
+    val band = math.ceil(eps * sk.getAs[Long]("n")).toLong
+    // exact side: bounded collect (one row per distinct event type)
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("event_type"))
+      .as[(String, Long)].collect()
+    val topkOk = topk.map(_.getString(0)).toSet == exact.map(_._1).toSet &&
+      topk.headOption.map(_.getString(0)).contains(exact.head._1)
+    val out = exact.toSeq.map { case (et, n) =>
+      val est = cms.estimateCount(et)
+      (et, n, est >= n && est <= n + band, topkOk)
+    }
+    out.toDF("event_type", "n_exact", "cms_ok", "topk_ok")
+      .orderBy(col("event_type"))
+  }
+
+  private val qSketchHeavyHittersSql =
+    """SELECT event_type, COUNT(*) AS n_exact,
+      | TRUE AS cms_ok, TRUE AS topk_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q87_sketch_heavy_hitters" -> QueryDef(qSketchHeavyHitters,
+      Some(qSketchHeavyHittersSql),
+      "count-min + top-k sketch heavy hitters vs exact, verdict gate"),
     "q66_topk_per_group" -> QueryDef(qTopKGroups, Some(qTopKGroupsSql),
       "custom LogicalPlan+Strategy top-k-per-group (bounded heaps, no sort)"),
     "q71_approx_percentile" -> QueryDef(qApproxPercentile,

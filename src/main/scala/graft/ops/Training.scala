@@ -360,7 +360,65 @@ object Training {
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q88: BLOOM-PRUNED decontamination — the 100-TB form of q59. A
+    * broadcast join against the full eval shingle set ships every
+    * distinct eval gram to every executor; a Bloom filter of the same
+    * set is a fixed few MB at any eval size and prunes the corpus gram
+    * stream BEFORE the join, so the exact verify join only sees
+    * might-contain survivors (the two-stage sketch-then-verify shape
+    * the LSH chain uses for near-dups, applied to containment).
+    * Correctness story, pinned by the verdicts: Bloom has NO false
+    * negatives, so verify-after-prune equals q59's exact answer
+    * (`superset_ok` — instance counts match); false positives only
+    * cost verify work, bounded by the configured fpp (`fp_ok`). Both
+    * verdicts are deterministic: the filter's bit array is a
+    * commutative OR of fixed-seed hashes ([[graft.functions.bloom]]).
+    * Exact counts ride the hash; bloom-derived numbers stay out. */
+  private def qBloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Fpp = 0.01
+    val g = grams(s, dir)
+    val evalG = g.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct()
+    val filter = graft.functions.bloom.buildString(
+      evalG.as[String], evalG.count(), Fpp)
+    val train = g.filter(col("doc_id") % EvalMod =!= 0)
+    val nTrain = train.count()
+    val cand = train
+      .filter(graft.functions.bloom.mightContain(col("g"), filter))
+    // exact verify on the PRUNED stream; `hit` marks true matches
+    val verified = cand.join(
+      broadcast(evalG.withColumn("hit", lit(1))), Seq("g"), "left")
+    val agg = verified.agg(
+      count(lit(1)).as("n_cand"),
+      sum(coalesce(col("hit"), lit(0))).as("n_exact"),
+      countDistinct(when(col("hit") === 1, col("doc_id"))).as("n_docs")).head()
+    val (nCand, nExact, nDocs) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    // independent un-pruned exact count for the no-false-negative check
+    val nExactFull = train.join(broadcast(evalG), "g").count()
+    val fpBound = math.ceil(2.0 * Fpp * nTrain).toLong
+    Seq((nDocs, nExactFull,
+        nExact == nExactFull,
+        nCand - nExact <= fpBound))
+      .toDF("n_contaminated_docs", "n_shared_instances",
+        "superset_ok", "fp_ok")
+  }
+
+  private val qBloomDecontamSql =
+    s"""WITH $gramsCte,
+       |ev AS (SELECT DISTINCT g FROM gg WHERE doc_id % $EvalMod = 0),
+       |m AS (SELECT c.doc_id FROM gg c JOIN ev USING (g)
+       |      WHERE c.doc_id % $EvalMod <> 0)
+       |SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+       | CAST(COUNT(*) AS BIGINT) AS n_shared_instances,
+       | TRUE AS superset_ok, TRUE AS fp_ok
+       |FROM m""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q88_bloom_decontaminate" -> QueryDef(qBloomDecontam,
+      Some(qBloomDecontamSql),
+      "Bloom-pruned decontamination: sketch-then-verify == exact q59, fpp-bounded"),
     "q79_source_mixture" -> QueryDef(qSourceMixture, Some(qSourceMixtureSql),
       "data-mixture sampling: ratio quotas bounded by the binding language"),
     "q59_decontaminate" -> QueryDef(qDecontam, Some(qDecontamSql),
