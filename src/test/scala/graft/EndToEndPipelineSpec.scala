@@ -55,6 +55,30 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(g.watermark() >= 28610L * 4)
   }
 
+  test("real edit-log events survive the reference protobuf wire") {
+    implicit val s = spark
+    import graft.state.FileStateFSM
+    import graft.streaming.ChangeDeltaCodec
+    val fixtures =
+      "/root/reference/change-manager/namenode-agent/src/test/resources/edits/logs/current"
+    // the REAL decoded journal -> DFSChangeDelta bytes -> decode -> FSM
+    // must equal the direct FSM replay: this is the drop-in claim (an
+    // hcdc consumer fed our bytes, or us fed theirs, converges to the
+    // same state table)
+    val evs = graft.ingest.EditLogDecoder.read(spark, fixtures, startTx = 0L)
+    val direct = FileStateFSM.replayAll(evs)
+      .collect().map(x => x.path -> x).toMap
+    val decoded = ChangeDeltaCodec.decodeRecords(
+      ChangeDeltaCodec.encodeRecords(evs, "hcdc"))
+    val viaWire = FileStateFSM.replayAll(decoded)
+      .collect().map(x => x.path -> x).toMap
+    assert(viaWire == direct)
+    // and the event stream itself round-trips record-for-record
+    val a = evs.collect().sortBy(e => (e.txId, e.op, e.path)).toSeq
+    val b = decoded.collect().sortBy(e => (e.txId, e.op, e.path)).toSeq
+    assert(b == a)
+  }
+
   test("events -> route -> FSM -> range merge -> slice -> replicas -> read back") {
     implicit val s = spark
     import s.implicits._
