@@ -98,7 +98,10 @@ final class GraftRest(graft: Graft, port: Int = 0) {
             s"""{"watermark":${graft.watermark()},""" +
               s""""versions":${graft.versions().mkString("[", ",", "]")}}""")
         case _ =>
-          respond(ex, 404, s"""{"error":"no route for $method $path"}""")
+          // quote: the decoded path can carry quotes/control chars and
+          // must not break the JSON error contract
+          respond(ex, 404,
+            s"""{"error":${JsonLite.quote(s"no route for $method $path")}}""")
       }
     } catch {
       case e: IllegalArgumentException =>

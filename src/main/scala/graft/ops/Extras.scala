@@ -484,8 +484,13 @@ object Extras {
     val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("event_type"))
       .as[(String, Long)].collect()
-    val topkOk = topk.map(_.getString(0)).toSet == exact.map(_._1).toSet &&
-      topk.headOption.map(_.getString(0)).contains(exact.head._1)
+    // compare against the exact TOP-5, not all distinct items: with
+    // more than 5 distinct types the sketch legitimately returns only
+    // 5, and the claim is "the summary recovers the true heavy
+    // hitters", not "the summary enumerates the domain"
+    val topkOk =
+      topk.map(_.getString(0)).toSet == exact.take(5).map(_._1).toSet &&
+        topk.headOption.map(_.getString(0)).contains(exact.head._1)
     val out = exact.toSeq.map { case (et, n) =>
       val est = cms.estimateCount(et)
       (et, n, est >= n && est <= n + band, topkOk)

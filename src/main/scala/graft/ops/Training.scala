@@ -377,7 +377,10 @@ object Training {
   private def qBloomDecontam(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val Fpp = 0.01
-    val g = grams(s, dir)
+    // the gram table feeds five actions (eval count, Bloom build, the
+    // pruned-candidate agg, the un-pruned exact join, nTrain) —
+    // materialize the explode+md5 once, the q67 lesson applied here
+    val g = grams(s, dir).localCheckpoint(true)
     val evalG = g.filter(col("doc_id") % EvalMod === 0)
       .select(col("g")).distinct()
     val filter = graft.functions.bloom.buildString(

@@ -101,34 +101,48 @@ object ChangeDeltaCodec {
   }
 
   // ── minimal protobuf wire reader ────────────────────────────────────
+  // Every read is BOUNDS-CHECKED against this message's `end`, so a
+  // corrupted length prefix in foreign topic bytes fails loudly instead
+  // of silently decoding bytes that belong to sibling fields into a
+  // plausible-looking event (this decoder's whole job is reading bytes
+  // someone else produced).
   private final class PBR(b: Array[Byte], var o: Int, end: Int) {
     def this(b: Array[Byte]) = this(b, 0, b.length)
     def hasMore: Boolean = o < end
+    private def bounds(n: Int): Unit =
+      if (n < 0 || o + n > end) throw new IllegalArgumentException(
+        s"malformed protobuf: length $n exceeds message bound at offset $o")
     def varint(): Long = {
       var shift = 0; var v = 0L
-      while ({ val x = b(o); o += 1; v |= (x & 0x7fL) << shift
+      while ({ bounds(1); val x = b(o); o += 1; v |= (x & 0x7fL) << shift
         shift += 7; (x & 0x80) != 0 }) ()
       v
     }
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def strField(): String = {
       val n = varint().toInt
+      bounds(n)
       val s = new String(b, o, n, java.nio.charset.StandardCharsets.UTF_8)
       o += n; s
     }
     def bytesField(): Array[Byte] = {
       val n = varint().toInt
+      bounds(n)
       val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v
     }
-    def sub(): PBR = { val n = varint().toInt; val p = new PBR(b, o, o + n); o += n; p }
+    def sub(): PBR = {
+      val n = varint().toInt
+      bounds(n)
+      val p = new PBR(b, o, o + n); o += n; p
+    }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => o += 8
+      case 1 => bounds(8); o += 8
       // two statements, NOT `o += varint().toInt`: compound assignment
       // reads the OLD o before varint() advances it, landing the skip
       // short by the length-prefix bytes
-      case 2 => val n = varint().toInt; o += n
-      case 5 => o += 4
+      case 2 => val n = varint().toInt; bounds(n); o += n
+      case 5 => bounds(4); o += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -350,25 +364,44 @@ object ChangeDeltaCodec {
         ChangeEvent(tx, Op.AddBlock, path, mode, blk.deltaSize, ts, "",
           blk.blockId, blk.start, blk.end, prevBlockId)
       case "DFSUpdateBlocks" =>
+        // `blocks` is REPEATED on the reference wire: a producer may
+        // batch several block deltas in one message. The flat event
+        // keeps the first block's identity/offsets but the size delta
+        // must be the SUM over all blocks — dropping later deltaSizes
+        // would silently diverge the FSM's dataSize from an hcdc
+        // consumer fed the same topic.
         var firstBlk = true
+        var deltaSum = 0L
         while (b.hasMore) b.tag() match {
           case (1, 2) => val t = readTx(b.sub()); tx = t._1; ts = t._2
           case (2, 2) => path = readFile(b.sub())
-          case (3, 2) => if (firstBlk) { blk = readBlock(b.sub()); firstBlk = false }
-                         else b.skip(2)
+          case (3, 2) =>
+            val one = readBlock(b.sub())
+            deltaSum += one.deltaSize
+            if (firstBlk) { blk = one; firstBlk = false }
           case (_, w) => b.skip(w)
         }
-        ChangeEvent(tx, Op.UpdateBlocks, path, mode, blk.deltaSize, ts, "",
+        ChangeEvent(tx, Op.UpdateBlocks, path, mode, deltaSum, ts, "",
           blk.blockId, blk.start, blk.end)
       case "DFSTruncateBlock" =>
+        // newLength (field 4) is authoritative for the post-truncate
+        // length — the reference producer sets it separately from the
+        // block (`agent/model/DFSTransactionType.java` truncate path),
+        // and the FSM reads the event's endOffset as that new length.
+        // A truncate-to-negative cannot exist on the wire (uint64), so
+        // the -1→0 normalization of an unset endOffset is identity
+        // under the FSM's max(endOffset, 0).
+        var newLength = -1L
         while (b.hasMore) b.tag() match {
           case (1, 2) => val t = readTx(b.sub()); tx = t._1; ts = t._2
           case (2, 2) => path = readFile(b.sub())
           case (3, 2) => blk = readBlock(b.sub())
+          case (4, 0) => newLength = b.varint()
           case (_, w) => b.skip(w)
         }
         ChangeEvent(tx, Op.TruncateBlock, path, mode, blk.deltaSize, ts, "",
-          blk.blockId, blk.start, blk.end)
+          blk.blockId, blk.start,
+          if (newLength >= 0) newLength else blk.end)
       case "DFSRenameFile" =>
         while (b.hasMore) b.tag() match {
           case (1, 2) => val t = readTx(b.sub()); tx = t._1; ts = t._2

@@ -111,6 +111,40 @@ class ChangeDeltaCodecSpec extends AnyFunSuite {
     assert(ev.mode === Mode.New) // no message id → live
   }
 
+  test("reference-producer shapes: multi-block UpdateBlocks sums deltas; truncate newLength wins") {
+    // shapes a real hcdc producer emits but our encoder never writes —
+    // hand-built from the .proto field numbers
+    def blk(id: Long, end: Long, delta: Long): Array[Byte] =
+      i64(1, id) ++ i64(2, math.max(end, 0)) ++ i64(3, 0) ++ i64(4, 0) ++
+        i64(5, 0) ++ i64(6, end) ++ (if (delta != 0) i64(7, delta) else Array.emptyByteArray)
+    val tx = i64(1, 9L) ++ i64(2, 5L) ++ i64(3, 1L)
+    val file = str(2, "/f") ++ i64(3, 0L)
+    // DFSUpdateBlocks with TWO blocks: deltas 100 and 200
+    val upBody = ld(1, tx) ++ ld(2, file) ++
+      ld(3, blk(7, 50, 100)) ++ ld(3, blk(8, 90, 200))
+    val upEnv = str(4, "ai.sapper.hcdc.common.model.DFSUpdateBlocks") ++ ld(6, upBody)
+    val up = ChangeDeltaCodec.decode(upEnv)
+    assert(up.sizeCents === 300L, "repeated blocks' deltaSizes must sum")
+    assert(up.blockId === 7L, "first block keeps the event identity")
+    // DFSTruncateBlock where block.endOffset (50) != newLength (4096)
+    val trBody = ld(1, tx) ++ ld(2, file) ++ ld(3, blk(7, 50, 0)) ++ i64(4, 4096L)
+    val trEnv = str(4, "ai.sapper.hcdc.common.model.DFSTruncateBlock") ++ ld(6, trBody)
+    val tr = ChangeDeltaCodec.decode(trEnv)
+    assert(tr.endOffset === 4096L, "newLength (field 4) is authoritative")
+  }
+
+  test("corrupted length prefixes fail loudly, never decode garbage") {
+    val good = ChangeDeltaCodec.encode(
+      ChangeEvent(5L, Op.AddFile, "/data/x", Mode.New, 10L, 7L), "ns")
+    // flip the envelope's namespace length byte to point past the end
+    val corrupt = good.clone()
+    corrupt(1) = 125.toByte // was len("ns") = 2
+    val e = intercept[IllegalArgumentException] {
+      ChangeDeltaCodec.decode(corrupt)
+    }
+    assert(e.getMessage.contains("malformed protobuf"))
+  }
+
   test("unknown payload type throws (ChangeDeltaSerDe contract)") {
     val envelope = str(4, "ai.sapper.hcdc.common.model.DFSNope") ++
       ld(6, Array.emptyByteArray)
