@@ -68,11 +68,18 @@ object ScaleUp {
           w => concat(lit(s"x$i"), w)), " ")))
     replicate("embeddings")((d, i) => d
       .withColumn("vec_id", col("vec_id") * k + i)
-      .withColumn("embedding",
-        if (i == 0) col("embedding")
+      .withColumn("embedding", {
+        // rotate by i mod dim — a rotation past the vector length would
+        // slice negative and kill the job at k > dim; replicas whose
+        // rotation wraps to 0 duplicate replica 0's vectors exactly,
+        // which real corpora also contain
+        val dim = 64
+        val r = i % dim
+        if (r == 0) col("embedding")
         else concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i)))))
+          slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+          slice(col("embedding"), lit(1), lit(r)))
+      }))
 
     System.err.println(s"[scaleup] wrote ${k}x $srcDir to $dstDir")
     spark.stop()
