@@ -501,7 +501,59 @@ object Curation {
       | CAST(SUM(doc_id) AS BIGINT) AS checksum
       |FROM j GROUP BY class ORDER BY class""".stripMargin
 
+  /** Epoch-shuffle constants: shard fan-out and the epoch seed. */
+  private val ShuffleShards = 8
+  private val EpochSeed = 42
+
+  /** q93: DETERMINISTIC EPOCH SHUFFLE — the reproducible global shuffle
+    * a training run needs before sharding a corpus into data-loader
+    * files: identical on every re-run (restartable training), seedable
+    * per epoch, and computable without a global sort. Each doc gets a
+    * shuffle key md5(doc_id:seed); the shard is a 4-char mix of the key
+    * (cross-engine — Spark's murmur `hash()` has no DuckDB twin, md5
+    * does), and the in-shard position orders by the key.
+    *
+    * Scale shape: the shard assign is map-side; the only shuffle is the
+    * repartition-by-shard plus a PER-SHARD sort (each shard sorts
+    * 1/[[ShuffleShards]] of the corpus independently) — never a global
+    * order-by. At 100 TB you raise the shard count to the data-loader
+    * file count; cost stays one shuffle + local sorts, which is exactly
+    * the published WebDataset/Megatron shard-build recipe. */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val mix = ((ascii(substring(col("hh"), 1, 1)) * 31
+      + ascii(substring(col("hh"), 2, 1))) * 31
+      + ascii(substring(col("hh"), 3, 1))) * 31 +
+      ascii(substring(col("hh"), 4, 1))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$EpochSeed")))
+          .as("hh"))
+      .withColumn("shard", (mix % ShuffleShards).cast(LongType))
+      .withColumn("pos", row_number().over(wShard).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qEpochShuffleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    md5(CAST(doc_id AS VARCHAR) || ':$EpochSeed') AS hh
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, hh,
+       |    ((ascii(substring(hh,1,1)) * 31 + ascii(substring(hh,2,1))) * 31
+       |      + ascii(substring(hh,3,1))) * 31 + ascii(substring(hh,4,1)) AS hv
+       |  FROM h)
+       |SELECT doc_id, CAST(hv % $ShuffleShards AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % $ShuffleShards
+       |                          ORDER BY hh, doc_id) AS BIGINT) AS pos
+       |FROM v ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q93_epoch_shuffle" -> QueryDef(qEpochShuffle, Some(qEpochShuffleSql),
+      "reproducible epoch shuffle: md5 order, shard assign, per-shard pos"),
     "q81_snapshot_diff" -> QueryDef(qSnapshotDiff, Some(qSnapshotDiffSql),
       "corpus snapshot diff: added/removed/changed via full-outer md5 compare"),
     "q73_column_profile" -> QueryDef(qProfile, Some(qProfileSql),

@@ -320,8 +320,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val qClustersSql =
-    s"""WITH RECURSIVE $candidatesCte,
+  /** Shared recursive-CTE chain: LSH candidates → Jaccard-verified pair
+    * graph → transitive closure → `comp(doc_id, cluster_id)`. Used by
+    * the q52 cluster listing and the q92 canonical-doc selection. */
+  private val clustersCte =
+    s"""$candidatesCte,
        |d AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
        |  FROM documents),
@@ -341,7 +344,10 @@ object Dedup {
        |  UNION
        |  SELECT re.node, e.b AS r FROM reach re JOIN edges e ON e.a = re.r),
        |comp AS (SELECT node AS doc_id, min(r) AS cluster_id
-       |         FROM reach GROUP BY node),
+       |         FROM reach GROUP BY node)""".stripMargin
+
+  private val qClustersSql =
+    s"""WITH RECURSIVE $clustersCte,
        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
        |          FROM comp GROUP BY cluster_id)
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
@@ -540,6 +546,106 @@ object Dedup {
     rows.toDF("doc_a", "doc_b").orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Chunk width for sub-document exact dedup. Real pipelines dedup on
+    * paragraph/line boundaries (Dolma, RefinedWeb); this corpus has no
+    * newlines, so the boundary is a fixed token window — the same
+    * operator shape with a synthetic segmenter. */
+  private val ChunkTokens = 10
+
+  /** q90: SUB-DOCUMENT exact dedup — the "remove duplicated paragraphs,
+    * keep the rest of the document" pass (C4's line dedup, Dolma's
+    * paragraph dedup) that document-level q34 cannot express: two docs
+    * sharing one boilerplate block are not duplicates, but the block
+    * should survive only once. Each doc splits into [[ChunkTokens]]-token
+    * chunks; the globally-first occurrence of each distinct chunk (by
+    * (doc_id, idx)) is kept, later copies are dropped, and the doc is
+    * re-assembled from its surviving chunks in order.
+    *
+    * Scale shape: one shuffle on the chunk hash (the window partition
+    * key) sized by corpus token count — same key cardinality profile as
+    * exact dedup, nothing pairwise anywhere. The rebuild is a per-doc
+    * hash agg. At 100 TB the chunk-hash shuffle is the cost, exactly as
+    * in the published pipelines. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(ws) / $ChunkTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $ChunkTokens + 1, $ChunkTokens), ' '))"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("idx"))
+    chunks.withColumn("occ", row_number().over(wOcc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN occ = 1 THEN struct(idx, chunk) END)), s -> s.chunk)"),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qChunkDedupSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(ws) / $ChunkTokens.0) AS BIGINT))) AS idx,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(len(ws) / $ChunkTokens.0) AS BIGINT)),
+       |      i -> array_to_string(ws[i*$ChunkTokens+1 : i*$ChunkTokens+$ChunkTokens], ' '))) AS chunk
+       |  FROM w),
+       |f AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+       |                       ORDER BY doc_id, idx) AS occ
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(array_to_string(
+       |    list(CASE WHEN occ = 1 THEN chunk END ORDER BY idx), ' '), '')
+       |    AS kept_text
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q92: CANONICAL-DOC selection — the end-product of the near-dup
+    * chain: for every q52 cluster, the survivor a dedup pass actually
+    * writes out. The keep rule is the published one (keep the longest
+    * copy — it dominates its truncations; ties to the lower id for
+    * determinism), stated per cluster, so downstream joins can subtract
+    * `n_dropped` docs from the corpus without re-deriving the graph.
+    * Scale shape: q52's component pass plus one broadcast-size agg —
+    * clusters are tiny relative to the corpus by construction. */
+  private def qClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val len = load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(len, "doc_id")
+      .withColumn("krnk", row_number().over(wKeep))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("krnk") === 1, col("doc_id"))).as("keeper_doc"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val qClusterCanonicalSql =
+    s"""WITH RECURSIVE $clustersCte,
+       |k AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY d.n_chars DESC, c.doc_id) AS krnk
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT cluster_id,
+       |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       |  min(CASE WHEN krnk = 1 THEN doc_id END) AS keeper_doc,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       |FROM k GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
       "exact dedup via content-hash groupBy"),
@@ -556,5 +662,9 @@ object Dedup {
     "q67_exact_ngram_overlap" -> QueryDef(qNgramOverlap, Some(qNgramOverlapSql),
       "exact 8-token shingle overlap pairs (df-capped posting-list join)"),
     "q72_stream_lsh_index" -> QueryDef(qStreamLshIndex, Some(qMinHashSql),
-      "streaming incremental LSH index converges to the batch q35 candidates"))
+      "streaming incremental LSH index converges to the batch q35 candidates"),
+    "q90_chunk_dedup" -> QueryDef(qChunkDedup, Some(qChunkDedupSql),
+      "sub-document chunk dedup: first occurrence survives, docs rebuilt"),
+    "q92_cluster_canonical" -> QueryDef(qClusterCanonical, Some(qClusterCanonicalSql),
+      "canonical survivor per near-dup cluster (longest copy, tie→min id)"))
 }

@@ -476,6 +476,85 @@ object Similarity {
        |FROM md GROUP BY cell ORDER BY cluster""".stripMargin
   }
 
+  /** Semantic-dup cosine threshold. This corpus's max pairwise cosine
+    * is ~0.51 (see q40), so 0.4 sits where the gate actually exercises
+    * both branches; a production text-embedding run uses ~0.95+. */
+  private val SemDupThreshold = 0.4
+
+  /** q89: SemDeDup-style SEMANTIC deduplication — the embedding-space
+    * complement to the MinHash chain (q35/q52 catch lexical near-dups;
+    * this catches paraphrases that share no shingles). The semantics of
+    * the published recipe (Abbas et al. 2023, "SemDeDup"): cluster the
+    * corpus, compare pairs only WITHIN a cluster, and among vectors
+    * whose cosine exceeds the threshold keep the one closest to the
+    * cluster centroid (the most "prototypical" copy; ties break to the
+    * lower id).
+    *
+    * Cells reuse q45's data-pivot coarse quantizer (argmax cosine over
+    * the first [[IvfCells]] vectors) rather than trained k-means means,
+    * which keeps every assignment bit-reproducible in DuckDB and the
+    * whole operator hash-gateable. Scale shape: the only pairwise work
+    * is the within-cell self-join on the `cell` equi-key — exactly
+    * SemDeDup's cost model. At 100 TB the cell count scales with the
+    * corpus (nlist ≈ n / targetCellSize, trained by q69's Lloyd pass)
+    * so per-cell occupancy — and the per-cell O(cell²) compare — stays
+    * constant; the gate pins 16 cells so the oracle stays static. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val pivots = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("pv"),
+        col("norm").as("pn"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("cell"))
+    val cells = base.join(broadcast(pivots))
+      .withColumn("pcos", dot(col("v"), col("pv")) / (col("norm") * col("pn")))
+      .withColumn("prnk", row_number().over(wAssign))
+      .filter(col("prnk") === 1)
+      .select(col("vec_id"), col("cell"), col("pcos"), col("v"), col("norm"))
+    val dups = cells.as("x")
+      .join(cells.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cos",
+        dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")))
+      .filter(col("cos") >= lit(SemDupThreshold) &&
+        (col("y.pcos") > col("x.pcos") ||
+          (col("y.pcos") === col("x.pcos") &&
+            col("y.vec_id") < col("x.vec_id"))))
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(0L)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qSemanticDedupSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |p AS (SELECT vec_id AS cell, v AS pv, norm AS pn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, p.cell,
+       |        list_dot_product(n.v, p.pv) / (n.norm * p.pn) AS pcos,
+       |        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |          list_dot_product(n.v, p.pv) / (n.norm * p.pn) DESC, p.cell)
+       |          AS prnk
+       |      FROM n CROSS JOIN p),
+       |cells AS (SELECT vec_id, cell, pcos FROM a WHERE prnk = 1),
+       |dups AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  JOIN n nx ON nx.vec_id = x.vec_id
+       |  JOIN n ny ON ny.vec_id = y.vec_id
+       |  WHERE list_dot_product(nx.v, ny.v) / (nx.norm * ny.norm)
+       |          >= $SemDupThreshold
+       |    AND (y.pcos > x.pcos OR (y.pcos = x.pcos AND y.vec_id < x.vec_id)))
+       |SELECT c.vec_id, c.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q69_kmeans_lloyd" -> QueryDef(qKmeans, Some(qKmeansSql),
       "bit-reproducible Lloyd k-means on a 2^-20 grid (IVF centroid trainer)"),
@@ -486,5 +565,7 @@ object Similarity {
     "q40_sim_cosine_neardup" -> QueryDef(qNearDup, Some(qNearDupSql),
       "embedding-cosine near-dup pairs, SRP-candidate-scoped"),
     "q45_sim_ann_ivf" -> QueryDef(qAnnIvf, Some(qAnnIvfSql),
-      "IVF ANN: Voronoi cells over data pivots, nprobe cell probing"))
+      "IVF ANN: Voronoi cells over data pivots, nprobe cell probing"),
+    "q89_semantic_dedup" -> QueryDef(qSemanticDedup, Some(qSemanticDedupSql),
+      "SemDeDup: within-cell cosine prune, keep the centroid-closest copy"))
 }

@@ -418,7 +418,57 @@ object Training {
        | TRUE AS superset_ok, TRUE AS fp_ok
        |FROM m""".stripMargin
 
+  /** q91: bigram-LM conditional-frequency scoring — the CCNet-style
+    * perplexity filter one order up from q60's unigram score: a doc of
+    * common words in IMPROBABLE order (shuffled text, keyword stuffing)
+    * scores low here while passing q60. Per adjacent pair (w1,w2) the
+    * corpus model gives P(w2|w1) ≈ c(w1,w2)/c(w1·); the per-position
+    * statistic is kept in exact integer space — `c2·10⁶ DIV c1`, a
+    * ppm-scaled conditional frequency — so both engines agree
+    * bit-for-bit (a float log-perplexity is a monotone transform of the
+    * same sum, as in q60). Scale shape: bigram positions are map-side
+    * (a per-doc window, no cross-doc shuffle beyond the doc key); the
+    * model is two keyed counts; the scoring join is equi-keyed on
+    * (w1,w2), whose Zipf head AQE broadcasts at gate scale and
+    * shuffle-joins at corpus scale — both correct. */
+  private def qBigramLM(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val bi = load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val gram = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(uni, "w1").join(gram, Seq("w1", "w2"))
+      .withColumn("ppm", expr("c2 * 1000000 DIV c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ppm")).as("cond_ppm_sum"))
+      .withColumn("avg_cond_ppm", expr("cond_ppm_sum DIV n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBigramLMSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM w WHERE len(ws) >= 2),
+      |u AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+      |g AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2)
+      |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM((g.c2 * 1000000) // u.c1) AS BIGINT) AS cond_ppm_sum,
+      |  CAST(SUM((g.c2 * 1000000) // u.c1) // COUNT(*) AS BIGINT)
+      |    AS avg_cond_ppm
+      |FROM b JOIN u USING (w1) JOIN g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q91_bigram_lm" -> QueryDef(qBigramLM, Some(qBigramLMSql),
+      "bigram conditional-frequency scoring (integer-exact perplexity proxy)"),
     "q88_bloom_decontaminate" -> QueryDef(qBloomDecontam,
       Some(qBloomDecontamSql),
       "Bloom-pruned decontamination: sketch-then-verify == exact q59, fpp-bounded"),

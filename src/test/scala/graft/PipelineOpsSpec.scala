@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 pipeline additions (q89–q93):
+  * properties the DuckDB hash gate cannot state (it proves equality with
+  * the oracle; these prove the oracle itself means what it claims).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q89 semantic dedup: no same-cell pair above threshold keeps both") {
+    val out = Registry.queries("q89_semantic_dedup")(spark, dir).collect()
+    assert(out.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
+    // exactly the corpus, once each
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = out.filter(_.getLong(2) == 0L).map(_.getLong(0)).toSet
+    // recompute exact cosines for all same-cell pairs; among any pair
+    // >= threshold at most one side may survive
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = out.map(_.getLong(0))
+    val offenders = for {
+      i <- ids; j <- ids
+      if i < j && cellOf(i) == cellOf(j)
+      if cos(vecs(i), vecs(j)) >= 0.4
+      if kept(i) && kept(j)
+    } yield (i, j)
+    assert(offenders.isEmpty,
+      s"same-cell pairs over threshold with BOTH copies kept: $offenders")
+    // and something must actually be deduplicated at this threshold
+    assert(out.exists(_.getLong(2) == 1L), "gate threshold marked no dups")
+  }
+
+  test("q90 chunk dedup: each distinct chunk survives exactly once") {
+    val out = Registry.queries("q90_chunk_dedup")(spark, dir)
+    val rows = out.collect()
+    // kept counts bound by chunk counts, and at least one chunk dropped
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.map(_.getLong(1)).sum > rows.map(_.getLong(2)).sum,
+      "corpus has duplicate chunks; dedup must drop some")
+    // global invariant: #kept chunks == #distinct chunks in the corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
+        .as(Seq("idx", "chunk")))
+    val nDistinct = docs.select(col("chunk")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nDistinct,
+      "every distinct chunk must survive exactly once")
+    // a doc whose chunks are all first-occurrences is byte-identical
+    val firstDoc = rows.minBy(_.getLong(0))
+    if (firstDoc.getLong(1) == firstDoc.getLong(2)) {
+      val orig = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") === firstDoc.getLong(0))
+        .select(col("text")).collect().head.getString(0)
+      assert(firstDoc.getString(3) == orig)
+    }
+  }
+
+  test("q91 bigram LM: positions, bounds, and integer-average identity") {
+    val out = Registry.queries("q91_bigram_lm")(spark, dir).collect()
+    val tokCount = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (doc, nBi, sum, avg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nBi == tokCount(doc) - 1, s"doc $doc: bigram count wrong")
+      assert(avg == sum / nBi, s"doc $doc: average is not the integer mean")
+      // each ppm term is <= 1e6 (c2 <= c1 by construction)
+      assert(avg >= 0 && avg <= 1000000L)
+    }
+    // the score must discriminate (not constant across docs)
+    assert(out.map(_.getLong(3)).distinct.length > 1)
+  }
+
+  test("q92 canonical selection agrees with q52 clusters and keeps the longest") {
+    val canon = Registry.queries("q92_cluster_canonical")(spark, dir).collect()
+    val clusters = Registry.queries("q52_dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = clusters.groupBy(_._2)
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.length == byCluster.size)
+    canon.foreach { r =>
+      val (cid, size, keeper, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid).map(_._1)
+      assert(size == members.length && dropped == size - 1)
+      assert(members.contains(keeper))
+      val best = members.map(chars).max
+      assert(chars(keeper) == best, s"cluster $cid keeper is not longest")
+      assert(members.filter(m => chars(m) == best).min == keeper,
+        s"cluster $cid tie must break to the lower id")
+    }
+  }
+
+  test("q93 epoch shuffle: a reproducible permutation with dense shard positions") {
+    val a = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
+    val b = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "epoch shuffle must be identical across re-runs")
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(a.length == n && a.map(_.getLong(0)).distinct.length == a.length)
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be dense 1..n")
+    }
+    // the shuffle actually permutes: doc order by (shard, pos) differs
+    // from doc-id order
+    val shuffled = a.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(0))
+    assert(shuffled.toSeq != shuffled.sorted.toSeq)
+  }
+}

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val broadcastNlAllowed = Set(
     "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh",
     "q69_kmeans_lloyd", // k x dim centroid table broadcast per iteration
-    "q70_tfidf_cosine") // 1-row corpus-size scalar broadcast
+    "q70_tfidf_cosine", // 1-row corpus-size scalar broadcast
+    "q89_semantic_dedup") // q45's 16-pivot assign stage, reused
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -91,7 +92,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // construction. Anything newly flagged must either earn its row here
     // (with the bound named) or drop its hint.
     val constantFilterBounded = Set("q38_sim_cosine_topk",
-      "q39_sim_ann_lsh", "q45_sim_ann_ivf", "q69_kmeans_lloyd")
+      "q39_sim_ann_lsh", "q45_sim_ann_ivf", "q69_kmeans_lloyd",
+      "q89_semantic_dedup")
     val offenders = Registry.queries.toSeq
       .filterNot { case (name, _) =>
         skipBuild(name) || constantFilterBounded(name) }
