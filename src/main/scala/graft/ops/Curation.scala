@@ -519,18 +519,25 @@ object Curation {
     * order-by. At 100 TB you raise the shard count to the data-loader
     * file count; cost stays one shuffle + local sorts, which is exactly
     * the published WebDataset/Megatron shard-build recipe. */
-  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+  /** md5 shuffle key and shard mix over it — shared by the epoch
+    * shuffle (q93) and the sequence packer (q96), so "pack in shuffled
+    * order" composes by construction. */
+  private def shuffleKey: org.apache.spark.sql.Column =
+    md5(concat(col("doc_id").cast("string"), lit(s":$EpochSeed")))
+  private def shardOf: org.apache.spark.sql.Column = {
     val mix = ((ascii(substring(col("hh"), 1, 1)) * 31
       + ascii(substring(col("hh"), 2, 1))) * 31
       + ascii(substring(col("hh"), 3, 1))) * 31 +
       ascii(substring(col("hh"), 4, 1))
+    (mix % ShuffleShards).cast(LongType)
+  }
+
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
     val wShard = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))
     load(s, dir, "documents")
-      .select(col("doc_id"),
-        md5(concat(col("doc_id").cast("string"), lit(s":$EpochSeed")))
-          .as("hh"))
-      .withColumn("shard", (mix % ShuffleShards).cast(LongType))
+      .select(col("doc_id"), shuffleKey.as("hh"))
+      .withColumn("shard", shardOf)
       .withColumn("pos", row_number().over(wShard).cast(LongType))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))
@@ -551,9 +558,52 @@ object Curation {
        |                          ORDER BY hh, doc_id) AS BIGINT) AS pos
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Per-group sample size for q94. */
+  private val SampleK = 20
+
+  /** q94: PER-GROUP UNIFORM SAMPLE — k docs per language, uniform
+    * without replacement, reproducible across runs and restarts: rank
+    * by md5(doc_id:salt) and keep the k smallest. This is the
+    * distributed replacement for reservoir sampling (the classic
+    * single-pass reservoir is sequential by construction); hash-rank
+    * sampling gives the same uniform-without-replacement guarantee,
+    * composes with partitioned execution, and is restart-stable where
+    * a reservoir's result depends on arrival order.
+    *
+    * Executes through the custom [[graft.plans.TopKPerGroup]] plan —
+    * per-partition bounded heaps (k per group) then one k-row-per-group
+    * merge, so a 100 TB corpus is sampled with NO per-language sort and
+    * no shuffle wider than groups×k rows. The oracle states the same
+    * set declaratively as a window rank. */
+  private def qGroupSample(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":sample7")))
+          .as("skey"))
+    graft.plans.TopK.perGroup(base, Seq(col("lang")),
+        Seq(col("skey").asc, col("doc_id").asc), SampleK)
+      .select(col("lang"), col("doc_id"), col("skey"))
+      .orderBy(col("lang"), col("skey"), col("doc_id"))
+  }
+
+  private val qGroupSampleSql =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    md5(CAST(doc_id AS VARCHAR) || ':sample7') AS skey
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, skey,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |                       ORDER BY skey, doc_id) AS rnk
+       |  FROM h)
+       |SELECT lang, doc_id, skey FROM r WHERE rnk <= $SampleK
+       |ORDER BY lang, skey, doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q93_epoch_shuffle" -> QueryDef(qEpochShuffle, Some(qEpochShuffleSql),
       "reproducible epoch shuffle: md5 order, shard assign, per-shard pos"),
+    "q94_group_sample" -> QueryDef(qGroupSample, Some(qGroupSampleSql),
+      "per-language uniform hash-rank sample via the bounded-heap TopK plan"),
     "q81_snapshot_diff" -> QueryDef(qSnapshotDiff, Some(qSnapshotDiffSql),
       "corpus snapshot diff: added/removed/changed via full-outer md5 compare"),
     "q73_column_profile" -> QueryDef(qProfile, Some(qProfileSql),

@@ -431,7 +431,9 @@ object Training {
     * model is two keyed counts; the scoring join is equi-keyed on
     * (w1,w2), whose Zipf head AQE broadcasts at gate scale and
     * shuffle-joins at corpus scale — both correct. */
-  private def qBigramLM(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_bigrams, cond_ppm_sum, avg_cond_ppm) — the q91 scoring
+    * core, shared with the q95 ensemble. */
+  private[ops] def bigramScores(s: SparkSession, dir: String): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
     val bi = load(s, dir, "documents")
@@ -447,28 +449,119 @@ object Training {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("ppm")).as("cond_ppm_sum"))
       .withColumn("avg_cond_ppm", expr("cond_ppm_sum DIV n_bigrams"))
-      .orderBy(col("doc_id"))
   }
 
-  private val qBigramLMSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |b AS (
+  private def qBigramLM(s: SparkSession, dir: String): DataFrame =
+    bigramScores(s, dir).orderBy(col("doc_id"))
+
+  /** DuckDB CTE chain reproducing [[bigramScores]] as `bgs` (names
+    * prefixed `bg` so ensemble compositions can add their own CTEs). */
+  private[ops] val bigramCteSql =
+    """bgw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bgb AS (
       |  SELECT doc_id,
       |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
       |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
-      |  FROM w WHERE len(ws) >= 2),
-      |u AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
-      |g AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2)
-      |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM((g.c2 * 1000000) // u.c1) AS BIGINT) AS cond_ppm_sum,
-      |  CAST(SUM((g.c2 * 1000000) // u.c1) // COUNT(*) AS BIGINT)
-      |    AS avg_cond_ppm
-      |FROM b JOIN u USING (w1) JOIN g ON b.w1 = g.w1 AND b.w2 = g.w2
-      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+      |  FROM bgw WHERE len(ws) >= 2),
+      |bgu AS (SELECT w1, COUNT(*) AS c1 FROM bgb GROUP BY w1),
+      |bgg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgb GROUP BY w1, w2),
+      |bgs AS (
+      |  SELECT bgb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM((bgg.c2 * 1000000) // bgu.c1) AS BIGINT) AS cond_ppm_sum,
+      |    CAST(SUM((bgg.c2 * 1000000) // bgu.c1) // COUNT(*) AS BIGINT)
+      |      AS avg_cond_ppm
+      |  FROM bgb JOIN bgu USING (w1)
+      |           JOIN bgg ON bgb.w1 = bgg.w1 AND bgb.w2 = bgg.w2
+      |  GROUP BY bgb.doc_id)""".stripMargin
+
+  private val qBigramLMSql =
+    s"""WITH $bigramCteSql
+       |SELECT doc_id, n_bigrams, cond_ppm_sum, avg_cond_ppm
+       |FROM bgs ORDER BY doc_id""".stripMargin
+
+  /** q95: QUALITY ENSEMBLE — the rank-normalized blend step a real
+    * filter stack ends with (DCLM/FineWeb style): no two quality
+    * signals share a scale, so each is converted to a per-language
+    * percentile rank and the blend averages the ranks. Signal A is
+    * q31's lexical score (float, but hash-gated identical on both
+    * engines); signal B is q91's bigram conditional-frequency score
+    * (integer). Normalization stays in exact integer space:
+    * `(rank−1)·10⁶ DIV (n_lang−1)` ppm, mean by integer DIV 2 — no
+    * float percentile anywhere. Scale: two per-language rank windows
+    * (the q78 shape; at extreme skew the exact rank swaps for q71's
+    * sketch boundaries) over one equi-join of the two signal tables. */
+  private def qQualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_cond_ppm").desc, col("doc_id"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val quality = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+          .cast(LongType).as("n_stop"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType)
+          .as("n_uniq"))
+      .withColumn("score",
+        (col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
+      .select(col("doc_id"), col("lang"), col("score"))
+    quality.join(bigramScores(s, dir)
+        .select(col("doc_id"), col("avg_cond_ppm")), "doc_id")
+      .withColumn("a_rank", row_number().over(wA).cast(LongType))
+      .withColumn("b_rank", row_number().over(wB).cast(LongType))
+      .withColumn("n_lang", count(lit(1)).over(wN))
+      .withColumn("blend_ppm", expr(
+        """CASE WHEN n_lang > 1 THEN
+          |  ((a_rank - 1) * 1000000 DIV (n_lang - 1)
+          |   + (b_rank - 1) * 1000000 DIV (n_lang - 1)) DIV 2
+          |ELSE 0 END""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("a_rank"), col("b_rank"),
+        col("blend_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qQualityEnsembleSql =
+    s"""WITH $bigramCteSql,
+       |qt AS (
+       |  SELECT doc_id, lang,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   CAST(len(list_filter(string_split(text, ' '),
+       |     w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+       |   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, lang,
+       |   (CAST(n_uniq AS DOUBLE) / n_tokens)
+       |     * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS score
+       |  FROM qt),
+       |j AS (
+       |  SELECT qs.doc_id, qs.lang, qs.score, bgs.avg_cond_ppm
+       |  FROM qs JOIN bgs ON bgs.doc_id = qs.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY score DESC, doc_id) AS a_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY avg_cond_ppm DESC, doc_id) AS b_rank,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM j)
+       |SELECT doc_id, lang, CAST(a_rank AS BIGINT) AS a_rank,
+       |  CAST(b_rank AS BIGINT) AS b_rank,
+       |  CAST(CASE WHEN n_lang > 1 THEN
+       |      ((a_rank - 1) * 1000000 // (n_lang - 1)
+       |       + (b_rank - 1) * 1000000 // (n_lang - 1)) // 2
+       |    ELSE 0 END AS BIGINT) AS blend_ppm
+       |FROM r ORDER BY doc_id""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q91_bigram_lm" -> QueryDef(qBigramLM, Some(qBigramLMSql),
       "bigram conditional-frequency scoring (integer-exact perplexity proxy)"),
+    "q95_quality_ensemble" -> QueryDef(qQualityEnsemble,
+      Some(qQualityEnsembleSql),
+      "rank-normalized blend of lexical + bigram-LM quality signals"),
     "q88_bloom_decontaminate" -> QueryDef(qBloomDecontam,
       Some(qBloomDecontamSql),
       "Bloom-pruned decontamination: sketch-then-verify == exact q59, fpp-bounded"),

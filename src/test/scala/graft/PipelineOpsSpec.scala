@@ -106,6 +106,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 group sample: k-per-language through the bounded-heap plan") {
+    val df = Registry.queries("q94_group_sample")(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "sampling must execute through the custom bounded-heap plan")
+    val rows = df.collect()
+    val langSizes = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == langSizes.keySet)
+    byLang.foreach { case (lang, sampled) =>
+      assert(sampled.length == math.min(20L, langSizes(lang)),
+        s"$lang: expected min(20, n) sampled docs")
+      // ids are distinct and drawn from the language's own docs
+      assert(sampled.map(_.getLong(1)).distinct.length == sampled.length)
+    }
+    // reproducible across re-runs (the reservoir-sampling property a
+    // hash-rank sample adds)
+    val again = Registry.queries("q94_group_sample")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q95 quality ensemble: dense ranks, ppm bounds, best-doc identity") {
+    val rows = Registry.queries("q95_quality_ensemble")(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, docs) =>
+      val n = docs.length
+      assert(docs.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq,
+        s"$lang: a_rank must be a dense 1..n permutation")
+      assert(docs.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq,
+        s"$lang: b_rank must be a dense 1..n permutation")
+      docs.foreach { d =>
+        assert(d.getLong(4) >= 0 && d.getLong(4) <= 1000000L)
+      }
+      // a doc ranked best on BOTH signals blends to exactly 0 ppm
+      docs.find(d => d.getLong(2) == 1L && d.getLong(3) == 1L)
+        .foreach(d => assert(d.getLong(4) == 0L))
+      // blend is the integer mean of the two normalized ranks
+      docs.foreach { d =>
+        val exp = ((d.getLong(2) - 1) * 1000000L / (n - 1) +
+          (d.getLong(3) - 1) * 1000000L / (n - 1)) / 2
+        assert(d.getLong(4) == exp)
+      }
+    }
+  }
+
   test("q93 epoch shuffle: a reproducible permutation with dense shard positions") {
     val a = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
     val b = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
