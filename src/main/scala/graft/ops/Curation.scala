@@ -558,6 +558,75 @@ object Curation {
        |                          ORDER BY hh, doc_id) AS BIGINT) AS pos
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Sequence length for q96's packer (a gate-sized stand-in for the
+    * 2k–8k context lengths a real run packs to). */
+  private val SeqLen = 128
+
+  /** q96: SEQUENCE PACKING — the last hop before tensors: documents in
+    * q93's shuffled shard order are concatenated and cut into fixed
+    * [[SeqLen]]-token training sequences, docs spanning cut points
+    * contributing to both neighbors (the no-padding "packed" regime of
+    * the pretraining literature). Output is the per-(shard, sequence)
+    * layout: how many docs touch each sequence and its filled token
+    * count — every sequence full at [[SeqLen]] except each shard's
+    * last.
+    *
+    * All integer math over one per-shard running sum: `cum DIV SeqLen`
+    * turns the cumulative token offset into sequence coordinates, and
+    * each doc explodes into only the sequences it overlaps (≤
+    * tokens/SeqLen + 1 rows). Scale: the window is per-shard (shards
+    * are the parallel unit, as in q93); no global sort, no pairwise
+    * anything; raising the shard count bounds the per-shard sort at
+    * any corpus size. */
+  private def qSequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        shuffleKey.as("hh"))
+      .withColumn("shard", shardOf)
+      .withColumn("cum", sum(col("n_tokens")).over(wShard))
+      .withColumn("prev", col("cum") - col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("prev"), col("cum"),
+        explode(expr(s"sequence(prev DIV $SeqLen, (cum - 1) DIV $SeqLen)"))
+          .as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("cum"), (col("seq_id") + 1) * SeqLen)
+          - greatest(col("prev"), col("seq_id") * SeqLen))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).as("seq_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  private val qSequencePackingSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':$EpochSeed') AS hh
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, n_tokens, hh,
+       |    ((ascii(substring(hh,1,1)) * 31 + ascii(substring(hh,2,1))) * 31
+       |      + ascii(substring(hh,3,1))) * 31 + ascii(substring(hh,4,1)) AS hv
+       |  FROM h),
+       |c AS (
+       |  SELECT doc_id, n_tokens, hh, CAST(hv % $ShuffleShards AS BIGINT) AS shard,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY hv % $ShuffleShards
+       |                             ORDER BY hh, doc_id) AS BIGINT) AS cum
+       |  FROM v),
+       |e AS (
+       |  SELECT shard, doc_id, cum - n_tokens AS prev, cum,
+       |    unnest(range((cum - n_tokens) // $SeqLen,
+       |                 (cum - 1) // $SeqLen + 1)) AS seq_id
+       |  FROM c)
+       |SELECT shard, seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(least(cum, (seq_id + 1) * $SeqLen)
+       |         - greatest(prev, seq_id * $SeqLen)) AS BIGINT) AS seq_tokens
+       |FROM e GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
   /** Per-group sample size for q94. */
   private val SampleK = 20
 
@@ -604,6 +673,9 @@ object Curation {
       "reproducible epoch shuffle: md5 order, shard assign, per-shard pos"),
     "q94_group_sample" -> QueryDef(qGroupSample, Some(qGroupSampleSql),
       "per-language uniform hash-rank sample via the bounded-heap TopK plan"),
+    "q96_sequence_packing" -> QueryDef(qSequencePacking,
+      Some(qSequencePackingSql),
+      "fixed-length sequence packing in shuffled shard order (no padding)"),
     "q81_snapshot_diff" -> QueryDef(qSnapshotDiff, Some(qSnapshotDiffSql),
       "corpus snapshot diff: added/removed/changed via full-outer md5 compare"),
     "q73_column_profile" -> QueryDef(qProfile, Some(qProfileSql),

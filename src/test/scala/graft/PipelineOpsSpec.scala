@@ -152,6 +152,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 sequence packing: full sequences, conserved tokens, dense ids") {
+    val rows = Registry.queries("q96_sequence_packing")(spark, dir).collect()
+    val totalTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+    // token conservation: packing moves every token exactly once
+    assert(rows.map(_.getLong(3)).sum == totalTokens)
+    rows.groupBy(_.getLong(0)).foreach { case (shard, seqs) =>
+      val ids = seqs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until seqs.length).toSeq,
+        s"shard $shard: sequence ids must be dense 0..n-1")
+      // every sequence is exactly full except possibly the shard's last
+      val last = ids.last
+      seqs.foreach { r =>
+        if (r.getLong(1) != last)
+          assert(r.getLong(3) == 128L,
+            s"shard $shard seq ${r.getLong(1)}: interior sequence not full")
+        else assert(r.getLong(3) <= 128L && r.getLong(3) >= 1L)
+        assert(r.getLong(2) >= 1L)
+      }
+    }
+  }
+
   test("q93 epoch shuffle: a reproducible permutation with dense shard positions") {
     val a = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
     val b = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
