@@ -174,6 +174,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 BPE training: monotone counts, shrinking corpus, exact bookkeeping") {
+    val rows = Registry.queries("q97_bpe_train")(spark, dir).collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getLong(3))
+    // later merges can never beat earlier ones (argmax monotonicity)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+    // each merge round shrinks the symbol corpus by EXACTLY the number
+    // of merges applied, which is <= the pair count (overlaps in runs)
+    val initial = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select(sum(length(regexp_replace(col("text"), " ", ""))))
+        .collect().head.getLong(0)
+    }
+    val sizes = initial +: rows.map(_.getLong(4))
+    sizes.zip(sizes.tail).zip(counts).foreach { case ((before, after), c) =>
+      val merged = before - after
+      assert(merged >= 1 && merged <= c,
+        s"round must apply between 1 and pair_count merges, got $merged of $c")
+    }
+    // learned symbols are real concatenations
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+    }
+  }
+
   test("q93 epoch shuffle: a reproducible permutation with dense shard positions") {
     val a = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
     val b = Registry.queries("q93_epoch_shuffle")(spark, dir).collect()
