@@ -646,7 +646,107 @@ object Dedup {
        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
        |FROM k GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** q98: EXACT SUBSTRING-SPAN dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr operator):
+    * find every maximal token span that is byte-identical across ≥ 2
+    * documents and emit the per-document removal spans. The real
+    * implementation over a single machine uses a suffix array; the
+    * distributed restatement seeds with fixed-width token n-grams (any
+    * repeated span of length ≥ W contains a repeated W-gram, so W-gram
+    * seeds + interval merge reconstruct every maximal span of length ≥ W
+    * exactly — no approximation):
+    *
+    *  1. explode each doc into (doc_id, pos, W-gram) — one corpus pass;
+    *  2. keep grams seen in > 1 distinct doc (keyed count — the only
+    *     corpus-scale shuffle; at 100 TB key by a 128-bit content hash
+    *     instead of the gram text to bound shuffle width);
+    *  3. join occurrences ⋈ repeated-gram set (Zipf-bounded; AQE
+    *     broadcasts it at gate scale) → per-doc seed positions;
+    *  4. merge overlapping seed intervals [pos, pos+W) per doc with the
+    *     classic window-island scan (order by start, island break when
+    *     start > running max end) — per-doc window, no extra shuffle.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) per maximal
+    * duplicated span, 1-based token offsets, end exclusive. Everything is
+    * integer arithmetic; both engines state the same island rule.
+    * Ref capability: hcdc has no corpus analytics — this is part of the
+    * training-pipeline surface the rebuild adds on top. */
+  private val SpanW = 8
+
+  private def qSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(slice(sequence(1, size(ws)), 1, size(ws) - ${SpanW - 1}),
+             |  i -> array_join(slice(ws, i, $SpanW), ' '))""".stripMargin))
+          .as(Seq("p0", "gram")))
+      .withColumn("pos", col("p0") + 1)  // posexplode is 0-based
+    val repeated = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("gram"))
+    val seeds = grams.join(repeated, "gram")
+      .select(col("doc_id"), col("pos").cast(LongType).as("s"),
+        (col("pos") + SpanW).cast(LongType).as("e"))
+    val wScan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val wPrev = wScan.rowsBetween(Long.MinValue, -1)
+    seeds
+      .withColumn("prev_max", max(col("e")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wScan))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private val qSubstringSpansSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(ws) - ${SpanW - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(ws) - ${SpanW - 2}),
+       |      i -> list_aggregate(ws[i:i + ${SpanW - 1}], 'string_agg', ' ')))
+       |      AS gram
+       |  FROM toks WHERE len(ws) >= $SpanW),
+       |repeated AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING COUNT(DISTINCT doc_id) > 1),
+       |seeds AS (
+       |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+       |    CAST(g.pos + $SpanW AS BIGINT) AS e
+       |  FROM grams g JOIN repeated USING (gram)),
+       |scan AS (
+       |  SELECT doc_id, s, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM seeds),
+       |brks AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+       |      AS brk
+       |  FROM scan),
+       |islands AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brks)
+       |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       |  CAST(MAX(e) AS BIGINT) AS span_end,
+       |  CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+       |FROM islands GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q98_substring_spans" -> QueryDef(qSubstringSpans, Some(qSubstringSpansSql),
+      "exact substring-span dedup: repeated W-gram seeds + interval merge"),
     "q34_dedup_exact" -> QueryDef(qExact, Some(qExactSql),
       "exact dedup via content-hash groupBy"),
     "q35_dedup_minhash_lsh" -> QueryDef(qMinHash, Some(qMinHashSql),

@@ -217,4 +217,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     val shuffled = a.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(0))
     assert(shuffled.toSeq != shuffled.sorted.toSeq)
   }
+
+  test("q98 substring spans match a plain-Scala suffix-scan reimplementation") {
+    val W = 8
+    val out = Registry.queries("q98_substring_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // structural invariants first: width >= W, end exclusive, per-doc
+    // spans sorted and disjoint
+    assert(out.nonEmpty, "sf0.001 corpus contains duplicated spans")
+    assert(out.forall { case (_, s, e, w) => w == e - s && w >= W })
+    out.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, s"doc $doc: overlapping or touching spans")
+        case _ => ()
+      }
+    }
+    // ground truth via an imperative reimplementation (hash map + linear
+    // interval sweep, no SQL windows): every maximal span of length >= W
+    // repeated across >= 2 docs, exactly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+    val gramDocs = collection.mutable.Map.empty[String, collection.mutable.Set[Long]]
+    for ((id, ws) <- docs; i <- 0 to ws.length - W)
+      gramDocs.getOrElseUpdate(ws.slice(i, i + W).mkString(" "),
+        collection.mutable.Set.empty) += id
+    val expected = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for ((id, ws) <- docs) {
+      val seedPos = (0 to ws.length - W).filter(i =>
+        gramDocs(ws.slice(i, i + W).mkString(" ")).size > 1)
+      var start = -1; var end = -1
+      for (i <- seedPos) {
+        if (start < 0) { start = i; end = i + W }
+        else if (i <= end) end = i + W
+        else { expected += ((id, start + 1L, end + 1L, (end - start).toLong))
+               start = i; end = i + W }
+      }
+      if (start >= 0)
+        expected += ((id, start + 1L, end + 1L, (end - start).toLong))
+    }
+    assert(out.sortBy(t => (t._1, t._2)).toSeq ==
+      expected.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
