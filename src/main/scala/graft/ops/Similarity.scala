@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import Tables.load
 
 /** Embedding similarity search. Brute-force cosine top-k is the exact
@@ -555,7 +556,58 @@ object Similarity {
        |FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  /** q102 — cluster-balanced sampling: assign every vector to its
+    * nearest pivot cell (the q45 IVF assign stage, reused verbatim),
+    * then keep `CellQuota` per cell by md5 hash rank. The topic-balanced
+    * subset selection a curation pipeline runs over embedding space:
+    * uniform-per-cluster instead of corpus-frequency-weighted, so rare
+    * regions of the space survive the downsample. Scale shape: one
+    * broadcast of the constant 16-pivot table, one window per cell —
+    * no pairwise stage at all. */
+  private val CellQuota = 20
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(s, dir)
+    val pivots = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("pv"),
+        col("norm").as("pn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val cells = base.join(broadcast(pivots))
+      .withColumn("pcos", dot(col("v"), col("pv")) / (col("norm") * col("pn")))
+      .withColumn("prnk", row_number().over(wAssign))
+      .filter(col("prnk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val wSamp = Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit("cb:"), col("vec_id"))), col("vec_id"))
+    cells.withColumn("rnk", row_number().over(wSamp).cast(LongType))
+      .filter(col("rnk") <= CellQuota)
+      .select(col("cell"), col("rnk"), col("vec_id"))
+      .orderBy(col("cell"), col("rnk"))
+  }
+
+  private val qClusterSampleSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |p AS (SELECT vec_id AS cell, v AS pv, norm AS pn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, p.cell,
+       |        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |          list_dot_product(n.v, p.pv) / (n.norm * p.pn) DESC, p.cell)
+       |          AS prnk
+       |      FROM n CROSS JOIN p),
+       |cells AS (SELECT vec_id, cell FROM a WHERE prnk = 1),
+       |r AS (SELECT cell, vec_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |          ORDER BY md5('cb:' || vec_id), vec_id) AS BIGINT) AS rnk
+       |      FROM cells)
+       |SELECT cell, rnk, vec_id FROM r WHERE rnk <= $CellQuota
+       |ORDER BY cell, rnk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q102_cluster_sample" -> QueryDef(qClusterSample, Some(qClusterSampleSql),
+      "cluster-balanced embedding sample: IVF cells + per-cell hash quota"),
     "q69_kmeans_lloyd" -> QueryDef(qKmeans, Some(qKmeansSql),
       "bit-reproducible Lloyd k-means on a 2^-20 grid (IVF centroid trainer)"),
     "q38_sim_cosine_topk" -> QueryDef(qTopK, Some(qTopKSql),

@@ -39,8 +39,16 @@ object Tokenizer {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
-  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Runs the `MergeRounds` training loop. Returns the vocabulary with
+    * its FINAL symbol arrays (the trained tokenizer, applied to every
+    * distinct word) plus the per-round (rule, count, corpus-size) rows.
+    * The vocab table is the tokenizer artifact q101/q103 consume:
+    * encoding a document is then just a word->syms lookup, because
+    * greedy merge application is a function of the word alone.
+    */
+  private def train(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Long, String, String, Long, Long)]) = {
     var words = load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -77,11 +85,65 @@ object Tokenizer {
       prev.unpersist()
       rounds += ((r.toLong, a, b, c, total))
     }
-    words.unpersist()
-    rounds.result()
+    (words, rounds.result())
+  }
+
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (vocab, rounds) = train(s, dir)
+    vocab.unpersist()
+    rounds
       .toDF("round", "left_sym", "right_sym", "pair_count",
         "corpus_symbols_after")
       .orderBy(col("round"))
+  }
+
+  /** q101 — APPLY the trained tokenizer: encode every document with the
+    * learned merges and report its token budget. One corpus pass: the
+    * exploded word stream equi-joins the broadcast vocab (Zipf-bounded,
+    * same artifact q60's unigram LM broadcasts), so the encode is
+    * map-side at any corpus size. */
+  private def qBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = train(s, dir)
+    val enc = vocab.select(col("word"),
+      size(col("syms")).cast(LongType).as("n_syms"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q103 — tokenizer FERTILITY by language: BPE tokens per whitespace
+    * word and chars per token, the per-language cost report a tokenizer
+    * evaluation produces. Same join shape as q101, rolled up to the
+    * language grain. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = train(s, dir)
+    val enc = vocab.select(col("word"),
+      size(col("syms")).cast(LongType).as("n_syms"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_bpe_tokens"))
+      .orderBy(col("lang"))
   }
 
   /** One oracle merge round: pair counts → argmax → island/parity greedy
@@ -121,18 +183,14 @@ object Tokenizer {
        |  WHERE k1.i IS NULL
        |  GROUP BY s.word, s.cnt)""".stripMargin
 
-  private val qBpeTrainSql = {
+  /** The full training CTE chain (vocab -> MergeRounds rewrites): the
+    * final rewritten vocab is `rb$MergeRounds`, shared by the train and
+    * apply oracles so both state the same tokenizer. */
+  private val trainChainSql: String = {
     val chain = (1 to MergeRounds)
       .map(r => roundSql(r, if (r == 1) "ws0" else s"rb${r - 1}"))
       .mkString(",\n")
-    val rows = (1 to MergeRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
-         |  c AS pair_count,
-         |  (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM rb$r)
-         |    AS corpus_symbols_after
-         |FROM best$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w),
@@ -140,11 +198,53 @@ object Tokenizer {
        |  SELECT word, cnt,
        |    list_filter(string_split(word, ''), x -> x <> '') AS syms
        |  FROM t),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  private val qBpeTrainSql = {
+    val rows = (1 to MergeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |  c AS pair_count,
+         |  (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM rb$r)
+         |    AS corpus_symbols_after
+         |FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $trainChainSql
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
+  private val qBpeApplySql =
+    s"""WITH $trainChainSql,
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       | CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       | CAST(SUM(length(d.word)) AS DOUBLE) / SUM(len(v.syms))
+       |   AS chars_per_token
+       |FROM dw d JOIN rb$MergeRounds v ON v.word = d.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private val qBpeFertilitySql =
+    s"""WITH $trainChainSql,
+       |dw AS (SELECT doc_id, lang,
+       |         unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT d.lang, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       | CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       | CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       | CAST(SUM(len(v.syms)) AS DOUBLE) / COUNT(*) AS fertility,
+       | CAST(SUM(length(d.word)) AS DOUBLE) / SUM(len(v.syms))
+       |   AS chars_per_token
+       |FROM dw d JOIN rb$MergeRounds v ON v.word = d.word
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q97_bpe_train" -> QueryDef(qBpeTrain, Some(qBpeTrainSql),
-      "distributed BPE merge training on the Zipf-bounded vocab table"))
+      "distributed BPE merge training on the Zipf-bounded vocab table"),
+    "q101_bpe_apply" -> QueryDef(qBpeApply, Some(qBpeApplySql),
+      "apply the trained BPE merges: per-doc token budget via vocab join"),
+    "q103_bpe_fertility" -> QueryDef(qBpeFertility, Some(qBpeFertilitySql),
+      "tokenizer fertility by language (BPE tokens/word, chars/token)"))
 }

@@ -21,7 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q38_sim_cosine_topk", "q45_sim_ann_ivf", "q39_sim_ann_lsh",
     "q69_kmeans_lloyd", // k x dim centroid table broadcast per iteration
     "q70_tfidf_cosine", // 1-row corpus-size scalar broadcast
-    "q89_semantic_dedup") // q45's 16-pivot assign stage, reused
+    "q89_semantic_dedup", // q45's 16-pivot assign stage, reused
+    "q102_cluster_sample", // q45's 16-pivot assign stage, reused
+    "q100_dsir_weights") // 1-row corpus-mean scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -93,7 +95,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (with the bound named) or drop its hint.
     val constantFilterBounded = Set("q38_sim_cosine_topk",
       "q39_sim_ann_lsh", "q45_sim_ann_ivf", "q69_kmeans_lloyd",
-      "q89_semantic_dedup")
+      "q89_semantic_dedup", "q102_cluster_sample")
     val offenders = Registry.queries.toSeq
       .filterNot { case (name, _) =>
         skipBuild(name) || constantFilterBounded(name) }
