@@ -207,11 +207,63 @@ object Filtering {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  // --------------------------------------------------------------- q105
+
+  /** Duplicate word-bigram fraction + top-bigram coverage — the
+    * sub-sentence repetition signals of the Gopher rule family (q56
+    * covers the line grain). One keyed count on (doc, bigram) with
+    * map-side combine, one rollup to the doc grain: linear at any
+    * corpus size. */
+  private def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(sequence(1, size(ws)), 1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") - 1).as("n_dup_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+      .withColumn("dup_frac",
+        col("n_dup_bigrams").cast(DoubleType) / col("n_bigrams"))
+      .withColumn("top_frac",
+        col("top_bigram_n").cast(DoubleType) / col("n_bigrams"))
+      // cut at ~p80 of each signal's corpus distribution so the flag
+      // discriminates (dup_frac p75=0.047, top_frac p75=0.048)
+      .withColumn("repetitive",
+        col("dup_frac") > 0.05 || col("top_frac") > 0.06)
+      .orderBy(col("doc_id"))
+
+  private val qNgramRepetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS syms
+      |           FROM documents),
+      |bg AS (
+      |  SELECT doc_id, syms[i] || ' ' || syms[i + 1] AS bg
+      |  FROM w, unnest(range(1, len(syms))) AS u(i)),
+      |c AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM bg GROUP BY doc_id, bg),
+      |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |        CAST(SUM(c - 1) AS BIGINT) AS n_dup_bigrams,
+      |        CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_dup_bigrams, top_bigram_n,
+      | CAST(n_dup_bigrams AS DOUBLE) / n_bigrams AS dup_frac,
+      | CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_frac,
+      | (CAST(n_dup_bigrams AS DOUBLE) / n_bigrams > 0.05
+      |  OR CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.06) AS repetitive
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q99_gopher_rules" -> QueryDef(qGopherRules, Some(qGopherRulesSql),
       "Gopher-style lexical rule gate: exact per-doc signals -> verdict"),
     "q100_dsir_weights" -> QueryDef(qDsirWeights, Some(qDsirWeightsSql),
       "DSIR-style hashed-unigram importance weights, integer-exact ppm"),
     "q104_mad_outliers" -> QueryDef(qMadOutliers, Some(qMadOutliersSql),
-      "robust median/MAD hourly-rate outliers (q85's heavy-tail twin)"))
+      "robust median/MAD hourly-rate outliers (q85's heavy-tail twin)"),
+    "q105_ngram_repetition" -> QueryDef(qNgramRepetition,
+      Some(qNgramRepetitionSql),
+      "duplicate-bigram fraction + top-bigram coverage (Gopher repetition)"))
 }

@@ -97,6 +97,23 @@ class FilteringSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 ngram repetition: counting identities and discrimination") {
+    val out = Registry.queries("q105_ngram_repetition")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nw").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length == docs.size)
+    for (r <- out) {
+      val n = r.getLong(1); val dup = r.getLong(2); val top = r.getLong(3)
+      // a doc with W words has exactly W-1 bigrams
+      assert(n == docs(r.getLong(0)) - 1)
+      assert(dup >= 0 && dup < n, "dups are occurrences beyond each first")
+      assert(top >= 1 && top <= dup + 1)
+    }
+    assert(out.map(_.getBoolean(6)).toSet == Set(true, false),
+      "the repetition flag must discriminate")
+  }
+
   test("q104 mad outliers: robust stats bounded and sane") {
     val out = Registry.queries("q104_mad_outliers")(spark, dir).collect()
     assert(out.nonEmpty)
