@@ -39,21 +39,58 @@ object Tokenizer {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
-  /** Runs the `MergeRounds` training loop. Returns the vocabulary with
-    * its FINAL symbol arrays (the trained tokenizer, applied to every
-    * distinct word) plus the per-round (rule, count, corpus-size) rows.
-    * The vocab table is the tokenizer artifact q101/q103 consume:
-    * encoding a document is then just a word->syms lookup, because
-    * greedy merge application is a function of the word alone.
-    */
-  private def train(s: SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame,
-         Seq[(Long, String, String, Long, Long)]) = {
-    var words = load(s, dir, "documents")
+  /** The base vocabulary: distinct corpus words with counts and their
+    * character-level symbol arrays. */
+  private def baseVocab(s: SparkSession, dir: String) =
+    load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
-      .persist()
+
+  /** Greedy left-to-right application of one merge rule to `syms`. */
+  private def applyRule(a: String, b: String): String =
+    s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+       |  CASE WHEN size(acc) > 0
+       |         AND element_at(acc, -1) = '${esc(a)}'
+       |         AND x = '${esc(b)}'
+       |    THEN concat(slice(acc, 1, size(acc) - 1),
+       |                array('${esc(a + b)}'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** Learned merge rules memoized per directory: the tokenizer is ONE
+    * artifact per corpus (trained once per release in a real pipeline),
+    * so q97/q101/q103 share a single training run instead of each
+    * re-deriving it. The cache holds only the driver-side rule rows;
+    * the vocab DataFrame is rebuilt declaratively from them. */
+  private val trained = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, String, String, Long, Long)]]
+
+  /** Returns the vocabulary with its FINAL symbol arrays (the trained
+    * tokenizer applied to every distinct word) plus the per-round
+    * (rule, count, corpus-size) rows. Encoding a document is then just
+    * a word->syms lookup, because greedy merge application is a
+    * function of the word alone.
+    */
+  private def train(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Long, String, String, Long, Long)]) =
+    trained.get(dir) match {
+      case Some(rounds) =>
+        val vocab = rounds.foldLeft(baseVocab(s, dir)) {
+          case (df, (_, a, b, _, _)) =>
+            df.withColumn("syms", expr(applyRule(a, b)))
+        }
+        (vocab, rounds)
+      case None =>
+        val result = trainUncached(s, dir)
+        trained.putIfAbsent(dir, result._2)
+        result
+    }
+
+  private def trainUncached(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Long, String, String, Long, Long)]) = {
+    var words = baseVocab(s, dir).persist()
     val rounds = Seq.newBuilder[(Long, String, String, Long, Long)]
     for (r <- 1 to MergeRounds) {
       val best = words
@@ -71,15 +108,7 @@ object Tokenizer {
         .collect().head // 1-row argmax: the learned rule is driver data
       val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
       val prev = words
-      words = prev.withColumn("syms", expr(
-        s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
-           |  CASE WHEN size(acc) > 0
-           |         AND element_at(acc, -1) = '${esc(a)}'
-           |         AND x = '${esc(b)}'
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |                array('${esc(a + b)}'))
-           |    ELSE concat(acc, array(x)) END)""".stripMargin))
-        .persist()
+      words = prev.withColumn("syms", expr(applyRule(a, b))).persist()
       val total = words.select(sum(col("cnt") * size(col("syms"))))
         .collect().head.getLong(0)
       prev.unpersist()
