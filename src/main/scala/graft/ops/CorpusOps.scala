@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Tables.load
+
+/** Corpus/behavior operators rounding out the pipeline battery:
+  *
+  *   - q106: gap-based SESSIONIZATION of the event stream — the
+  *     standard "new session after N idle time" reconstruction every
+  *     analytics stack ships (and the batch restatement of what a
+  *     streaming `mapGroupsWithState` session operator maintains).
+  *   - q107: corpus-frequency BOILERPLATE REMOVAL — C4's "drop any
+  *     line that appears in more than one document" rule at the chunk
+  *     grain. Distinct from q90 (keep-first chunk dedup): a chunk seen
+  *     in >= [[BoilerplateDf]] distinct docs is template text and is
+  *     removed from EVERY document, including the first.
+  *   - q108: ZIPF VOCABULARY-COVERAGE curve — cumulative corpus-token
+  *     coverage of the top-k vocabulary, the sizing curve a tokenizer/
+  *     vocab decision reads (integer-exact ppm).
+  *
+  * Scale shape: q106 is one shuffle on user_id; the session window and
+  * the per-session aggregate reuse that partitioning. q107 is the q90
+  * profile — one chunk-keyed aggregation plus one chunk-keyed join
+  * back, nothing pairwise. q108's global rank window runs AFTER a
+  * distributed TakeOrderedAndProject caps the vocabulary at
+  * [[TopVocab]] rows, so the single-partition window is O(TopVocab)
+  * regardless of corpus size; the corpus-wide totals come from a
+  * separate full aggregate joined in as a broadcast scalar.
+  */
+object CorpusOps {
+
+  // --------------------------------------------------------------- q106
+
+  /** Session-breaking idle gap, in microseconds. The synthetic event
+    * stream is sparse per user (median inter-event gap ~7.3 h at the
+    * gate SF), so the conventional 30-minute web gap would make every
+    * event its own session and the operator would test nothing; 8⅓ h
+    * splits the stream into ~2.2-event sessions — boundaries on both
+    * sides of the cut. */
+  private val SessionGapUs = 30_000_000_000L
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) <= SessionGapUs,
+          lit(0L)).otherwise(lit(1L)))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        countDistinct(col("event_type")).cast(LongType).as("n_types"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val qSessionizeSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |s AS (SELECT user_id, event_id, event_type, us,
+       |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+       |                               ORDER BY us, event_id)
+       |            <= $SessionGapUs
+       |       THEN 0 ELSE 1 END AS new_sess
+       |  FROM e),
+       |x AS (SELECT user_id, event_type, us,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM s)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(us) AS start_us, MAX(us) AS end_us,
+       |  MAX(us) - MIN(us) AS duration_us,
+       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+       |FROM x GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // --------------------------------------------------------------- q107
+
+  /** Chunk grain (tokens) and the doc-frequency cut: a 20-token chunk
+    * present in >= 2 distinct documents is template text (53 such
+    * chunks at the gate SF vs ~1.5k singletons — the rule
+    * discriminates without emptying any document). */
+  private val ChunkTokens = 20
+  private val BoilerplateDf = 2
+
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(ws) / $ChunkTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $ChunkTokens + 1, $ChunkTokens), ' '))"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val c = chunks(s, dir)
+    val df = c.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    c.join(df, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("df") >= BoilerplateDf, lit(1L)).otherwise(lit(0L)))
+          .cast(LongType).as("n_removed"),
+        array_join(expr(
+          s"""transform(
+             |  array_sort(collect_list(
+             |    CASE WHEN df < $BoilerplateDf THEN struct(idx, chunk) END)),
+             |  s -> s.chunk)""".stripMargin), " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBoilerplateSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(ws) / $ChunkTokens.0) AS BIGINT)))
+       |      AS idx,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(len(ws) / $ChunkTokens.0) AS BIGINT)),
+       |      i -> array_to_string(
+       |        ws[i*$ChunkTokens+1 : i*$ChunkTokens+$ChunkTokens], ' ')))
+       |      AS chunk
+       |  FROM w),
+       |d AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df
+       |      FROM c GROUP BY chunk)
+       |SELECT c.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN d.df >= $BoilerplateDf THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(
+       |    list(CASE WHEN d.df < $BoilerplateDf THEN c.chunk END
+       |         ORDER BY c.idx), ' '), '') AS kept_text
+       |FROM c JOIN d USING (chunk)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q108
+
+  /** Vocabulary cap for the rank window (scale guard, not a semantic
+    * limit: the synthetic vocab is far smaller) and the ranks the
+    * coverage curve reports. */
+  private val TopVocab = 1000
+  private val ReportRanks = Seq(1L, 5L, 10L, 30L)
+
+  private def qZipfCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast(LongType).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    counts.orderBy(col("cnt").desc, col("word")).limit(TopVocab)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("cum_tokens", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk").isInCollection(ReportRanks))
+      .crossJoin(broadcast(total))
+      // DECIMAL(38,0) before the multiply: ppm of a 100-TB token count
+      // would overflow BIGINT at the *1e6 step.
+      .withColumn("coverage_ppm", expr(
+        "CAST(CAST(cum_tokens AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+      .select(col("rnk"), col("word"), col("cnt"), col("cum_tokens"),
+        col("total"), col("coverage_ppm"))
+      .orderBy(col("rnk"))
+  }
+
+  private val qZipfCoverageSql =
+    s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word
+       |            FROM documents),
+       |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM wd GROUP BY word),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |r AS (SELECT word, cnt,
+       |        ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+       |        SUM(cnt) OVER (ORDER BY cnt DESC, word
+       |                       ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM c QUALIFY rnk <= $TopVocab)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, word, cnt,
+       |  CAST(cum AS BIGINT) AS cum_tokens, total,
+       |  CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
+       |    AS coverage_ppm
+       |FROM r, t WHERE rnk IN (${ReportRanks.mkString(", ")})
+       |ORDER BY rnk""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
+      "gap-based event sessionization (T5 keyed window restatement)"),
+    "q107_boilerplate" -> QueryDef(qBoilerplate, Some(qBoilerplateSql),
+      "corpus-frequency boilerplate chunk removal (C4 rule; != q90 keep-first)"),
+    "q108_zipf_coverage" -> QueryDef(qZipfCoverage, Some(qZipfCoverageSql),
+      "Zipf vocabulary-coverage curve, TopK-capped rank window, exact ppm"))
+}

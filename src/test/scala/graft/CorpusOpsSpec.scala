@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for q106–q108: properties the DuckDB hash gate
+  * cannot state — ground-truth recomputation in plain Scala, cross-query
+  * conservation, and non-degeneracy of the calibrated cuts.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val GapUs = 30_000_000_000L
+
+  test("q106 sessions == plain-Scala ground truth; gap law holds") {
+    val out = Registry.queries("q106_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ground truth: collect the raw events and sessionize imperatively
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us")) // raw NANOS long -> micros
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = events.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+        case (acc, us) => acc match {
+          case head :: tail if us - head.head <= GapUs =>
+            (us :: head) :: tail
+          case _ => List(us) :: acc
+        }
+      }.reverse
+      sessions.zipWithIndex.map { case (ss, i) =>
+        (uid, i + 1L, ss.length.toLong, ss.min, ss.max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == truth,
+      "sessionization disagrees with the imperative reimplementation")
+    // the cut discriminates: neither one-session-per-user nor
+    // one-session-per-event
+    val nEvents = events.length.toLong
+    val nUsers = events.map(_._1).distinct.length.toLong
+    assert(out.length > nUsers && out.length < nEvents)
+  }
+
+  test("q107 boilerplate: conservation vs q90's chunking and both-ways cut") {
+    val out = Registry.queries("q107_boilerplate")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == docs, "one row per document")
+    for (r <- out) {
+      val nChunks = r.getLong(1); val nRemoved = r.getLong(2)
+      val kept = r.getString(3)
+      assert(nRemoved >= 0 && nRemoved <= nChunks)
+      // kept_text holds exactly the surviving chunks: 20 tokens per
+      // chunk except possibly one tail chunk per doc
+      val keptTokens =
+        if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      val keptChunks = nChunks - nRemoved
+      assert(keptTokens <= keptChunks * 20)
+      assert(keptTokens > (keptChunks - 1) * 20 || keptChunks == 0)
+    }
+    // the df cut must remove something somewhere but never everything
+    assert(out.map(_.getLong(2)).sum > 0, "rule removed nothing")
+    assert(out.exists(_.getLong(2) == 0), "rule hit every document")
+    // REMOVE-EVERYWHERE semantics: strictly stronger than q90's
+    // keep-first — total kept tokens strictly below q90's kept stream
+    val q90Kept = Registry.queries("q90_chunk_dedup")(spark, dir)
+      .collect().map { r =>
+        val t = r.getString(3)
+        if (t.isEmpty) 0L else t.split(" ").length.toLong
+      }.sum
+    val q107Kept = out.map { r =>
+      val t = r.getString(3)
+      if (t.isEmpty) 0L else t.split(" ").length.toLong
+    }.sum
+    assert(q107Kept < q90Kept,
+      "remove-everywhere must keep strictly less than keep-first")
+  }
+
+  test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
+    val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
+    assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")
+    val ranks = out.map(_.getLong(0)).toSeq
+    assert(ranks == Seq(1L, 5L, 10L, 30L))
+    val cnts = out.map(_.getLong(2))
+    assert(cnts.sameElements(cnts.sorted.reverse),
+      "per-rank counts must be non-increasing")
+    val cums = out.map(_.getLong(3))
+    assert(cums.sameElements(cums.sorted), "coverage must be monotone")
+    val total = out.map(_.getLong(4)).distinct
+    assert(total.length == 1)
+    val expectedTotal = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(total.head == expectedTotal, "total must be the corpus stream")
+    // vocab is 31 words: rank 30 covers nearly everything but not all
+    val ppm = out.map(_.getLong(5))
+    assert(ppm.last < 1000000L && ppm.last > ppm.head)
+    assert(cums.last < expectedTotal)
+  }
+}
