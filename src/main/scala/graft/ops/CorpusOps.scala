@@ -191,9 +191,133 @@ object CorpusOps {
        |FROM r, t WHERE rnk IN (${ReportRanks.mkString(", ")})
        |ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- q109
+
+  /** One staged event record / FSM state / emitted session for the
+    * streaming sessionizer. `types` is kept as a sorted-distinct Seq
+    * (bounded by event-type cardinality, tiny) so the product encoder
+    * stays simple and the count is exact. */
+  final case class SessEvent(
+      user_id: Long, event_id: Long, event_type: String, us: Long)
+  final case class SessState(
+      seq: Long, start: Long, last: Long, n: Long, types: Seq[String])
+  final case class SessOut(
+      user_id: Long, session_seq: Long, n_events: Long,
+      start_us: Long, end_us: Long, n_types: Long)
+
+  /** The per-user session FSM: extend the open session while the gap
+    * stays inside [[SessionGapUs]], emit it and open a new one at the
+    * first larger gap. Batches arrive in event-time order (the staging
+    * below slices by time); inside a batch the iterator is unordered,
+    * so it is sorted by (us, event_id) — the batch query's exact order.
+    */
+  private def sessionFsm(uid: Long, it: Iterator[SessEvent],
+      st: org.apache.spark.sql.streaming.GroupState[SessState])
+      : Iterator[SessOut] = {
+    val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+    var state = st.getOption
+    val out = Seq.newBuilder[SessOut]
+    for (e <- evs) state match {
+      case Some(ss) if e.us - ss.last <= SessionGapUs =>
+        state = Some(ss.copy(last = e.us, n = ss.n + 1,
+          types = (ss.types :+ e.event_type).distinct.sorted))
+      case Some(ss) =>
+        out += SessOut(uid, ss.seq, ss.n, ss.start, ss.last,
+          ss.types.size.toLong)
+        state = Some(SessState(ss.seq + 1, e.us, e.us, 1L, Seq(e.event_type)))
+      case None =>
+        state = Some(SessState(1L, e.us, e.us, 1L, Seq(e.event_type)))
+    }
+    state.foreach(st.update)
+    out.result().iterator
+  }
+
+  /** q109: STREAMING sessionization — q106 maintained live by a keyed
+    * `flatMapGroupsWithState` FSM (the T5 keyed-state protocol applied
+    * to behavioral data). The event log is staged as four event-time
+    * slices replayed one file per micro-batch (mod-times pin the
+    * order), so sessions spanning micro-batches genuinely exercise
+    * cross-batch state carry; a final per-user sentinel slice at
+    * `max(us) + 2·gap` closes every open session the way a passing
+    * watermark would. Gate: identical to q106's batch oracle.
+    *
+    * Scale shape: state is ONE open session per user (few hundred
+    * bytes), the classic RocksDB-backed keyed-FSM profile; each batch
+    * shuffles only its own slice on user_id. */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val rows = graft.streaming.StreamScratch.withScratch("graft_ssess_") { tmp =>
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val Array(minMax) = ev.agg(min(col("us")), max(col("us"))).collect()
+      val (lo, hi) = (minMax.getLong(0), minMax.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+      def stage(slice: DataFrame, i: Int): Unit = {
+        slice.select(to_json(struct(col("user_id"), col("event_id"),
+          col("event_type"), col("us"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$tmp/stage$i")
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/stage$i/part-*")).head.getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+        val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+        fs.rename(part, dst)
+        // mod-time IS the replay order for the file source
+        fs.setTimes(dst, 1000L * (i + 1), -1)
+      }
+      for (i <- 0 until 4)
+        stage(ev.filter(col("us") >= lo + i.toLong * step &&
+          col("us") < lo + (i + 1).toLong * step), i)
+      stage(ev.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          lit("__flush__").as("event_type"),
+          lit(hi + 2 * SessionGapUs).as("us")), 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("us",
+          org.apache.spark.sql.types.LongType)))
+      val q = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$tmp/in")
+        .select(from_json(col("value"), schema).as("d"))
+        .select(col("d.user_id"), col("d.event_id"), col("d.event_type"),
+          col("d.us"))
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(sessionFsm)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .as[SessOut].collect().toSeq
+    }
+    rows.toDF()
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"), col("n_types"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
+    "q109_stream_sessionize" -> QueryDef(qStreamSessionize,
+      Some(qSessionizeSql),
+      "streaming flatMapGroupsWithState sessions == batch q106"),
     "q107_boilerplate" -> QueryDef(qBoilerplate, Some(qBoilerplateSql),
       "corpus-frequency boilerplate chunk removal (C4 rule; != q90 keep-first)"),
     "q108_zipf_coverage" -> QueryDef(qZipfCoverage, Some(qZipfCoverageSql),

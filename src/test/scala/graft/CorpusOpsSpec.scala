@@ -44,6 +44,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.length > nUsers && out.length < nEvents)
   }
 
+  test("q109 streaming sessions == q106 batch, with cross-batch carry") {
+    val batch = Registry.queries("q106_sessionize")(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val stream = Registry.queries("q109_stream_sessionize")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch, "streaming FSM diverges from the batch window")
+    // cross-batch state carry: the replay slices the event-time range
+    // into 4 equal micro-batches; at least one session must START in
+    // one slice and END in a later one, or the FSM never exercised
+    // carried state and the gate proves less than it claims
+    val us = spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("ts div 1000").as("us")).collect().map(_.getLong(0))
+    val (lo, hi) = (us.min, us.max)
+    val step = (hi - lo) / 4 + 1
+    def slice(u: Long): Long = (u - lo) / step
+    val spanning = batch.count(r =>
+      slice(r(3).asInstanceOf[Long]) != slice(r(4).asInstanceOf[Long]))
+    assert(spanning > 0, "no session spans a micro-batch boundary")
+  }
+
   test("q107 boilerplate: conservation vs q90's chunking and both-ways cut") {
     val out = Registry.queries("q107_boilerplate")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * audited via their batch twins (q26 for q27; q26+cogroup for
     * q28/q44; the batch DISTINCT oracle for q63). */
   private val skipBuild = Set("q27_cdc_stream_fsm", "q63_stream_dedup",
-    "q72_stream_lsh_index", "q77_stream_topk", "q80_stream_agg_maintain")
+    "q72_stream_lsh_index", "q77_stream_topk", "q80_stream_agg_maintain",
+    "q109_stream_sessionize")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
