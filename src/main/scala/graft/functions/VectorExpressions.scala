@@ -259,6 +259,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHashVotes].getName, "graft_simhash"),
       SimHashVotes.sqlBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vecsum"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongVectorSum].getName, "graft_vecsum"),
+      LongVectorSum.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

@@ -43,7 +43,10 @@ object CorpusOps {
     * sides of the cut. */
   private val SessionGapUs = 30_000_000_000L
 
-  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+  /** Events with their session number attached — the shared base of
+    * q106 (session summaries) and q110 (within-session co-occurrence).
+    * One shuffle on user_id; everything downstream reuses it. */
+  private def sessionAssigned(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     load(s, dir, "events")
@@ -54,6 +57,10 @@ object CorpusOps {
           lit(0L)).otherwise(lit(1L)))
       .withColumn("session_seq", sum(col("new_sess")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionAssigned(s, dir)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).cast(LongType).as("n_events"),
         min(col("us")).as("start_us"),
@@ -61,7 +68,6 @@ object CorpusOps {
         (max(col("us")) - min(col("us"))).as("duration_us"),
         countDistinct(col("event_type")).cast(LongType).as("n_types"))
       .orderBy(col("user_id"), col("session_seq"))
-  }
 
   private val qSessionizeSql =
     s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
@@ -312,6 +318,133 @@ object CorpusOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  // --------------------------------------------------------------- q110
+
+  /** q110: within-session event-type CO-OCCURRENCE — the A-Priori
+    * pass-1/pass-2 (pair support + lift) restated on q106's sessions:
+    * which behaviors happen together in one visit. Counts are session-
+    * grained (distinct per session first), support and lift are
+    * integer-exact ppm via DECIMAL(38,0) so a 100-TB session count
+    * cannot overflow the lift numerator.
+    *
+    * Scale shape: the session-type table is the q106 shuffle reused;
+    * the self-join is equi-keyed on the session (never all-pairs —
+    * per-session fan-out is bounded by C(|type alphabet|, 2)); the
+    * singleton-support and total-session tables are aggregate-bounded
+    * broadcasts. */
+  private def qSessionPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = sessionAssigned(s, dir)
+      .select(col("user_id"), col("session_seq"), col("event_type").as("t"))
+      .distinct()
+    val nSessions = st.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).cast(LongType).as("n_sessions"))
+    val singles = st.groupBy(col("t"))
+      .agg(count(lit(1)).cast(LongType).as("n_t"))
+    val pairs = st.as("a")
+      .join(st.as("b"), Seq("user_id", "session_seq"))
+      .filter(col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_pair"))
+    pairs
+      .join(broadcast(singles.withColumnRenamed("t", "type_a")
+        .withColumnRenamed("n_t", "n_a")), "type_a")
+      .join(broadcast(singles.withColumnRenamed("t", "type_b")
+        .withColumnRenamed("n_t", "n_b")), "type_b")
+      .crossJoin(broadcast(nSessions))
+      .withColumn("support_ppm", expr(
+        "CAST(CAST(n_pair AS DECIMAL(38,0)) * 1000000 div n_sessions AS BIGINT)"))
+      .withColumn("lift_ppm", expr(
+        "CAST(CAST(n_pair AS DECIMAL(38,0)) * n_sessions * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select(col("type_a"), col("type_b"), col("n_pair"), col("n_a"),
+        col("n_b"), col("n_sessions"), col("support_ppm"), col("lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val qSessionPairsSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |s AS (SELECT user_id, event_id, event_type, us,
+       |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+       |                               ORDER BY us, event_id)
+       |            <= $SessionGapUs
+       |       THEN 0 ELSE 1 END AS new_sess
+       |  FROM e),
+       |x AS (SELECT user_id, event_type,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM s),
+       |st AS (SELECT DISTINCT user_id, session_seq, event_type AS t FROM x),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |       FROM (SELECT DISTINCT user_id, session_seq FROM st) u),
+       |sing AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t
+       |         FROM st GROUP BY t),
+       |p AS (SELECT a.t AS type_a, b.t AS type_b,
+       |        CAST(COUNT(*) AS BIGINT) AS n_pair
+       |      FROM st a JOIN st b
+       |        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       |       AND a.t < b.t
+       |      GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b, p.n_pair,
+       |  sa.n_t AS n_a, sb.n_t AS n_b, ns.n_sessions,
+       |  CAST(CAST(p.n_pair AS HUGEINT) * 1000000 // ns.n_sessions
+       |    AS BIGINT) AS support_ppm,
+       |  CAST(CAST(p.n_pair AS HUGEINT) * ns.n_sessions * 1000000
+       |       // (CAST(sa.n_t AS HUGEINT) * sb.n_t) AS BIGINT) AS lift_ppm
+       |FROM p
+       |JOIN sing sa ON sa.t = p.type_a
+       |JOIN sing sb ON sb.t = p.type_b
+       |CROSS JOIN ns
+       |ORDER BY p.type_a, p.type_b""".stripMargin
+
+  // --------------------------------------------------------------- q111
+
+  /** Embedding dimensionality and the quantization grid for the Gram
+    * pass. floor(x·1024) is bit-identical in both engines: a FLOAT
+    * widens to DOUBLE exactly and scaling by 2^10 is exact, so the
+    * only rounding is the shared floor. Entry magnitude is bounded by
+    * n·(1024·|x|)² ≈ n·2^20 — a 100-TB row count of ~10^12 stays two
+    * orders inside BIGINT. */
+  private val EmbedDim = 64
+
+  /** q111: GRAM MATRIX of the (quantized) embedding table — the
+    * covariance/PCA input pass of every embedding-space curation step
+    * (whitening, SemDeDup cell shaping, spectral filtering). Each row
+    * contributes its 64×64 outer product, flattened to 4096 longs;
+    * [[graft.functions.LongVectorSum]] folds them map-side into ONE
+    * 32-KiB buffer per partition, so the "shuffle" is a handful of
+    * binary blobs — the mergeable-sketch shape — where the naive
+    * posexplode plan would shuffle n·4096 rows. The driver-side
+    * eigensolve on the 64×64 result is spec'd (power iteration), not
+    * gated: the distributed part IS this aggregate. */
+  private def qEmbedGram(s: SparkSession, dir: String): DataFrame = {
+    val outer = load(s, dir, "embeddings")
+      .select(expr(
+        s"""flatten(transform(
+           |  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)),
+           |  x -> transform(
+           |    transform(embedding, y -> CAST(floor(CAST(y AS DOUBLE) * 1024) AS BIGINT)),
+           |    y -> x * y)))""".stripMargin).as("op"))
+    outer
+      .agg(graft.functions.LongVectorSum.vecsum(col("op"), EmbedDim * EmbedDim)
+        .as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "g")))
+      .select((col("idx") divide lit(EmbedDim)).cast(LongType).as("i"),
+        pmod(col("idx"), lit(EmbedDim)).cast(LongType).as("j"), col("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val qEmbedGramSql =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+       |  FROM embeddings)
+       |SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.j - 1 AS BIGINT) AS j,
+       |  CAST(SUM(q.q[a.i] * q.q[b.j]) AS BIGINT) AS g
+       |FROM q,
+       |  unnest(range(1, $EmbedDim + 1)) AS a(i),
+       |  unnest(range(1, $EmbedDim + 1)) AS b(j)
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
@@ -321,5 +454,9 @@ object CorpusOps {
     "q107_boilerplate" -> QueryDef(qBoilerplate, Some(qBoilerplateSql),
       "corpus-frequency boilerplate chunk removal (C4 rule; != q90 keep-first)"),
     "q108_zipf_coverage" -> QueryDef(qZipfCoverage, Some(qZipfCoverageSql),
-      "Zipf vocabulary-coverage curve, TopK-capped rank window, exact ppm"))
+      "Zipf vocabulary-coverage curve, TopK-capped rank window, exact ppm"),
+    "q110_session_pairs" -> QueryDef(qSessionPairs, Some(qSessionPairsSql),
+      "A-Priori pair support + lift on q106 sessions, integer-exact ppm"),
+    "q111_embed_gram" -> QueryDef(qEmbedGram, Some(qEmbedGramSql),
+      "quantized Gram matrix via the LongVectorSum native aggregate"))
 }

@@ -98,6 +98,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       "remove-everywhere must keep strictly less than keep-first")
   }
 
+  test("q110 session pairs: support identities against q106") {
+    val pairs = Registry.queries("q110_session_pairs")(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    val nSessions = Registry.queries("q106_sessionize")(spark, dir).count()
+    for (r <- pairs) {
+      val (nPair, nA, nB, nS) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nS == nSessions, "pair table disagrees with q106 on sessions")
+      // pair support can never exceed either singleton's support
+      assert(nPair >= 1 && nPair <= math.min(nA, nB))
+      assert(r.getLong(6) == nPair * 1000000L / nS, "support ppm identity")
+      assert(r.getLong(7) > 0, "lift must be positive for observed pairs")
+      assert(r.getString(0) < r.getString(1), "canonical a<b pair order")
+    }
+    // 5 event types all co-occur somewhere at this SF: full C(5,2) grid
+    assert(pairs.length == 10)
+  }
+
+  test("q111 gram: symmetric PSD identities + power-iteration eigensolve") {
+    val rows = Registry.queries("q111_embed_gram")(spark, dir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    val d = 64
+    assert(rows.size == d * d)
+    val g = Array.tabulate(d, d)((i, j) => rows((i, j)))
+    for (i <- 0 until d; j <- 0 until d) {
+      assert(g(i)(j) == g(j)(i), s"asymmetry at ($i,$j)")
+      // Cauchy–Schwarz on the underlying integer vectors
+      assert(g(i)(j).toDouble * g(i)(j) <= g(i)(i).toDouble * g(j)(j) + 1e-6)
+    }
+    assert((0 until d).forall(i => g(i)(i) >= 0), "diagonal must be >= 0")
+    // dominant eigenpair by power iteration (driver-side: the matrix is
+    // 64x64 by construction at ANY corpus size — that is the point of
+    // the distributed Gram pass)
+    var v = Array.fill(d)(1.0)
+    var rayleigh = 0.0
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j).toDouble * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+      rayleigh = (0 until d).map(i =>
+        (0 until d).map(j => v(i) * g(i)(j) * v(j)).sum).sum
+    }
+    // for a symmetric PSD matrix the top eigenvalue dominates every
+    // diagonal entry; and the iterate must actually be an eigenvector
+    val maxDiag = (0 until d).map(i => g(i)(i).toDouble).max
+    assert(rayleigh >= maxDiag,
+      s"top eigenvalue $rayleigh below max diagonal $maxDiag")
+    val gv = Array.tabulate(d)(i =>
+      (0 until d).map(j => g(i)(j).toDouble * v(j)).sum)
+    val residual = math.sqrt(
+      (0 until d).map(i => math.pow(gv(i) - rayleigh * v(i), 2)).sum)
+    assert(residual <= 1e-6 * rayleigh, s"not an eigenpair: residual $residual")
+  }
+
   test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
     val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
     assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")

@@ -30,6 +30,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(fp == 1L, s"fp=$fp")
 
+    // SQL-callable vector-sum aggregate: element-wise over two rows
+    val vs = s2.sql(
+      "SELECT graft_vecsum(v, 2) AS s FROM VALUES (array(1L, 10L)), " +
+        "(array(2L, 20L)) t(v)")
+      .collect()(0).getSeq[Long](0)
+    assert(vs == Seq(3L, 30L), s"vecsum=$vs")
+
     // the custom logical node plans through the INJECTED strategy —
     // TopK.ensure is deliberately not called on this session
     import s2.implicits._
