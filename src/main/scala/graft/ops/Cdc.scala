@@ -698,7 +698,8 @@ object Cdc {
       .orderBy(col("event_type"), col("hour"))
   }
 
-  private val qRateAnomalySql =
+  /** Shared with q112 (the streaming maintenance twin in CorpusOps). */
+  private[ops] val qRateAnomalySql =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),

@@ -445,6 +445,67 @@ object CorpusOps {
        |  unnest(range(1, $EmbedDim + 1)) AS b(j)
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  // --------------------------------------------------------------- q112
+
+  /** q112: STREAMING anomaly detection — q85's hourly z-scores kept
+    * current as a maintained view. The (event_type, hour) count table
+    * is an additive monoid, so [[graft.streaming.VersionedMaintenance]]
+    * folds each micro-batch's partial counts into the state exactly
+    * (state(id) = state(id−1) ⊕ counts(batch)); the z-score derivation
+    * then runs on the maintained table only — #types × #hours rows,
+    * never a rescan of the event history. Gate: the final version
+    * pushed through q85's exact-DECIMAL moment math hash-matches q85's
+    * own oracle.
+    *
+    * Scale shape: each batch costs one narrow agg of the batch plus a
+    * merge against a state table bounded by wall-clock hours × type
+    * alphabet — the materialized-view profile, same as q80. */
+  private def qStreamRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("us", LongType)))
+    val rows = graft.streaming.StreamScratch.withScratch("graft_srate_") { tmp =>
+      val staged = load(s, dir, "events")
+        .select(to_json(struct(col("event_type"),
+          unix_micros(col("ts")).as("us"))).as("value"))
+      val hourly = graft.streaming.VersionedMaintenance
+        .run(tmp, staged, schema) { (prev, batch) =>
+          val delta = batch
+            .withColumn("hour_us",
+              col("us") - pmod(col("us"), lit(3600000000L)))
+            .groupBy(col("event_type"), col("hour_us"))
+            .agg(count(lit(1)).as("n"))
+          prev.map(_.select(col("event_type"), col("hour_us"), col("n")))
+            .getOrElse(delta.limit(0))
+            .unionByName(delta)
+            .groupBy(col("event_type"), col("hour_us"))
+            .agg(sum(col("n")).as("n"))
+        }
+      // q85's exact-DECIMAL derivation, verbatim, on the maintained table
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n").cast(DecimalType(38, 0))).as("s1"),
+          sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("s2"))
+        .withColumn("mean", col("s1").cast(DoubleType) / col("n_hours"))
+        .withColumn("variance",
+          (col("s2").cast(DoubleType)
+            - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+              / col("n_hours")) / col("n_hours"))
+        .select(col("event_type"), col("mean"), col("variance"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("n").cast(DoubleType) - col("mean"))
+          / sqrt(col("variance")))
+        .filter(col("variance") > 0.0 && abs(col("z")) >= 2.0)
+        .select(col("event_type"), timestamp_micros(col("hour_us")).as("hour"),
+          col("n"), col("z"))
+        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+    }
+    rows.toDF("event_type", "hour", "n", "z")
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
@@ -458,5 +519,8 @@ object CorpusOps {
     "q110_session_pairs" -> QueryDef(qSessionPairs, Some(qSessionPairsSql),
       "A-Priori pair support + lift on q106 sessions, integer-exact ppm"),
     "q111_embed_gram" -> QueryDef(qEmbedGram, Some(qEmbedGramSql),
-      "quantized Gram matrix via the LongVectorSum native aggregate"))
+      "quantized Gram matrix via the LongVectorSum native aggregate"),
+    "q112_stream_rate_anomaly" -> QueryDef(qStreamRateAnomaly,
+      Some(Cdc.qRateAnomalySql),
+      "streaming additive-moment maintenance == batch q85 z-scores"))
 }

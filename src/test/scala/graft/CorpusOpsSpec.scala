@@ -154,6 +154,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(residual <= 1e-6 * rayleigh, s"not an eigenpair: residual $residual")
   }
 
+  test("q112 streaming moment maintenance == q85 batch z-scores") {
+    val stream = Registry.queries("q112_stream_rate_anomaly")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.queries("q85_rate_anomaly")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty, "no anomalies at this SF would gate nothing")
+    assert(stream == batch,
+      "maintained additive moments diverge from the batch restatement")
+  }
+
   test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
     val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
     assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")
