@@ -506,6 +506,71 @@ object CorpusOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  // --------------------------------------------------------------- q113
+
+  /** q113: per-type OLS TREND over the hourly event rate — the "is
+    * this signal rising" regression a monitoring stack fits next to
+    * q85/q104's outlier flags. All five moments (k, Σx, Σy, Σxy, Σx²)
+    * accumulate in DECIMAL(38,0) — x is integer hours-since-epoch, y
+    * an integer count, so numerator and denominator of the closed-form
+    * slope are EXACT integers and the only float op is the final
+    * division (then intercept reuses that one slope double) — the
+    * q69/q70 determinism recipe applied to regression. Shape: hourly
+    * agg, then a five-sum agg over hours×types rows; nothing bigger
+    * than the q85 profile. */
+  private def qRateTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val hourly = load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", (unix_micros(col("hour")) / lit(3600000000L))
+        .cast(LongType))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_hours"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("n").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("n")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      .filter(col("n_hours") >= 2)
+      .withColumn("slope",
+        (col("n_hours").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType)
+          / (col("n_hours").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType))
+      .withColumn("intercept",
+        (col("sy").cast(DoubleType) - col("slope") * col("sx").cast(DoubleType))
+          / col("n_hours"))
+      .select(col("event_type"), col("n_hours"), col("slope"),
+        col("intercept"), (col("slope") > 0.0).as("rising"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qRateTrendSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |hx AS (SELECT event_type,
+      |         CAST(epoch_us(hour) // 3600000000 AS BIGINT) AS x, n
+      |       FROM hourly),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |         SUM(CAST(x AS HUGEINT)) AS sx,
+      |         SUM(CAST(n AS HUGEINT)) AS sy,
+      |         SUM(CAST(x AS HUGEINT) * n) AS sxy,
+      |         SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |       FROM hx GROUP BY 1
+      |       HAVING COUNT(*) >= 2),
+      |sl AS (SELECT event_type, n_hours, sx, sy,
+      |         CAST(n_hours * sxy - sx * sy AS DOUBLE)
+      |           / CAST(n_hours * sxx - sx * sx AS DOUBLE) AS slope
+      |       FROM st)
+      |SELECT event_type, n_hours, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_hours
+      |    AS intercept,
+      |  slope > 0.0 AS rising
+      |FROM sl ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
@@ -522,5 +587,7 @@ object CorpusOps {
       "quantized Gram matrix via the LongVectorSum native aggregate"),
     "q112_stream_rate_anomaly" -> QueryDef(qStreamRateAnomaly,
       Some(Cdc.qRateAnomalySql),
-      "streaming additive-moment maintenance == batch q85 z-scores"))
+      "streaming additive-moment maintenance == batch q85 z-scores"),
+    "q113_rate_trend" -> QueryDef(qRateTrend, Some(qRateTrendSql),
+      "per-type OLS trend, exact DECIMAL moments, one IEEE division"))
 }

@@ -164,6 +164,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       "maintained additive moments diverge from the batch restatement")
   }
 
+  test("q113 trend: BigInt-moment ground truth, zero mean residual") {
+    val out = Registry.queries("q113_rate_trend")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val hourly = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 3600000000").as("x"))
+      .groupBy(col("event_type"), col("x")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (r <- out) {
+      val t = r.getString(0)
+      val pts = hourly.filter(_._1 == t).map(p => (BigInt(p._2), BigInt(p._3)))
+      val k = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / k.toDouble
+      assert(r.getLong(1) == pts.length.toLong)
+      assert(r.getDouble(2) == slope, s"$t slope mismatch")
+      assert(r.getDouble(3) == intercept, s"$t intercept mismatch")
+      // OLS first normal equation: residuals sum to ~0
+      val resid = pts.map { case (x, y) =>
+        y.toDouble - (slope * x.toDouble + intercept) }.sum
+      assert(math.abs(resid) <= 1e-6 * sy.toDouble, s"$t residual $resid")
+      assert(r.getBoolean(4) == (slope > 0.0))
+    }
+  }
+
   test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
     val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
     assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")
