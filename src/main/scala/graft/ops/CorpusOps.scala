@@ -571,6 +571,59 @@ object CorpusOps {
       |  slope > 0.0 AS rising
       |FROM sl ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q114
+
+  /** q114: equi-width HISTOGRAM of a money column per group — the
+    * ANALYZE-histogram primitive (q73's profile stops at min/max/ndv;
+    * this is the bucket table an optimizer or drift monitor reads).
+    * Money doubles carry exactly two decimals, so `round(v·100)` is an
+    * exact integer of cents and every bin edge and assignment is pure
+    * integer arithmetic — no float comparisons anywhere in the hash.
+    * Shape: one stats agg (groups × 2 longs, broadcast back), one
+    * (group, bin) count agg; two scans of the fact at worst, one with
+    * scan reuse. */
+  private val HistBins = 10L
+
+  private def qPriceHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val stats = cents.groupBy(col("l_returnflag"))
+      .agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    cents.join(broadcast(stats), "l_returnflag")
+      .withColumn("bin", least(lit(HistBins - 1),
+        expr(s"(c - min_c) * $HistBins div (max_c - min_c + 1)")))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min(col("min_c")).as("min_c"), min(col("max_c")).as("max_c"))
+      .withColumn("lo_cents",
+        expr(s"min_c + bin * (max_c - min_c + 1) div $HistBins"))
+      .withColumn("hi_cents",
+        expr(s"min_c + (bin + 1) * (max_c - min_c + 1) div $HistBins - 1"))
+      .select(col("l_returnflag"), col("bin"), col("n"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy(col("l_returnflag"), col("bin"))
+  }
+
+  private val qPriceHistogramSql =
+    s"""WITH cents AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem),
+       |st AS (SELECT l_returnflag, MIN(c) AS min_c, MAX(c) AS max_c
+       |       FROM cents GROUP BY 1),
+       |b AS (SELECT cents.l_returnflag,
+       |        LEAST($HistBins - 1,
+       |          (c - min_c) * $HistBins // (max_c - min_c + 1)) AS bin,
+       |        min_c, max_c
+       |      FROM cents JOIN st USING (l_returnflag))
+       |SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  min_c + bin * (max_c - min_c + 1) // $HistBins AS lo_cents,
+       |  min_c + (bin + 1) * (max_c - min_c + 1) // $HistBins - 1
+       |    AS hi_cents
+       |FROM b GROUP BY l_returnflag, bin, min_c, max_c
+       |ORDER BY l_returnflag, bin""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
@@ -589,5 +642,8 @@ object CorpusOps {
       Some(Cdc.qRateAnomalySql),
       "streaming additive-moment maintenance == batch q85 z-scores"),
     "q113_rate_trend" -> QueryDef(qRateTrend, Some(qRateTrendSql),
-      "per-type OLS trend, exact DECIMAL moments, one IEEE division"))
+      "per-type OLS trend, exact DECIMAL moments, one IEEE division"),
+    "q114_price_histogram" -> QueryDef(qPriceHistogram,
+      Some(qPriceHistogramSql),
+      "equi-width money histogram, pure integer bin math (ANALYZE shape)"))
 }

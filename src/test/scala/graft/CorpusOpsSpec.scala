@@ -192,6 +192,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q114 histogram: bins partition the range and conserve counts") {
+    val out = Registry.queries("q114_price_histogram")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val totals = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._3).sum == totals(flag), s"$flag count conservation")
+      val sorted = rows.sortBy(_._2)
+      for (r <- sorted) {
+        assert(r._2 >= 0 && r._2 < 10)
+        assert(r._4 <= r._5, s"bin ${r._2}: lo > hi")
+      }
+      // consecutive present bins tile without gap or overlap
+      for (w <- sorted.sliding(2) if w.length == 2 && w(1)._2 == w(0)._2 + 1)
+        assert(w(1)._4 == w(0)._5 + 1,
+          s"$flag bins ${w(0)._2},${w(1)._2} don't tile")
+    }
+  }
+
   test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
     val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
     assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")
