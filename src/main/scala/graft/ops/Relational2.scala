@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Tables.load
+
+/** Second relational battery: the SQL-surface corners the first pass
+  * (Relational.scala) didn't exercise as first-class gates —
+  * GROUPING SETS proper (q06/q13 cover rollup/cube), PIVOT, the
+  * analytic-window function family beyond rank/row_number, and an
+  * edit-distance verify stage on the LSH candidate chain.
+  *
+  * Scale shape: q115/q116 are single hash aggregates (grouping sets
+  * multiplies rows by #sets, pivot by nothing); q117 is one
+  * shuffle on the window partition key; q118 inherits q35's
+  * sub-quadratic candidate generation and adds an O(candidates)
+  * bounded-prefix Levenshtein — the q37 pattern with a different
+  * verify metric.
+  */
+object Relational2 {
+
+  // --------------------------------------------------------------- q115
+
+  /** q115: GROUPING SETS — the explicit-set form (finer than rollup:
+    * the middle set keeps priority NULL while status stays, plus the
+    * grand total) with grouping_id() disambiguating NULL-as-grouped
+    * from NULL-in-data, counts, and an exact DECIMAL revenue sum. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).cast(LongType).as("n_orders"),
+        Tables.dsum(col("o_totalprice")).as("revenue"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  private val qGroupingSetsSql =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+      |    AS gid,
+      |  o_orderstatus, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q116
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q116: PIVOT — per-user event counts widened to one column per
+    * type (the fixed value list keeps the schema static, which is also
+    * the 100-TB rule: a pivot over an unbounded value set is a schema
+    * explosion). Zero-filled so absent combinations hash-match the
+    * conditional-sum oracle. */
+  private def qEventPivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).cast(LongType).as(t)): _*)
+      .orderBy(col("user_id"))
+
+  private val qEventPivotSql = {
+    val cols = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+    s"""SELECT user_id, ${cols.mkString(",\n  ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q117
+
+  /** q117: the analytic WINDOW family beyond rank — percent_rank /
+    * cume_dist (exact rationals k/m, bit-stable as doubles), ntile,
+    * lag/lead with defaults, and first/nth/last over explicit ROWS
+    * frames (the default RANGE frame is engine-trap territory; every
+    * frame here is pinned). Order inside the partition is made total
+    * by the (cents, orderkey, linenumber) key. */
+  private def qWindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("flag"))
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("c"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        lag(col("c"), 1, -1L).over(w).as("prev_c"),
+        lead(col("c"), 1, -1L).over(w).as("next_c"),
+        first(col("c")).over(wRun).as("run_min"),
+        nth_value(col("c"), 3).over(wFull).as("third_c"),
+        last(col("c")).over(wFull).as("max_c"))
+      .orderBy(col("flag"), col("c"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val qWindowBatterySql =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, flag, c,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  lag(c, 1, -1) OVER w AS prev_c,
+      |  lead(c, 1, -1) OVER w AS next_c,
+      |  first_value(c) OVER (PARTITION BY flag
+      |    ORDER BY c, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min,
+      |  nth_value(c, 3) OVER wf AS third_c,
+      |  last_value(c) OVER wf AS max_c
+      |FROM base
+      |WINDOW w AS (PARTITION BY flag
+      |    ORDER BY c, l_orderkey, l_linenumber),
+      |  wf AS (PARTITION BY flag ORDER BY c, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY flag, c, l_orderkey, l_linenumber""".stripMargin
+
+  // --------------------------------------------------------------- q118
+
+  /** Prefix length and match cut for the edit-distance verify. 64
+    * chars bounds the DP cost per pair at 64² regardless of document
+    * length; 16 (a quarter of the prefix) splits the candidate set
+    * both ways on this corpus. */
+  private val EditPrefix = 64
+  private val EditThreshold = 16L
+
+  /** q118: EDIT-DISTANCE verify on the LSH candidate chain — the q37
+    * shape (candidates are q35's sub-quadratic band join, verify is
+    * O(candidates)) with Levenshtein as the metric, the classic
+    * record-linkage second stage. Never pairwise over the corpus: the
+    * DP runs only on candidate pairs and only over bounded prefixes. */
+  private def qEditVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(col("text"), 1, EditPrefix).as("prefix"))
+    Dedup.minhashCandidates(s, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")),
+        "doc_b")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast(LongType))
+      .withColumn("near", col("dist") <= EditThreshold)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("near"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val qEditVerifySql =
+    s"""WITH ${Dedup.candidatesCte}
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(substr(da.text, 1, $EditPrefix),
+       |                   substr(db.text, 1, $EditPrefix)) AS BIGINT)
+       |    AS dist,
+       |  levenshtein(substr(da.text, 1, $EditPrefix),
+       |              substr(db.text, 1, $EditPrefix)) <= $EditThreshold
+       |    AS near
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.doc_a
+       |JOIN documents db ON db.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q115_grouping_sets" -> QueryDef(qGroupingSets, Some(qGroupingSetsSql),
+      "explicit GROUPING SETS with grouping_id + exact decimal revenue"),
+    "q116_event_pivot" -> QueryDef(qEventPivot, Some(qEventPivotSql),
+      "fixed-value-list PIVOT, zero-filled, == conditional-sum oracle"),
+    "q117_window_battery" -> QueryDef(qWindowBattery, Some(qWindowBatterySql),
+      "percent_rank/cume_dist/ntile/lag/lead/nth over pinned ROWS frames"),
+    "q118_edit_verify" -> QueryDef(qEditVerify, Some(qEditVerifySql),
+      "Levenshtein verify on q35 LSH candidates (record-linkage stage 2)"))
+}
