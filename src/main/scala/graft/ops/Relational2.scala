@@ -176,6 +176,82 @@ object Relational2 {
        |JOIN documents db ON db.doc_id = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q119
+
+  /** q119: UNPIVOT — q116's wide table melted back to long form and
+    * gated against the ORIGINAL long-form aggregate: pivot∘unpivot =
+    * id (minus true zeros), proven through the engine rather than
+    * asserted. */
+  private def qEventUnpivot(s: SparkSession, dir: String): DataFrame =
+    qEventPivot(s, dir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val qEventUnpivotSql =
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------- q120
+
+  /** q120: time-spine RESAMPLING — the gap-filling pass every
+    * time-series read needs before window math is meaningful (an hour
+    * with zero events must exist as a zero, or moving averages skip
+    * it): hour spine from the observed range × type alphabet, left
+    * join, zero-fill, then a 3-hour trailing mean whose numerator and
+    * denominator are exact integers (one IEEE division per row).
+    * Scale shape: the spine is wall-clock-bounded (hours × types, not
+    * data-sized), built once and broadcast-joined against the hourly
+    * aggregate. */
+  private def qResampleMa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ev = load(s, dir, "events")
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-2, Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("ma3", sum(col("n")).over(wf).cast(DoubleType)
+        / count(lit(1)).over(wf))
+      .select(col("event_type"), col("hour"), col("n"), col("ma3"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val qResampleMaSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |    date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |grid AS (
+      |  SELECT t.event_type, s.hour,
+      |    COALESCE(h.n, 0) AS n
+      |  FROM spine s
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |  LEFT JOIN hourly h
+      |    ON h.event_type = t.event_type AND h.hour = s.hour)
+      |SELECT event_type, hour, n,
+      |  CAST(SUM(n) OVER f AS DOUBLE) / COUNT(*) OVER f AS ma3
+      |FROM grid
+      |WINDOW f AS (PARTITION BY event_type ORDER BY hour
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q115_grouping_sets" -> QueryDef(qGroupingSets, Some(qGroupingSetsSql),
       "explicit GROUPING SETS with grouping_id + exact decimal revenue"),
@@ -184,5 +260,9 @@ object Relational2 {
     "q117_window_battery" -> QueryDef(qWindowBattery, Some(qWindowBatterySql),
       "percent_rank/cume_dist/ntile/lag/lead/nth over pinned ROWS frames"),
     "q118_edit_verify" -> QueryDef(qEditVerify, Some(qEditVerifySql),
-      "Levenshtein verify on q35 LSH candidates (record-linkage stage 2)"))
+      "Levenshtein verify on q35 LSH candidates (record-linkage stage 2)"),
+    "q119_event_unpivot" -> QueryDef(qEventUnpivot, Some(qEventUnpivotSql),
+      "UNPIVOT of q116 back to long form == original aggregate"),
+    "q120_resample_ma" -> QueryDef(qResampleMa, Some(qResampleMaSql),
+      "hour-spine gap fill + exact 3-hour trailing mean"))
 }

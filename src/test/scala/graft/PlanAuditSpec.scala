@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q102_cluster_sample", // q45's 16-pivot assign stage, reused
     "q100_dsir_weights", // 1-row corpus-mean scalar broadcast (q70 shape)
     "q108_zipf_coverage", // 1-row corpus-total scalar broadcast (q70 shape)
-    "q110_session_pairs") // 1-row session-count scalar broadcast (q70 shape)
+    "q110_session_pairs", // 1-row session-count scalar broadcast (q70 shape)
+    "q120_resample_ma") // type-alphabet distinct broadcast against the spine
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already

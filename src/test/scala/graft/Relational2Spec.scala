@@ -62,6 +62,36 @@ class Relational2Spec extends AnyFunSuite {
     }
   }
 
+  test("q119 unpivot: exact inverse of the pivot minus true zeros") {
+    val long = Registry.queries("q119_event_unpivot")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"), col("event_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(long == direct, "pivot∘unpivot must reproduce the long form")
+  }
+
+  test("q120 resample: spine is gapless and the trailing mean is exact") {
+    val out = Registry.queries("q120_resample_ma")(spark, dir).collect()
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      // gapless hour spine, identical span for every type
+      for (w <- sorted.sliding(2) if w.length == 2)
+        assert(w(1).getTimestamp(1).getTime - w(0).getTimestamp(1).getTime
+          == 3600 * 1000L, "spine gap")
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.contains(0L), "resampling must materialize an empty hour")
+      for ((r, i) <- sorted.zipWithIndex) {
+        val from = math.max(0, i - 2)
+        val frame = ns.slice(from, i + 1)
+        assert(r.getDouble(3) == frame.sum.toDouble / frame.length,
+          s"ma3 at index $i")
+      }
+    }
+    val spans = out.groupBy(_.getString(0)).values.map(_.length).toSet
+    assert(spans.size == 1, "every type must share the full spine")
+  }
+
   test("q118 edit verify: DP ground truth on candidate pairs") {
     val out = Registry.queries("q118_edit_verify")(spark, dir).collect()
     assert(out.nonEmpty)
