@@ -624,6 +624,75 @@ object CorpusOps {
        |FROM b GROUP BY l_returnflag, bin, min_c, max_c
        |ORDER BY l_returnflag, bin""".stripMargin
 
+  // --------------------------------------------------------------- q121
+
+  /** q121: sessionization through Spark's BUILT-IN `session_window`
+    * aggregate — the same reconstruction as q106 stated the way the
+    * engine ships it (prefer the built-in operator when one exists;
+    * q106/q109 exist to prove the window/FSM formulations against it).
+    * Boundary semantics: session_window merges an event only while
+    * gap < g (strict), so the oracle states `>= g` as the break rule;
+    * window.end is last_us + g by definition, restated exactly as
+    * max(us) + g. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapUs microseconds"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us_excl"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  private val qSessionWindowSql =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |s AS (SELECT user_id, us,
+       |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+       |                               ORDER BY us, event_id)
+       |            < $SessionGapUs
+       |       THEN 0 ELSE 1 END AS new_sess
+       |  FROM e),
+       |x AS (SELECT user_id, us,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+       |                      ROWS UNBOUNDED PRECEDING) AS seq
+       |  FROM s)
+       |SELECT user_id, MIN(us) AS start_us,
+       |  MAX(us) + $SessionGapUs AS end_us_excl,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM x GROUP BY user_id, seq
+       |ORDER BY user_id, start_us""".stripMargin
+
+  // --------------------------------------------------------------- q122
+
+  /** q122: TRIANGLE COUNTING on the near-dup candidate graph — the
+    * second graph-analytics primitive next to q52's components
+    * (triangles measure how clique-like a duplicate cluster is, which
+    * separates "one template, many copies" from "chains of drift").
+    * Node-iterator form: edges kept in canonical a<b orientation, one
+    * self-join on the shared middle vertex, one membership join for
+    * the closing edge — every join equi-keyed, each triangle counted
+    * exactly once as a<b<c. Scale note: the candidate graph is
+    * LSH-sparse by construction; the classic degree-ordered
+    * orientation is exactly the a<b form used here. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.minhashCandidates(s, dir)
+    val viaB = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    viaB.join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  private val qTrianglesSql =
+    s"""WITH ${Dedup.candidatesCte}
+       |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |FROM cand e1
+       |JOIN cand e2 ON e2.doc_a = e1.doc_b
+       |JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |ORDER BY a, b, c""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q106_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based event sessionization (T5 keyed window restatement)"),
@@ -645,5 +714,10 @@ object CorpusOps {
       "per-type OLS trend, exact DECIMAL moments, one IEEE division"),
     "q114_price_histogram" -> QueryDef(qPriceHistogram,
       Some(qPriceHistogramSql),
-      "equi-width money histogram, pure integer bin math (ANALYZE shape)"))
+      "equi-width money histogram, pure integer bin math (ANALYZE shape)"),
+    "q121_session_window" -> QueryDef(qSessionWindow,
+      Some(qSessionWindowSql),
+      "built-in session_window aggregate vs the analytic restatement"),
+    "q122_triangles" -> QueryDef(qTriangles, Some(qTrianglesSql),
+      "triangle counting on the LSH candidate graph (a<b<c canonical)"))
 }

@@ -214,6 +214,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 built-in session_window == q106's analytic sessions") {
+    val sw = Registry.queries("q121_session_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = Registry.queries("q106_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2))).toSet
+    assert(sw == batch,
+      "built-in session_window and the window restatement must agree " +
+        "on (user, start, n)")
+  }
+
+  test("q122 triangles: brute-force ground truth on the edge set") {
+    val edges = Registry.queries("q35_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val truth = (for {
+      (a, b) <- edges
+      (b2, c) <- edges if b2 == b && eset.contains((a, c))
+    } yield (a, b, c)).sorted.toSeq
+    val out = Registry.queries("q122_triangles")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == truth, "triangle set diverges from brute force")
+    for ((a, b, c) <- out) assert(a < b && b < c, "canonical orientation")
+  }
+
   test("q108 zipf coverage: monotone, bounded, consistent with corpus") {
     val out = Registry.queries("q108_zipf_coverage")(spark, dir).collect()
     assert(out.length == 4, "ranks 1, 5, 10, 30 all exist")
