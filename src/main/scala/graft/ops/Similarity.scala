@@ -294,6 +294,159 @@ object Similarity {
   /** IVF cell count / probe width. At scale nlist ≈ √n and the assign
     * stage's n×nlist dot products dominate — the standard IVF trade; the
     * gate uses fixed small constants so the oracle stays static. */
+  // ------------------------------------------------------------- q123 PQ
+
+  /** Product-quantization geometry: M subspaces of SubDim dims, K
+    * codewords per subspace, everything on the floor(x·1024) integer
+    * grid (the q111 trick) so every distance is an exact BIGINT and
+    * the whole operator hash-gates cross-engine. Codewords are DATA
+    * POINTS (subvectors of the first K vectors) for the same reason
+    * IVF's pivots are: averaging is float-order-dependent, argmin over
+    * data codewords is not. */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqQueries = 5
+  private val PqTopK = 10
+
+  /** Integer-grid vectors: vec_id, qv = floor(x·1024) per dim. */
+  private def gridVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+        .as("qv"))
+
+  /** (vec_id, m, sub): the M per-subspace integer subvectors. */
+  private def subVecs(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, $PqM - 1),
+         |  m -> slice(qv, m * $PqSubDim + 1, $PqSubDim))""".stripMargin))
+      .as(Seq("m", "sub")))
+
+  /** q123: ANN by PRODUCT QUANTIZATION — the compressed-exhaustive-scan
+    * member of the ANN family (vs SRP-LSH q39, IVF q45, exact q38):
+    * vectors become M=8 one-byte codes, queries build an M×K distance
+    * table, and the scan ranks by table lookups — 8 bytes/vector
+    * instead of 256 at 100 TB, the memory-bound regime PQ exists for.
+    * Every stage is exact integer arithmetic on the quantization grid:
+    * encode = argmin_k ‖sub − codeword‖² (ties → lower k), ADC d² =
+    * Σ_m table[m][code[m]], and the per-query verdict column reports
+    * ADC's overlap with the EXACT grid top-k — the recall measurement
+    * shipped inside the gate. Scale shape: codebook and query tables
+    * are constant-size broadcasts; encoding is one map-side argmin agg
+    * (n·M rows after partial agg); the ADC scan is linear in n like
+    * the real thing, with nothing pairwise between corpus vectors. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val base = gridVecs(s, dir)
+    val subs = subVecs(base)
+    // limit() states the bound the filter guarantees (<= K codebook
+    // vectors x M subspaces) so the plan audit can prove the broadcast
+    // side bounded by construction; it never drops a row
+    val cb = subVecs(base.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("k"), col("m"), col("sub").as("cw"))
+      .limit(PqK * PqM)
+    // encode: per (vec, m) the argmin codeword (ties -> lower k)
+    val codes = subs.join(broadcast(cb), "m")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, t) -> acc + t)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    // queries: the first PqQueries vectors; their M x K distance table
+    val qsubs = subs.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+    val dt = qsubs.join(broadcast(cb), "m")
+      .withColumn("dt", expr(
+        "aggregate(zip_with(qsub, cw, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, t) -> acc + t)"))
+      .select(col("qid"), col("m").as("tm"), col("k").as("tk"), col("dt"))
+      .limit(PqQueries * PqM * PqK)
+    // ADC scan: sum the M table lookups per (query, vector)
+    val adc = codes.join(broadcast(dt),
+        col("m") === col("tm") && col("code") === col("tk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dt")).as("adc_d2"))
+    // exact grid top-k for the verdict column
+    val q = base.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("qid2"), col("qv").as("qqv"))
+      .limit(PqQueries)
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ex_d2"), col("vec_id"))
+    val exact = base.join(broadcast(q), col("vec_id") =!= col("qid2"))
+      .withColumn("qid", col("qid2"))
+      .withColumn("ex_d2", expr(
+        "aggregate(zip_with(qv, qqv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, t) -> acc + t)"))
+      .withColumn("ex_rnk", row_number().over(wEx))
+      .filter(col("ex_rnk") <= PqTopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= PqTopK)
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rnk").cast(org.apache.spark.sql.types.LongType)
+        .as("rnk"), col("vec_id").as("nid"), col("adc_d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val qAnnPqSql =
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, m.m AS m,
+       |    g.qv[m.m * $PqSubDim + 1 : m.m * $PqSubDim + $PqSubDim] AS sub
+       |  FROM g, (SELECT unnest(range(0, $PqM)) AS m) m),
+       |cb AS (
+       |  SELECT vec_id AS k, m, sub AS cw FROM subs WHERE vec_id < $PqK),
+       |enc0 AS (
+       |  SELECT s.vec_id, s.m, cb.k,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sub[i] - cb.cw[i]) * (s.sub[i] - cb.cw[i]))) AS d2
+       |  FROM subs s JOIN cb ON cb.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM enc0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, k) = 1),
+       |dt AS (
+       |  SELECT s.vec_id AS qid, s.m, cb.k,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sub[i] - cb.cw[i]) * (s.sub[i] - cb.cw[i]))) AS dt
+       |  FROM subs s JOIN cb ON cb.m = s.m
+       |  WHERE s.vec_id < $PqQueries),
+       |adc AS (
+       |  SELECT dt.qid, c.vec_id, CAST(SUM(dt.dt) AS BIGINT) AS adc_d2
+       |  FROM codes c JOIN dt ON dt.m = c.m AND dt.k = c.code
+       |  WHERE c.vec_id <> dt.qid
+       |  GROUP BY dt.qid, c.vec_id),
+       |exact AS (
+       |  SELECT q.vec_id AS qid, b.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, ${PqM * PqSubDim} + 1),
+       |        i -> (b.qv[i] - q.qv[i]) * (b.qv[i] - q.qv[i]))),
+       |      b.vec_id) AS ex_rnk
+       |  FROM g b, g q
+       |  WHERE q.vec_id < $PqQueries AND b.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rnk
+       |  FROM adc)
+       |SELECT r.qid, CAST(r.rnk AS BIGINT) AS rnk, r.vec_id AS nid,
+       |  r.adc_d2,
+       |  COALESCE(e.ex_rnk <= $PqTopK, FALSE) AS in_exact_topk
+       |FROM ranked r
+       |LEFT JOIN exact e ON e.qid = r.qid AND e.vec_id = r.vec_id
+       |  AND e.ex_rnk <= $PqTopK
+       |WHERE r.rnk <= $PqTopK
+       |ORDER BY r.qid, r.rnk""".stripMargin
+
   private val IvfCells = 16
   private val IvfProbes = 4
 
@@ -619,5 +772,8 @@ object Similarity {
     "q45_sim_ann_ivf" -> QueryDef(qAnnIvf, Some(qAnnIvfSql),
       "IVF ANN: Voronoi cells over data pivots, nprobe cell probing"),
     "q89_semantic_dedup" -> QueryDef(qSemanticDedup, Some(qSemanticDedupSql),
-      "SemDeDup: within-cell cosine prune, keep the centroid-closest copy"))
+      "SemDeDup: within-cell cosine prune, keep the centroid-closest copy"),
+    "q123_ann_pq" -> QueryDef(qAnnPq, Some(qAnnPqSql),
+      "product-quantization ANN: integer-grid codebooks, ADC scan, " +
+        "in-gate recall verdict"))
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_dsir_weights", // 1-row corpus-mean scalar broadcast (q70 shape)
     "q108_zipf_coverage", // 1-row corpus-total scalar broadcast (q70 shape)
     "q110_session_pairs", // 1-row session-count scalar broadcast (q70 shape)
-    "q120_resample_ma") // type-alphabet distinct broadcast against the spine
+    "q120_resample_ma", // type-alphabet distinct broadcast against the spine
+    "q123_ann_pq") // 5-query exact-baseline probe broadcast (q38 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already

@@ -37,6 +37,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
   }
 
+  test("PQ ANN: structure, monotone ADC, recall floor over random") {
+    val out = Registry.queries("q123_ann_pq")(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      val d2 = sorted.map(_.getLong(3))
+      assert(d2.zip(d2.tail).forall { case (x, y) => x <= y },
+        "ADC distances must be non-decreasing in rank")
+      assert(d2.forall(_ >= 0))
+    }
+    // 16 one-byte codewords per subspace is a coarse model; the bar is
+    // "far better than chance" (random top-10 of ~500 would overlap
+    // exact top-10 with probability ~0.02 per row), not LSH-grade
+    val hits = out.count(_.getBoolean(4))
+    assert(hits >= 10, s"PQ recall collapsed: $hits/50 exact-top-k hits")
+  }
+
   test("near-dup pairs are symmetric-free and ordered") {
     val nd = Registry.queries("q40_sim_cosine_neardup")(spark, dir).collect()
     nd.foreach(r => assert(r.getLong(0) < r.getLong(1)))
