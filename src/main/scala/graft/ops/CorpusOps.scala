@@ -250,55 +250,89 @@ object CorpusOps {
     * Scale shape: state is ONE open session per user (few hundred
     * bytes), the classic RocksDB-backed keyed-FSM profile; each batch
     * shuffles only its own slice on user_id. */
+  /** Stages the event log under `tmp/in` as four event-time slices
+    * (mod-times pin the micro-batch replay order) plus a per-user
+    * sentinel slice at max(us) + 2·gap that closes every open session
+    * the way a passing watermark would. Shared by q109 and q124. */
+  private def stageSessionInput(s: SparkSession, dir: String,
+      tmp: String): Unit = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val Array(minMax) = ev.agg(min(col("us")), max(col("us"))).collect()
+    val (lo, hi) = (minMax.getLong(0), minMax.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    def stage(slice: DataFrame, i: Int): Unit = {
+      slice.select(to_json(struct(col("user_id"), col("event_id"),
+        col("event_type"), col("us"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/stage$i")
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/stage$i/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+      val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+      fs.rename(part, dst)
+      // mod-time IS the replay order for the file source
+      fs.setTimes(dst, 1000L * (i + 1), -1)
+    }
+    for (i <- 0 until 4)
+      stage(ev.filter(col("us") >= lo + i.toLong * step &&
+        col("us") < lo + (i + 1).toLong * step), i)
+    stage(ev.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        lit("__flush__").as("event_type"),
+        lit(hi + 2 * SessionGapUs).as("us")), 4)
+  }
+
+  private val sessEventSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("us",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The staged stream as a typed Dataset keyed by user. */
+  private def sessionStream(s: SparkSession, tmp: String) = {
+    import s.implicits._
+    s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$tmp/in")
+      .select(from_json(col("value"), sessEventSchema).as("d"))
+      .select(col("d.user_id"), col("d.event_id"), col("d.event_type"),
+        col("d.us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+  }
+
+  /** Runs a started streaming query to completion and reads the
+    * emitted sessions back into the q106 output shape. */
+  private def finishSessions(s: SparkSession, tmp: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[SessOut] = {
+    import s.implicits._
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out").as[SessOut].collect().toSeq
+  }
+
+  private def sessionsToDF(s: SparkSession, rows: Seq[SessOut]): DataFrame = {
+    import s.implicits._
+    rows.toDF()
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"), col("n_types"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
     val rows = graft.streaming.StreamScratch.withScratch("graft_ssess_") { tmp =>
-      val ev = load(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      val Array(minMax) = ev.agg(min(col("us")), max(col("us"))).collect()
-      val (lo, hi) = (minMax.getLong(0), minMax.getLong(1))
-      val step = (hi - lo) / 4 + 1
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-      def stage(slice: DataFrame, i: Int): Unit = {
-        slice.select(to_json(struct(col("user_id"), col("event_id"),
-          col("event_type"), col("us"))).as("value"))
-          .coalesce(1).write.mode("overwrite").text(s"$tmp/stage$i")
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$tmp/stage$i/part-*")).head.getPath
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-        val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-        fs.rename(part, dst)
-        // mod-time IS the replay order for the file source
-        fs.setTimes(dst, 1000L * (i + 1), -1)
-      }
-      for (i <- 0 until 4)
-        stage(ev.filter(col("us") >= lo + i.toLong * step &&
-          col("us") < lo + (i + 1).toLong * step), i)
-      stage(ev.select(col("user_id")).distinct()
-        .select(col("user_id"), lit(-1L).as("event_id"),
-          lit("__flush__").as("event_type"),
-          lit(hi + 2 * SessionGapUs).as("us")), 4)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("us",
-          org.apache.spark.sql.types.LongType)))
-      val q = s.readStream
-        .option("maxFilesPerTrigger", 1)
-        .text(s"$tmp/in")
-        .select(from_json(col("value"), schema).as("d"))
-        .select(col("d.user_id"), col("d.event_id"), col("d.event_type"),
-          col("d.us"))
-        .as[SessEvent]
-        .groupByKey(_.user_id)
+      stageSessionInput(s, dir, tmp)
+      val q = sessionStream(s, tmp)
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.NoTimeout)(sessionFsm)
         .writeStream
@@ -307,15 +341,78 @@ object CorpusOps {
         .format("parquet")
         .option("path", s"$tmp/out")
         .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
-        .as[SessOut].collect().toSeq
+      finishSessions(s, tmp, q)
     }
-    rows.toDF()
-      .select(col("user_id"), col("session_seq"), col("n_events"),
-        col("start_us"), col("end_us"),
-        (col("end_us") - col("start_us")).as("duration_us"), col("n_types"))
-      .orderBy(col("user_id"), col("session_seq"))
+    sessionsToDF(s, rows)
+  }
+
+  // --------------------------------------------------------------- q124
+
+  /** The q109 session FSM restated on the `transformWithState` API —
+    * Spark's current-generation arbitrary-stateful operator (typed
+    * ValueState handles, RocksDB-only, timers available): the same
+    * fold, the state in a named ValueState instead of GroupState. */
+  private class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEvent, SessOut] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, it: Iterator[SessEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessOut] = {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      var state = if (st.exists()) Some(st.get()) else None
+      val out = Seq.newBuilder[SessOut]
+      for (e <- evs) state match {
+        case Some(ss) if e.us - ss.last <= SessionGapUs =>
+          state = Some(ss.copy(last = e.us, n = ss.n + 1,
+            types = (ss.types :+ e.event_type).distinct.sorted))
+        case Some(ss) =>
+          out += SessOut(uid, ss.seq, ss.n, ss.start, ss.last,
+            ss.types.size.toLong)
+          state = Some(SessState(ss.seq + 1, e.us, e.us, 1L,
+            Seq(e.event_type)))
+        case None =>
+          state = Some(SessState(1L, e.us, e.us, 1L, Seq(e.event_type)))
+      }
+      state.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** q124: q109 through `transformWithState` — proves the engine rides
+    * the current stateful API (typed state handles over RocksDB), gated
+    * against the same q106 oracle as the legacy-API and window
+    * formulations. */
+  private def qStreamSessionizeTws(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    // transformWithState requires the RocksDB state store provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.streaming.StreamScratch.withScratch("graft_tws_") { tmp =>
+      stageSessionInput(s, dir, tmp)
+      val q = sessionStream(s, tmp)
+        .transformWithState(new SessionProcessor, TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessOut])
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .start()
+      finishSessions(s, tmp, q)
+    }
+    sessionsToDF(s, rows)
   }
 
   // --------------------------------------------------------------- q110
@@ -719,5 +816,8 @@ object CorpusOps {
       Some(qSessionWindowSql),
       "built-in session_window aggregate vs the analytic restatement"),
     "q122_triangles" -> QueryDef(qTriangles, Some(qTrianglesSql),
-      "triangle counting on the LSH candidate graph (a<b<c canonical)"))
+      "triangle counting on the LSH candidate graph (a<b<c canonical)"),
+    "q124_stream_sessions_tws" -> QueryDef(qStreamSessionizeTws,
+      Some(qSessionizeSql),
+      "transformWithState session FSM (typed ValueState) == batch q106"))
 }

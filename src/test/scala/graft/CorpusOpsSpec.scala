@@ -64,6 +64,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spanning > 0, "no session spans a micro-batch boundary")
   }
 
+  test("q124 transformWithState sessions == q106 batch") {
+    val tws = Registry.queries("q124_stream_sessions_tws")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.queries("q106_sessionize")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(tws == batch,
+      "the typed-ValueState FSM diverges from the batch window")
+  }
+
   test("q107 boilerplate: conservation vs q90's chunking and both-ways cut") {
     val out = Registry.queries("q107_boilerplate")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()

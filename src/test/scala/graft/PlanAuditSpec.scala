@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * q28/q44; the batch DISTINCT oracle for q63). */
   private val skipBuild = Set("q27_cdc_stream_fsm", "q63_stream_dedup",
     "q72_stream_lsh_index", "q77_stream_topk", "q80_stream_agg_maintain",
-    "q109_stream_sessionize", "q112_stream_rate_anomaly")
+    "q109_stream_sessionize", "q112_stream_rate_anomaly",
+    "q124_stream_sessions_tws")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
