@@ -65,4 +65,25 @@ class BucketedJoinSpec extends AnyFunSuite {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expect)
   }
+
+  test("bucket layout prunes an equality filter to one bucket's files") {
+    // b_lineitem exists from the test above (shared-session ordering is
+    // alphabetical within the suite; re-create defensively anyway)
+    if (spark.catalog.tableExists("b_lineitem") == false)
+      Tables.load(spark, dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+    // the planner's auto-bucketed-scan heuristic skips bucketing for a
+    // bare filter (no join/agg to co-locate), so pin it on for the probe
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      val one = spark.table("b_lineitem").filter(col("l_orderkey") === 7L)
+      val scan = one.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$scan")
+    } finally spark.conf
+      .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
 }
