@@ -252,6 +252,48 @@ object Relational2 {
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, hour""".stripMargin
 
+  // --------------------------------------------------------------- q125
+
+  /** Salt fan-out: each join key's probe rows spread across this many
+    * reducer partitions. */
+  private val SaltFactor = 8
+
+  /** q125: SKEW-SALTED JOIN — the manual hot-key treatment (q17 salts
+    * an aggregation; this salts a join): the build side replicates
+    * each row across [[SaltFactor]] salt values, the probe side draws
+    * a deterministic salt per row, and the join key becomes
+    * (key, salt) — a single hot orderkey's rows now land on 8 reducers
+    * instead of one. Gated against the UNSALTED join's aggregate:
+    * salting must be invisible in the result. At 100 TB the automatic
+    * path is AQE's skew-join split (enabled in Bench/Verify); the
+    * manual salt is the portable form that also works mid-pipeline
+    * where AQE cannot re-plan. Cost note: replication multiplies the
+    * build side ×8 — production salts only keys a frequency pass
+    * flags as hot; the technique, not the threshold, is under test. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${SaltFactor - 1})")))
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_linenumber"))
+      .withColumn("salt",
+        pmod(hash(col("l_linenumber")), lit(SaltFactor)))
+    li.join(ord, col("l_orderkey") === col("o_orderkey")
+        && li("salt") === ord("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast(LongType).as("n_items"),
+        Tables.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val qSaltedJoinSql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q115_grouping_sets" -> QueryDef(qGroupingSets, Some(qGroupingSetsSql),
       "explicit GROUPING SETS with grouping_id + exact decimal revenue"),
@@ -264,5 +306,7 @@ object Relational2 {
     "q119_event_unpivot" -> QueryDef(qEventUnpivot, Some(qEventUnpivotSql),
       "UNPIVOT of q116 back to long form == original aggregate"),
     "q120_resample_ma" -> QueryDef(qResampleMa, Some(qResampleMaSql),
-      "hour-spine gap fill + exact 3-hour trailing mean"))
+      "hour-spine gap fill + exact 3-hour trailing mean"),
+    "q125_salted_join" -> QueryDef(qSaltedJoin, Some(qSaltedJoinSql),
+      "skew-salted join (key,salt) == unsalted join (q17's join twin)"))
 }

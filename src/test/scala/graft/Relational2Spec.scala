@@ -92,6 +92,25 @@ class Relational2Spec extends AnyFunSuite {
     assert(spans.size == 1, "every type must share the full spine")
   }
 
+  test("q125 salted join: the shuffle key includes the salt") {
+    // at gate SF the build side broadcasts (no exchange to inspect);
+    // force the shuffled path a 100-TB fact-fact join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Registry.queries("q125_salted_join")(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      // the whole point: rows for one hot orderkey hash to SaltFactor
+      // different partitions, so the join's exchange must partition on
+      // BOTH the key and the salt
+      val exchangesWithSalt = plan.linesIterator
+        .filter(l => l.contains("hashpartitioning") && l.contains("salt"))
+        .size
+      assert(exchangesWithSalt >= 2,
+        s"both join inputs must partition on (key, salt):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q118 edit verify: DP ground truth on candidate pairs") {
     val out = Registry.queries("q118_edit_verify")(spark, dir).collect()
     assert(out.nonEmpty)
