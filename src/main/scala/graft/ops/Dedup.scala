@@ -269,7 +269,12 @@ object Dedup {
     * in at most 3 of the 4 bands, so at least one band key matches —
     * the banded equi-join is EXACT for this radius while only ever
     * comparing docs inside a 16-bit-key bucket. */
-  private def qSimHashHamming(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash Hamming candidate pairs (doc_a < doc_b, distance ≤ 3):
+    * the q43 result without its presentation sort, shared as the
+    * similarity GRAPH consumed by the graph battery (PageRank q127,
+    * BFS q129) — the same "one banded equi-join, never all pairs"
+    * edge discovery at any corpus size. */
+  private[graft] def hammingPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = simhash64(s, dir)
     val entries = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -286,21 +291,30 @@ object Dedup {
         expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val qSimHashHammingSql =
-    s"""WITH $simhash64Cte,
+  /** DuckDB CTE chain reproducing [[hammingPairs]]; ends with a
+    * `hpairs(doc_a, doc_b, hamming)` table. */
+  private[graft] val hammingPairsCte =
+    s"""$simhash64Cte,
        |bands AS (
        |  SELECT doc_id, simhash, b.band, (simhash >> (16 * b.band)) & 65535 AS nib
        |  FROM fp64, (SELECT unnest([0,1,2,3]) AS band) b),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+       |hpairs AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+       |  WHERE hamming <= 3)""".stripMargin
+
+  private def qSimHashHamming(s: SparkSession, dir: String): DataFrame =
+    hammingPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  private val qSimHashHammingSql =
+    s"""WITH $hammingPairsCte
+       |SELECT doc_a, doc_b, hamming FROM hpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q52: near-dup CLUSTERS — connected components over the verified
     * pair graph (see [[Components]]). Pairs alone under-count removals
