@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.Column
 
 /** Test-table access + shared numeric helpers.
@@ -20,12 +20,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it only as a long
-    // (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests).
-    // Truncate to micros — the generator emits whole-micro values.
+    // Timestamp normalization. Generator vintages differ: events.ts was
+    // parquet TIMESTAMP(NANOS) (read as long under
+    // spark.sql.legacy.parquet.nanosAsLong=true), and plain
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) columns read as
+    // TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default. All
+    // engine code and oracles assume session-tz (UTC) instants, so fold
+    // both vintages to TimestampType — with the UTC session the
+    // NTZ→LTZ cast is value-preserving, and DuckDB sees the same naive
+    // values either way.
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == LongType =>
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (acc, f) if f.dataType == TimestampNTZType =>
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
       case (acc, _) => acc
     }
   }

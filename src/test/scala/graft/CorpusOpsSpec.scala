@@ -18,9 +18,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     // ground truth: collect the raw events and sessionize imperatively
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us")) // raw NANOS long -> micros
+        unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val truth = events.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
       val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
@@ -54,8 +54,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     // into 4 equal micro-batches; at least one session must START in
     // one slice and END in a later one, or the FSM never exercised
     // carried state and the gate proves less than it claims
-    val us = spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("ts div 1000").as("us")).collect().map(_.getLong(0))
+    val us = Tables.load(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us")).collect().map(_.getLong(0))
     val (lo, hi) = (us.min, us.max)
     val step = (hi - lo) / 4 + 1
     def slice(u: Long): Long = (u - lo) / step
@@ -176,9 +176,9 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("q113 trend: BigInt-moment ground truth, zero mean residual") {
     val out = Registry.queries("q113_rate_trend")(spark, dir).collect()
     assert(out.nonEmpty)
-    val hourly = spark.read.parquet(s"$dir/events.parquet")
+    val hourly = Tables.load(spark, dir, "events")
       .select(col("event_type"),
-        expr("(ts div 1000) div 3600000000").as("x"))
+        expr("unix_micros(ts) div 3600000000").as("x"))
       .groupBy(col("event_type"), col("x")).count()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     for (r <- out) {
