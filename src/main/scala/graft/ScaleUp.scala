@@ -37,8 +37,9 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     // source through Tables.load so events.ts lands as a REAL timestamp
-    // in the output (the source stores TIMESTAMP(NANOS), readable only
-    // as a long) — the scaled directory is then oracle-runnable too
+    // in the output (Tables.load normalizes both generator vintages —
+    // nanos-as-long and micros-NTZ — to TimestampType), making the
+    // scaled directory oracle-runnable too
     def src(t: String): DataFrame = Tables.load(spark, srcDir, t)
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")

@@ -19,6 +19,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The NTZ->LTZ fold below is only value-preserving under a UTC
+    // session; a session built without it would silently time-shift
+    // every instant, so fail loudly instead.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.load requires spark.sql.session.timeZone=UTC " +
+        "(the NTZ->LTZ timestamp normalization is only value-preserving in UTC)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Timestamp normalization. Generator vintages differ: events.ts was
     // parquet TIMESTAMP(NANOS) (read as long under
