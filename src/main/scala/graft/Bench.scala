@@ -41,12 +41,16 @@ object Bench {
         catch { case e: Throwable => Some(esc(e.toString)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // ms precision on stdout: the driver's tail capture truncates long
+    // lines from the left, and full double precision nearly doubles the
+    // line length for no information (these are wall-clock seconds).
+    // BENCH_full.json keeps the same rounded values — one record, two homes.
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full record to a file: the driver's stdout capture
     // has truncated long lines from the LEFT in past rounds (BENCH_r04

@@ -20,7 +20,8 @@ object Registry {
     ops.Relational.defs ++ ops.Cdc.defs ++ ops.Dedup.defs ++
       ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Extras.defs ++
       ops.Curation.defs ++ ops.Training.defs ++ ops.Tokenizer.defs ++
-      ops.Filtering.defs ++ ops.CorpusOps.defs ++ ops.Relational2.defs
+      ops.Filtering.defs ++ ops.CorpusOps.defs ++ ops.Relational2.defs ++
+      ops.Materialize.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

@@ -396,7 +396,13 @@ object Dedup {
         s"""transform(sequence(0, size(ws) - $NgramK),
            |  i -> concat_ws(' ', slice(ws, i + 1, $NgramK)))""".stripMargin)))
         .as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+      // xxhash64, not md5: the digest is an INTERNAL join/groupBy key
+      // (never output, never oracle-compared), so an 8-byte long beats a
+      // 32-char hex string — ~8x less shuffle volume on the widest
+      // shuffle of this query. Collisions would need ~2^32 distinct
+      // shingles per the birthday bound; at that point MaxDf banding has
+      // long since capped the damage to one merged posting list.
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // document frequency via groupBy, NOT a count-over-window: partial
     // aggregation collapses a hot shingle map-side, where a window
     // would materialize its entire posting list in one partition

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialization battery (q126-q128): CDC merge, SCD2 history,
+  * Z-order layout — semantics on hand-built cases plus the plan
+  * properties the Scaladoc claims (one exchange for the merge; tile
+  * range bounds for the layout). */
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ morton
+
+  /** Plain-Scala reimplementation the expression must agree with. */
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 11).foldLeft(0L) { (z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("morton: codegen expression == plain-Scala reference, both paths") {
+    val cases = for (x <- Seq(0L, 1L, 2L, 99L, 500L, 1999L, 2047L);
+                     y <- Seq(0L, 1L, 63L, 99L, 2047L)) yield (x, y)
+    val df = cases.toDF("x", "y")
+      .select($"x", $"y", graft.functions.bits.morton($"x", $"y").as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // interleave is monotone per dimension holding the other fixed at 0
+    assert(mortonRef(5, 0) < mortonRef(6, 0))
+    // y bits land strictly above x bits at the same index
+    assert(mortonRef(0, 1) == 2L && mortonRef(1, 0) == 1L)
+  }
+
+  // -------------------------------------------------------------- q126
+
+  test("q126 cdc merge: latest-wins, error tombstone excludes the key") {
+    val out = Registry.queries("q126_cdc_merge")(spark, sf).collect()
+    // rebuild expectation from the raw stream
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .collect()
+      .groupBy(_.getLong(0))
+    val expect = ev.flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      if (last.getString(3) == "error") None
+      else Some(uid -> (rows.length.toLong, last.getString(3), last.getDouble(4)))
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, t, v) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getString(2) == t && r.getDouble(3) == v)
+    }
+    // at least one key must actually be tombstoned for the test to bite
+    assert(out.length < ev.size)
+  }
+
+  test("q126 plan: window rank and per-key agg share ONE exchange") {
+    val plan = Registry.queries("q126_cdc_merge")(spark, sf)
+      .queryExecution.executedPlan
+    def exchanges(p: SparkPlan): Int =
+      (if (p.isInstanceOf[Exchange]) 1 else 0) + p.children.map(exchanges).sum
+    // one hash exchange on user_id + the final orderBy's range exchange
+    assert(exchanges(plan) <= 2, plan.toString)
+  }
+
+  // -------------------------------------------------------------- q127
+
+  test("q127 scd2: runs collapse, intervals stitch, one current per key") {
+    val out = Registry.queries("q127_scd2_history")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // versions are 1..n dense
+      assert(sorted.zipWithIndex.forall { case (r, i) => r.getLong(1) == i + 1 })
+      // no two consecutive versions carry the same attribute value
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2))
+        case _ =>
+      }
+      // valid_to of version v == valid_from of version v+1
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getTimestamp(4) == b.getTimestamp(3))
+        case _ =>
+      }
+      // exactly the last version is current (null valid_to)
+      assert(sorted.init.forall(_.getLong(5) == 0L)
+        && sorted.last.getLong(5) == 1L && sorted.last.isNullAt(4))
+    }
+  }
+
+  // -------------------------------------------------------------- q128
+
+  test("q128 zorder: tile bounds cap BOTH dims; probe hits only overlaps") {
+    // sf0.01: the full 0..1999 partkey range — at sf0.001 the keyspace
+    // stops at 199 and the probe band [500,599] would be legitimately
+    // empty, which is not the property under test
+    val out = Registry.queries("q128_zorder_layout")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (minP, maxP) = (r.getLong(2), r.getLong(3))
+      val (minS, maxS) = (r.getLong(4), r.getLong(5))
+      // shift 12 of a 2x11-bit interleave frees 6 low bits per dim:
+      // every tile spans at most 2^6 in each dimension
+      assert(maxP - minP < 64, s"part span in tile ${r.getLong(0)}")
+      assert(maxS - minS < 64, s"supp span in tile ${r.getLong(0)}")
+      assert(r.getLong(6) == (if (minP <= 599 && maxP >= 500) 1L else 0L))
+    }
+    // the probe must SKIP most tiles — the point of the layout
+    val hit = out.count(_.getLong(6) == 1L)
+    assert(hit > 0 && hit * 4 <= out.length,
+      s"probe hit $hit of ${out.length} tiles")
+  }
+}
