@@ -157,6 +157,234 @@ object Materialize {
        |    AS probe_hit
        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
 
+  // --------------------------------------------------------------- q129
+
+  // public: the Encoder's generated projections access these from
+  // codegen'd classes outside this object
+  final case class MergeEvent(user_id: Long, event_id: Long,
+      event_type: String, value: Double, us: Long)
+  final case class MergeState(us: Long, event_id: Long,
+      event_type: String, value: Double, n: Long)
+  final case class MergeOut(user_id: Long, n_changes: Long,
+      last_type: String, last_value: Double, last_us: Long)
+
+  /** Per-key latest-wins fold on the `transformWithState` API: state is
+    * the current merged row; every batch that touches a key re-emits the
+    * key's merged row with its (strictly growing) cumulative change
+    * count, so the final state is recoverable from the sink as the
+    * max-count row per key. Latest-wins compares (ts, event_id), which
+    * is order-independent — batch boundaries cannot change the result,
+    * the property the gate proves by matching the batch q126 oracle. */
+  private class MergeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, MergeEvent, MergeOut] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[MergeState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[MergeState]("merged",
+        org.apache.spark.sql.Encoders.product[MergeState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, it: Iterator[MergeEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[MergeOut] = {
+      var cur = if (st.exists()) Some(st.get()) else None
+      var added = 0L
+      for (e <- it) {
+        added += 1
+        if (cur.forall(c => e.us > c.us || (e.us == c.us && e.event_id > c.event_id)))
+          cur = Some(MergeState(e.us, e.event_id, e.event_type, e.value,
+            cur.map(_.n).getOrElse(0L)))
+      }
+      val out = cur.map { c =>
+        val merged = c.copy(n = c.n + added)
+        st.update(merged)
+        MergeOut(uid, merged.n, merged.event_type, merged.value, merged.us)
+      }
+      out.iterator
+    }
+  }
+
+  /** q129: q126 restated as a STREAMING merge — the change stream
+    * arrives as four time-sliced micro-batches and the per-key state
+    * maintains the merged row incrementally (typed ValueState over
+    * RocksDB). Gated against the identical batch oracle: streaming
+    * materialization == batch `MERGE`, the same restatement contract as
+    * q63/q109/q124. */
+  private def qStreamCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = new StructType()
+      .add("user_id", LongType).add("event_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+      .add("us", LongType)
+    // pin the stream's state partitioning to 8 (captured at checkpoint
+    // creation): a 32-thread bench session would otherwise open 32
+    // RocksDB stores per micro-batch for a 150-key state
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    s.conf.set(spKey, "8")
+    try {
+    val rows = graft.streaming.StreamScratch.withScratch("graft_smerge_") { tmp =>
+      // four time-sliced input files = four deterministic micro-batches
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
+      val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 4 + 1)
+      ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+        .repartition(4, col("slice"))
+        .select(to_json(struct(col("user_id"), col("event_id"),
+          col("event_type"), col("value"), col("us"))).as("value"))
+        .write.mode("overwrite").text(s"$tmp/in")
+      val q = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$tmp/in")
+        .select(from_json(col("value"), schema).as("d"))
+        .select(col("d.*")).as[MergeEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new MergeProcessor, TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[MergeOut])
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination()
+      // final state per key = the max-cumulative-count emission
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_changes"), col("last_type"),
+          col("last_value"), col("last_us")), col("n_changes")).as("m"))
+        .select(col("user_id"), col("m.*"))
+        .as[(Long, Long, String, Double, Long)].collect().toSeq
+    }
+    rows.toDF("user_id", "n_changes", "last_type", "last_value", "last_us")
+      .filter(col("last_type") =!= "error")
+      .select(col("user_id"), col("n_changes"), col("last_type"),
+        col("last_value"), expr("timestamp_micros(last_us)").as("updated_at"))
+      .orderBy(col("user_id"))
+    } finally s.conf.set(spKey, spSaved)
+  }
+
+  // --------------------------------------------------------------- q130
+
+  /** q130: STREAM-STREAM interval join — the one Structured Streaming
+    * join surface the battery didn't yet gate: two watermarked event
+    * streams (views and purchases split from the staged change feed)
+    * joined on key + event-time range (`purchase within 1 hour after the
+    * view`). With the range condition + both-side watermarks Spark
+    * bounds the join state and evicts it as the watermark passes — the
+    * exact mechanism that keeps a 100-TB/day double-stream join's state
+    * finite — while AvailableNow completeness makes the emitted pairs
+    * equal the batch interval join, which is the oracle.
+    *
+    * Scale shape: state is hash-partitioned on `user_id` (both sides),
+    * per-key state is bounded by the 2 h watermark delay x per-key rate,
+    * and eviction is continuous; nothing accumulates for the stream's
+    * lifetime. */
+  private def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val schema = new StructType()
+      .add("user_id", LongType).add("event_id", LongType)
+      .add("event_type", StringType).add("us", LongType)
+    // pin stream state partitioning (see q129); and pin the state store
+    // provider back to the in-memory default — q124/q129 leave the
+    // session on RocksDB (transformWithState requires it), and a
+    // stream-stream join opens 4 stores per partition per batch, which
+    // is 512 RocksDB instantiations over this query's 16 batches for a
+    // few hundred keys of state
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
+    s.conf.set(spKey, "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+    val rows = graft.streaming.StreamScratch.withScratch("graft_ssj_") { tmp =>
+      // slice files staged in TIME order with ordered mod-times: the
+      // file source replays them as in-order micro-batches, the
+      // premise the watermark's state eviction is correct under
+      // (q129's merge is order-independent and skips this)
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .filter(col("event_type").isin("view", "purchase"))
+      val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
+      // 16 slices, not 4: at the gate scales this puts view->purchase
+      // pairs ON slice boundaries, so the gate proves cross-batch state
+      // survives exactly as long as the watermark bound requires
+      val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+      for (i <- 0 until 16) {
+        ev.filter(col("us") >= lo + i.toLong * step &&
+            col("us") < lo + (i + 1).toLong * step)
+          .select(to_json(struct(col("user_id"), col("event_id"),
+            col("event_type"), col("us"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$tmp/stage$i")
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/stage$i/part-*")).head.getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+        val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+        fs.rename(part, dst)
+        fs.setTimes(dst, 1000L * (i + 1), -1)
+      }
+      def side(t: String, pfx: String) = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$tmp/in")
+        .select(from_json(col("value"), schema).as("d"))
+        .filter(col("d.event_type") === t)
+        .select(col("d.user_id").as(s"${pfx}_user"),
+          col("d.event_id").as(s"${pfx}_id"),
+          expr("timestamp_micros(d.us)").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "2 hours")
+      val q = side("view", "v")
+        .join(side("purchase", "p"),
+          expr("""v_user = p_user AND p_ts >= v_ts
+                 |AND p_ts <= v_ts + interval 1 hour""".stripMargin))
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("p_id").as("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    } finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
+  }
+
+  private val qStreamIntervalJoinSql =
+    """WITH v AS (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def defs: Seq[(String, QueryDef)] = Seq(
@@ -165,5 +393,10 @@ object Materialize {
     "q127_scd2_history" -> QueryDef(qScd2, Some(qScd2Sql),
       "SCD type-2 dimension: change detection + validity intervals"),
     "q128_zorder_layout" -> QueryDef(qZorderLayout, Some(qZorderLayoutSql),
-      "Z-order layout: Morton tiles, per-tile stats, 2-D probe pruning"))
+      "Z-order layout: Morton tiles, per-tile stats, 2-D probe pruning"),
+    "q129_stream_cdc_merge" -> QueryDef(qStreamCdcMerge, Some(qCdcMergeSql),
+      "streaming transformWithState merge == batch q126 oracle"),
+    "q130_stream_interval_join" -> QueryDef(qStreamIntervalJoin,
+      Some(qStreamIntervalJoinSql),
+      "watermarked stream-stream interval join == batch interval join"))
 }

@@ -95,6 +95,51 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------- q129
+
+  test("q129 streaming merge == batch q126 row-for-row") {
+    val batch = Registry.queries("q126_cdc_merge")(spark, sf).collect()
+    val stream = Registry.queries("q129_stream_cdc_merge")(spark, sf).collect()
+    assert(stream.length == batch.length)
+    batch.zip(stream).foreach { case (b, st) =>
+      assert(b.toSeq == st.toSeq, s"key ${b.get(0)}")
+    }
+  }
+
+  // -------------------------------------------------------------- q130
+
+  test("q130 stream-stream join == batch interval join, incl. cross-batch pairs") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Registry.queries("q130_stream_interval_join")(spark, sf01)
+      .collect()
+    // batch restatement in Spark (the DuckDB oracle is the driver's gate)
+    val ev = Tables.load(spark, sf01, "events")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("p_ts"))
+    val batch = v.join(p, $"user_id" === $"p_user"
+        && $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("interval 1 hour"))
+      .select($"user_id", $"view_id", $"purchase_id",
+        (unix_micros($"p_ts") - unix_micros($"v_ts")).as("lag_us"))
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+      .collect()
+    assert(out.toSeq.map(_.toSeq) == batch.toSeq.map(_.toSeq))
+    out.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 3600L * 1000000))
+    // at least one pair must STRADDLE a slice boundary — the case the
+    // watermark would drop if batches replayed out of order
+    val Array(mm) = ev.filter($"event_type".isin("view", "purchase"))
+      .agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).collect()
+    val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
+    val eid2us = ev.select($"event_id", unix_micros($"ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val straddles = out.count { r =>
+      (eid2us(r.getLong(1)) - lo) / step != (eid2us(r.getLong(2)) - lo) / step
+    }
+    assert(straddles > 0, "no cross-batch pair in the fixture — gate too weak")
+  }
+
   // -------------------------------------------------------------- q128
 
   test("q128 zorder: tile bounds cap BOTH dims; probe hits only overlaps") {
