@@ -4,11 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension: top-k rows PER GROUP without a sort.
   *
@@ -111,7 +111,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
 
@@ -187,6 +187,64 @@ case class TopKPerGroupExec(
       }
     }, preservesPartitioning = true)
   }
+
+  // ---- whole-stage codegen (SortExec's blocking shape) -------------
+  //
+  // doConsume inserts each child row into the per-task TopKRuntimeBuffer;
+  // doProduce first drives the child's produce loop to exhaustion, then
+  // emits the retained rows to the parent — so the scan-side stage fuses
+  // scan → filter/project → heap-insert into one compiled loop, and the
+  // drain fuses into the downstream stage. The interpreted doExecute
+  // remains the non-codegen fallback.
+
+  // set in doProduce, read by doConsume (same device as SortExec's
+  // sorterVariable — produce always runs before consume is generated)
+  private var bufferVariable: String = _
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // whole-row consume: no per-column usage to track
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needInit = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedInit", v => s"$v = true;")
+    val factory = ctx.addReferenceObj("topkFactory",
+      TopKBufferFactory(groupExprs, order, child.output, k, partial),
+      classOf[TopKBufferFactory].getName)
+    bufferVariable = ctx.addMutableState(classOf[TopKRuntimeBuffer].getName,
+      "topkBuffer", forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopK")
+    val addFunc = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needInit) {
+       |  $bufferVariable = $factory.create();
+       |  $addFunc();
+       |  $bufferVariable.startDrain();
+       |  $needInit = false;
+       |}
+       |while ($limitNotReachedCond $bufferVariable.hasNext()) {
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outputRow =
+       |    $bufferVariable.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$bufferVariable.insert((org.apache.spark.sql.catalyst.expressions.UnsafeRow) ${row.value});
+     """.stripMargin
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)

@@ -37,4 +37,11 @@ object GraftBridge {
   /** Per-session hook for extra planner strategies / optimizer rules. */
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[classic.SparkSession].experimental
+
+  /** The running task's memory manager (`private[spark]` on
+    * TaskContext) — needed to create memory-managed spillable buffers
+    * from library code. */
+  def taskMemoryManager(tc: org.apache.spark.TaskContext)
+      : org.apache.spark.memory.TaskMemoryManager =
+    tc.taskMemoryManager()
 }

@@ -69,6 +69,21 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(!s.contains("Window"), s)
   }
 
+  test("both heap passes fuse into whole-stage codegen spans") {
+    val q = TopK.perGroup(docs, Seq(col("source")),
+      Seq(col("n_chars").desc, col("doc_id").asc), 3)
+    q.collect() // finalize the adaptive plan so codegen stages are real
+    val s = q.queryExecution.executedPlan.toString
+    // the `*(n)` marker = inside a WholeStageCodegenExec stage; both the
+    // partial (scan-side) and final (post-shuffle) passes must carry it
+    assert(s.contains("*(") && s.linesIterator.exists(l =>
+      l.contains("TopKPerGroup") && l.contains("*(") && l.contains("true")),
+      s"partial pass not fused:\n$s")
+    assert(s.linesIterator.exists(l =>
+      l.contains("TopKPerGroup") && l.contains("*(") && l.contains("false")),
+      s"final pass not fused:\n$s")
+  }
+
   test("group filter above top-k is pushed into the parquet scan") {
     val q = TopK.perGroup(docs, Seq(col("source")),
       Seq(col("n_chars").desc, col("doc_id").asc), 3)
