@@ -385,6 +385,141 @@ object Materialize {
       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
 
+  // --------------------------------------------------------------- q131
+
+  /** q131: OVERLAPPING CHUNK WINDOWS — the RAG/retrieval chunker: fixed
+    * window of [[ChunkW]] tokens advanced by stride [[ChunkS]] (so
+    * consecutive chunks share `W-S` boundary tokens and no retrieval
+    * query can fall into a blind spot between chunks). Distinct from
+    * q90's disjoint chunking: overlap is the point here. Row-local
+    * explode (`sequence` of starts) — embarrassingly parallel, no
+    * shuffle before the final sort. */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  private def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $ChunkS)")).as("start"))
+      .select(col("doc_id"), (col("start") / ChunkS).cast(LongType).as("chunk_idx"),
+        col("start").cast(LongType).as("start_tok"),
+        least(lit(ChunkW), size(col("ws")) - col("start")).cast(LongType).as("n_tok"),
+        expr(s"element_at(ws, start + 1)").as("head_tok"),
+        expr(s"element_at(ws, cast(least(start + $ChunkW, size(ws)) as int))").as("tail_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val qChunkOverlapSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), $ChunkS)) AS start
+       |      FROM w)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkS AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkW, len(ws) - start) AS BIGINT) AS n_tok,
+       |  ws[start + 1] AS head_tok,
+       |  ws[least(start + $ChunkW, len(ws))] AS tail_tok
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------- q132
+
+  /** q132: GDPR ERASURE CASCADE — the referential fan-out a CDC
+    * consumer must answer for a deletion request: for a deterministic
+    * request set of customers, the rows each table loses. One semi-join
+    * chain customer → orders → lineitem, each equi-keyed on the child's
+    * foreign key; counts and key checksums per table so the cascade is
+    * auditable, not just counted. Scale shape: the request set scales
+    * with the table, so no broadcast hint — AQE size-decides, and each
+    * stage reuses the previous stage's join output. */
+  private def qGdprCascade(s: SparkSession, dir: String): DataFrame = {
+    val reqs = load(s, dir, "customer")
+      .filter(col("c_custkey") % 1000 === 7)
+      .select(col("c_custkey"))
+    val orders = load(s, dir, "orders")
+      .join(reqs, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val lines = load(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val summary = Seq(
+      ("customer", reqs.agg(count(lit(1)), coalesce(sum(col("c_custkey")), lit(0L)))),
+      ("orders", orders.agg(count(lit(1)), coalesce(sum(col("o_orderkey")), lit(0L)))),
+      ("lineitem", lines.agg(count(lit(1)),
+        coalesce(sum(col("l_orderkey") * 10 + col("l_linenumber")), lit(0L)))))
+    import s.implicits._
+    summary.map { case (t, df) =>
+      val r = df.collect()(0); (t, r.getLong(0), r.getLong(1))
+    }.toDF("table_name", "n_rows_erased", "key_checksum")
+      .orderBy(col("table_name"))
+  }
+
+  private val qGdprCascadeSql =
+    """WITH reqs AS (SELECT c_custkey FROM customer
+      |             WHERE c_custkey % 1000 = 7),
+      |o AS (SELECT o_orderkey FROM orders
+      |      WHERE o_custkey IN (SELECT c_custkey FROM reqs)),
+      |l AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |      WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+      |SELECT * FROM (
+      |  SELECT 'customer' AS table_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows_erased,
+      |    CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_checksum
+      |  FROM reqs
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(l_orderkey * 10 + l_linenumber), 0) AS BIGINT)
+      |  FROM l
+      |  UNION ALL
+      |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT)
+      |  FROM o)
+      |ORDER BY table_name""".stripMargin
+
+  // --------------------------------------------------------------- q133
+
+  /** q133: POINT-IN-TIME join to the SCD2 dimension — the reason type-2
+    * history exists: every fact row joined to the dimension version
+    * VALID AT its event time (`valid_from <= ts < valid_to`, current
+    * version open-ended). Per (user, version): the event count — whose
+    * per-user sum equals the user's raw event count, the
+    * no-leak/no-loss property of temporal join correctness. Equi-join
+    * on the user key with a residual interval predicate: per-user
+    * fan-out is bounded by that user's version count, never all-pairs. */
+  private def qScd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val dim = qScd2(s, dir) // (user_id, version, event_type, valid_from, valid_to, is_current)
+      .select(col("user_id"), col("version"), col("valid_from"), col("valid_to"))
+    val ev = load(s, dir, "events")
+      .select(col("user_id").as("e_user"), col("ts"))
+    dim.join(ev, col("e_user") === col("user_id")
+        && col("ts") >= col("valid_from")
+        && (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("user_id"), col("version"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val qScd2PointInTimeSql =
+    """WITH d AS (
+      |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id FROM d
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |dim AS (
+      |  SELECT user_id,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |    ts AS valid_from, LEAD(ts) OVER w AS valid_to
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT dim.user_id, dim.version,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM dim JOIN events e ON e.user_id = dim.user_id
+      |  AND e.ts >= dim.valid_from
+      |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+      |GROUP BY dim.user_id, dim.version
+      |ORDER BY dim.user_id, dim.version""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def defs: Seq[(String, QueryDef)] = Seq(
@@ -398,5 +533,12 @@ object Materialize {
       "streaming transformWithState merge == batch q126 oracle"),
     "q130_stream_interval_join" -> QueryDef(qStreamIntervalJoin,
       Some(qStreamIntervalJoinSql),
-      "watermarked stream-stream interval join == batch interval join"))
+      "watermarked stream-stream interval join == batch interval join"),
+    "q131_chunk_overlap" -> QueryDef(qChunkOverlap, Some(qChunkOverlapSql),
+      "RAG chunking: fixed window, overlapping stride, row-local explode"),
+    "q132_gdpr_cascade" -> QueryDef(qGdprCascade, Some(qGdprCascadeSql),
+      "GDPR erasure cascade: semi-join fan-out with per-table audit sums"),
+    "q133_scd2_pointintime" -> QueryDef(qScd2PointInTime,
+      Some(qScd2PointInTimeSql),
+      "point-in-time join of facts to SCD2 versions (temporal correctness)"))
 }

@@ -140,6 +140,71 @@ class MaterializeSpec extends AnyFunSuite {
     assert(straddles > 0, "no cross-batch pair in the fixture — gate too weak")
   }
 
+  // -------------------------------------------------------------- q131
+
+  test("q131 chunks: full coverage, bounded windows, exact overlap") {
+    val out = Registry.queries("q131_chunk_overlap")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val nToks = Tables.load(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk_idx dense from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i && c.getLong(2) == i.toLong * 48)
+      }
+      // windows bounded by W and by document end
+      sorted.foreach(c => assert(c.getLong(3) >= 1 && c.getLong(3) <= 64))
+      // coverage: last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == nToks(doc))
+      // consecutive chunks overlap by W-S=16 tokens unless the earlier
+      // chunk was already truncated by document end
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getLong(3) == 64)
+            assert(a.getLong(2) + 64 - b.getLong(2) == 16)
+        case _ =>
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- q132
+
+  test("q132 gdpr cascade: counts equal direct recomputation") {
+    val out = Registry.queries("q132_gdpr_cascade")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val reqs = Tables.load(spark, sf, "customer")
+      .filter($"c_custkey" % 1000 === 7).select($"c_custkey")
+    val o = Tables.load(spark, sf, "orders")
+      .join(reqs, $"o_custkey" === $"c_custkey")
+    val l = Tables.load(spark, sf, "lineitem")
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+    assert(out("customer")._1 == reqs.count())
+    assert(out("orders")._1 == o.count())
+    assert(out("lineitem")._1 == l.count())
+    // the cascade only shrinks: child rows belong to erased parents
+    assert(out("orders")._1 >= 0 && out("customer")._1 > 0)
+  }
+
+  // -------------------------------------------------------------- q133
+
+  test("q133 point-in-time: versions partition each user's events exactly") {
+    val out = Registry.queries("q133_scd2_pointintime")(spark, sf).collect()
+    val perUser = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val totals = Tables.load(spark, sf, "events")
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no-leak/no-loss: per-user version counts sum to the raw count
+    assert(perUser == totals)
+    // and the version set matches q127's history row-for-row
+    val dim = Registry.queries("q127_scd2_history")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == dim)
+  }
+
   // -------------------------------------------------------------- q128
 
   test("q128 zorder: tile bounds cap BOTH dims; probe hits only overlaps") {
