@@ -524,6 +524,82 @@ object Materialize {
       |GROUP BY dim.user_id, dim.version
       |ORDER BY dim.user_id, dim.version""".stripMargin
 
+  // --------------------------------------------------------------- q134
+
+  /** q134: STREAM-STATIC join — the remaining streaming-join surface
+    * next to q130's stream-stream: a fact STREAM (lineitem replayed as
+    * four micro-batches) enriched against a static DIMENSION (part,
+    * re-read per trigger; Spark plans it as a broadcast against each
+    * batch), then aggregated per brand with exact DECIMAL revenue.
+    * Stateless per batch on the join side — the canonical shape of a
+    * 100-TB/day enrichment pipeline where the dimension fits an
+    * executor broadcast and the stream never shuffles for the join. The
+    * per-brand running aggregate is maintained in Update-mode state and
+    * the final state must equal the batch restatement, which is the
+    * oracle. */
+  private def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types.{DoubleType, StructType}
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    s.conf.set(spKey, "8")
+    try {
+    val schema = new StructType()
+      .add("l_partkey", LongType).add("l_extendedprice", DoubleType)
+      .add("l_discount", DoubleType)
+    val rows = graft.streaming.StreamScratch.withScratch("graft_ssx_") { tmp =>
+      load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("slice", pmod(col("l_partkey"), lit(4)))
+        .repartition(4, col("slice"))
+        .select(to_json(struct(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount"))).as("value"))
+        .write.mode("overwrite").text(s"$tmp/in")
+      val part = load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val q = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$tmp/in")
+        .select(from_json(col("value"), schema).as("d"))
+        .select(col("d.*"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast(LongType).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$tmp/chk")
+        .format("memory").queryName("graft_ssx_sink")
+        .start()
+      q.awaitTermination()
+      // Update mode emits a row per (brand, batch-with-changes); the
+      // final state per brand is the LAST emission — max n_items (the
+      // running count is strictly monotone)
+      val out = s.table("graft_ssx_sink")
+        .groupBy(col("p_brand"))
+        .agg(max_by(struct(col("n_items"), col("rev")), col("n_items")).as("m"))
+        .select(col("p_brand"), col("m.n_items"),
+          col("m.rev").cast(DoubleType).as("revenue"))
+        .as[(String, Long, Double)].collect().toSeq
+      s.sql("DROP TABLE IF EXISTS graft_ssx_sink")
+      out
+    }
+    rows.toDF("p_brand", "n_items", "revenue").orderBy(col("p_brand"))
+    } finally s.conf.set(spKey, spSaved)
+  }
+
+  private val qStreamStaticJoinSql =
+    """SELECT p.p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def defs: Seq[(String, QueryDef)] = Seq(
@@ -544,5 +620,8 @@ object Materialize {
       "GDPR erasure cascade: semi-join fan-out with per-table audit sums"),
     "q133_scd2_pointintime" -> QueryDef(qScd2PointInTime,
       Some(qScd2PointInTimeSql),
-      "point-in-time join of facts to SCD2 versions (temporal correctness)"))
+      "point-in-time join of facts to SCD2 versions (temporal correctness)"),
+    "q134_stream_static_join" -> QueryDef(qStreamStaticJoin,
+      Some(qStreamStaticJoinSql),
+      "stream-static dimension enrichment + update-mode agg == batch"))
 }

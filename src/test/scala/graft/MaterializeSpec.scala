@@ -205,6 +205,23 @@ class MaterializeSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == dim)
   }
 
+  // -------------------------------------------------------------- q134
+
+  test("q134 stream-static join: update-mode final state == batch join") {
+    val out = Registry.queries("q134_stream_static_join")(spark, sf).collect()
+    val li = Tables.load(spark, sf, "lineitem")
+    val part = Tables.load(spark, sf, "part").select($"p_partkey", $"p_brand")
+    val batch = li.join(part, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+      .orderBy($"p_brand").collect()
+    assert(out.length == batch.length && out.length > 1)
+    out.zip(batch).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
   // -------------------------------------------------------------- q128
 
   test("q128 zorder: tile bounds cap BOTH dims; probe hits only overlaps") {
