@@ -92,23 +92,29 @@ object Materialize {
       .orderBy(col("user_id"), col("version"))
   }
 
-  private val qScd2Sql =
-    """WITH d AS (
+  /** Shared SCD2 change-detection CTE — interpolated into BOTH the q127
+    * and q133 oracles so a future fix to the run-collapse predicate or
+    * tie-break cannot silently diverge them. */
+  private val Scd2Cte =
+    """d AS (
       |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id) AS prev_type
       |  FROM events),
       |c AS (
       |  SELECT user_id, event_type, ts, event_id FROM d
-      |  WHERE prev_type IS NULL OR prev_type <> event_type)
-      |SELECT user_id,
-      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
-      |  event_type, ts AS valid_from,
-      |  LEAD(ts) OVER w AS valid_to,
-      |  CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
-      |    AS BIGINT) AS is_current
-      |FROM c
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, version""".stripMargin
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)""".stripMargin
+
+  private val qScd2Sql =
+    s"""WITH $Scd2Cte
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       |  event_type, ts AS valid_from,
+       |  LEAD(ts) OVER w AS valid_to,
+       |  CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_current
+       |FROM c
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, version""".stripMargin
 
   // --------------------------------------------------------------- q128
 
@@ -218,21 +224,29 @@ object Materialize {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val schema = new StructType()
       .add("user_id", LongType).add("event_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)
       .add("us", LongType)
     // pin the stream's state partitioning to 8 (captured at checkpoint
     // creation): a 32-thread bench session would otherwise open 32
-    // RocksDB stores per micro-batch for a 150-key state
+    // RocksDB stores per micro-batch for a 150-key state. The RocksDB
+    // provider (required by transformWithState) is likewise scoped to
+    // this query and RESTORED after — leaking it session-wide would
+    // silently re-provider every later streaming query
     val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
     s.conf.set(spKey, "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
     val rows = graft.streaming.StreamScratch.withScratch("graft_smerge_") { tmp =>
-      // four time-sliced input files = four deterministic micro-batches
+      // up to four hash-partitioned input files = up to four
+      // micro-batches in arbitrary slice order — fine HERE because
+      // latest-wins is a commutative fold (q130, whose watermark DOES
+      // need time order, stages per-slice files with ordered mod-times)
       val ev = load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
@@ -271,7 +285,10 @@ object Materialize {
       .select(col("user_id"), col("n_changes"), col("last_type"),
         col("last_value"), expr("timestamp_micros(last_us)").as("updated_at"))
       .orderBy(col("user_id"))
-    } finally s.conf.set(spKey, spSaved)
+    } finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
   }
 
   // --------------------------------------------------------------- q130
@@ -332,18 +349,25 @@ object Materialize {
       val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+      // ONE partitioned write stages all 16 slice files (repartition on
+      // the slice key puts each slice wholly in one task, so every
+      // slice=i dir holds exactly one part file); the rename+mod-time
+      // loop then just moves them into replay order — 1 Spark job, not
+      // 16 filtered rescans of the source
+      ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+        .repartition(16, col("slice"))
+        .select(to_json(struct(col("user_id"), col("event_id"),
+          col("event_type"), col("us"))).as("value"), col("slice"))
+        .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
       for (i <- 0 until 16) {
-        ev.filter(col("us") >= lo + i.toLong * step &&
-            col("us") < lo + (i + 1).toLong * step)
-          .select(to_json(struct(col("user_id"), col("event_id"),
-            col("event_type"), col("us"))).as("value"))
-          .coalesce(1).write.mode("overwrite").text(s"$tmp/stage$i")
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$tmp/stage$i/part-*")).head.getPath
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-        val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-        fs.rename(part, dst)
-        fs.setTimes(dst, 1000L * (i + 1), -1)
+        val glob = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
+        if (glob.nonEmpty) { // a slice can be empty at tiny scales
+          val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+          fs.rename(glob.head.getPath, dst)
+          fs.setTimes(dst, 1000L * (i + 1), -1)
+        }
       }
       def side(t: String, pfx: String) = s.readStream
         .option("maxFilesPerTrigger", 1)
@@ -434,8 +458,9 @@ object Materialize {
     * chain customer → orders → lineitem, each equi-keyed on the child's
     * foreign key; counts and key checksums per table so the cascade is
     * auditable, not just counted. Scale shape: the request set scales
-    * with the table, so no broadcast hint — AQE size-decides, and each
-    * stage reuses the previous stage's join output. */
+    * with the table, so no broadcast hint — AQE size-decides; all three
+    * audit rows come from one union plan (single job, shared subplans
+    * eligible for exchange reuse). */
   private def qGdprCascade(s: SparkSession, dir: String): DataFrame = {
     val reqs = load(s, dir, "customer")
       .filter(col("c_custkey") % 1000 === 7)
@@ -446,15 +471,18 @@ object Materialize {
     val lines = load(s, dir, "lineitem")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"))
-    val summary = Seq(
-      ("customer", reqs.agg(count(lit(1)), coalesce(sum(col("c_custkey")), lit(0L)))),
-      ("orders", orders.agg(count(lit(1)), coalesce(sum(col("o_orderkey")), lit(0L)))),
-      ("lineitem", lines.agg(count(lit(1)),
-        coalesce(sum(col("l_orderkey") * 10 + col("l_linenumber")), lit(0L)))))
-    import s.implicits._
-    summary.map { case (t, df) =>
-      val r = df.collect()(0); (t, r.getLong(0), r.getLong(1))
-    }.toDF("table_name", "n_rows_erased", "key_checksum")
+    // ONE union plan, no driver-side collects: the three audit rows are
+    // a single job (and the shared orders subplan is eligible for
+    // Spark's exchange reuse instead of being re-executed per action)
+    def audit(df: DataFrame, table: String, checksum: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).cast(LongType).as("n_rows_erased"),
+          coalesce(sum(checksum), lit(0L)).cast(LongType).as("key_checksum"))
+        .select(lit(table).as("table_name"), col("n_rows_erased"),
+          col("key_checksum"))
+    audit(reqs, "customer", col("c_custkey"))
+      .unionAll(audit(orders, "orders", col("o_orderkey")))
+      .unionAll(audit(lines, "lineitem",
+        col("l_orderkey") * 10 + col("l_linenumber")))
       .orderBy(col("table_name"))
   }
 
@@ -495,40 +523,39 @@ object Materialize {
       .select(col("user_id"), col("version"), col("valid_from"), col("valid_to"))
     val ev = load(s, dir, "events")
       .select(col("user_id").as("e_user"), col("ts"))
+    // LEFT join + count(ts): a version whose validity interval is empty
+    // (two change events sharing one (user, ts)) must still appear,
+    // with n_events = 0 — an inner join would silently drop it and the
+    // "version set == q127" invariant would break on tied timestamps
     dim.join(ev, col("e_user") === col("user_id")
         && col("ts") >= col("valid_from")
-        && (col("valid_to").isNull || col("ts") < col("valid_to")))
+        && (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
       .groupBy(col("user_id"), col("version"))
-      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .agg(count(col("ts")).cast(LongType).as("n_events"))
       .orderBy(col("user_id"), col("version"))
   }
 
   private val qScd2PointInTimeSql =
-    """WITH d AS (
-      |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id) AS prev_type
-      |  FROM events),
-      |c AS (
-      |  SELECT user_id, event_type, ts, event_id FROM d
-      |  WHERE prev_type IS NULL OR prev_type <> event_type),
-      |dim AS (
-      |  SELECT user_id,
-      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
-      |    ts AS valid_from, LEAD(ts) OVER w AS valid_to
-      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      |SELECT dim.user_id, dim.version,
-      |  CAST(COUNT(*) AS BIGINT) AS n_events
-      |FROM dim JOIN events e ON e.user_id = dim.user_id
-      |  AND e.ts >= dim.valid_from
-      |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
-      |GROUP BY dim.user_id, dim.version
-      |ORDER BY dim.user_id, dim.version""".stripMargin
+    s"""WITH $Scd2Cte,
+       |dim AS (
+       |  SELECT user_id,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       |    ts AS valid_from, LEAD(ts) OVER w AS valid_to
+       |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT dim.user_id, dim.version,
+       |  CAST(COUNT(e.ts) AS BIGINT) AS n_events
+       |FROM dim LEFT JOIN events e ON e.user_id = dim.user_id
+       |  AND e.ts >= dim.valid_from
+       |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+       |GROUP BY dim.user_id, dim.version
+       |ORDER BY dim.user_id, dim.version""".stripMargin
 
   // --------------------------------------------------------------- q134
 
   /** q134: STREAM-STATIC join — the remaining streaming-join surface
     * next to q130's stream-stream: a fact STREAM (lineitem replayed as
-    * four micro-batches) enriched against a static DIMENSION (part,
+    * up to four micro-batches) enriched against a static DIMENSION (part,
     * re-read per trigger; Spark plans it as a broadcast against each
     * batch), then aggregated per brand with exact DECIMAL revenue.
     * Stateless per batch on the join side — the canonical shape of a

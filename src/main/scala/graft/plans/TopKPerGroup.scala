@@ -143,6 +143,11 @@ case class TopKPerGroupExec(
       // as soon as a better one arrives while the heap is full
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
 
+      // keep in sync with TopKRuntimeBuffer.insert — the codegen path's
+      // copy of this heap logic. The two deliberately differ ONLY in
+      // flush destination: this iterator STREAMS flushed rows straight
+      // to its consumer (the shuffle writer), while the blocking codegen
+      // operator cannot emit mid-consume and so SPILLS them instead.
       def consume(row: UnsafeRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -211,7 +216,8 @@ case class TopKPerGroupExec(
     val needInit = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
       "topkNeedInit", v => s"$v = true;")
     val factory = ctx.addReferenceObj("topkFactory",
-      TopKBufferFactory(groupExprs, order, child.output, k, partial),
+      TopKBufferFactory(groupExprs, order, child.output, k, partial,
+        TopKPerGroupExec.FlushGroups),
       classOf[TopKBufferFactory].getName)
     bufferVariable = ctx.addMutableState(classOf[TopKRuntimeBuffer].getName,
       "topkBuffer", forceInline = true)

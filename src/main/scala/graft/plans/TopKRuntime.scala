@@ -122,10 +122,14 @@ final case class TopKBufferFactory(
     order: Seq[SortOrder],
     childOutput: Seq[Attribute],
     k: Int,
-    partial: Boolean) {
+    partial: Boolean,
+    // captured at PLAN time on the driver — resolving the system
+    // property in create() would read the EXECUTOR's JVM flags, which
+    // on a real cluster silently differ from the driver's
+    flushAt: Int) {
 
   def create(): TopKRuntimeBuffer = new TopKRuntimeBuffer(
     UnsafeProjection.create(groupExprs, childOutput),
     new LazilyGeneratedOrdering(order, childOutput),
-    childOutput.size, k, partial, TopKPerGroupExec.FlushGroups)
+    childOutput.size, k, partial, flushAt)
 }
