@@ -45,12 +45,22 @@ object Bench {
     // lines from the left, and full double precision nearly doubles the
     // line length for no information (these are wall-clock seconds).
     // BENCH_full.json keeps the same rounded values — one record, two homes.
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    // stdout keys are shortened to the unique qNN prefix: at 134 queries
+    // the full-name line is ~4 KB, which past rounds showed exceeds the
+    // driver's capture window (BENCH_r04/r05 both landed `"parsed": null`
+    // with the head of the line cut off). The prefix keeps every number
+    // attributable (full names in BENCH_full.json / README) at ~14 B/entry.
+    val qs = results.map { case (k, v, _) =>
+      f""""${k.takeWhile(_ != '_')}":$v%.3f"""
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
+    def record(q: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$q,"errors":$errs,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
+    val line = record(qs)
     println(line)
     // ALSO persist the full record to a file: the driver's stdout capture
     // has truncated long lines from the LEFT in past rounds (BENCH_r04
@@ -58,7 +68,8 @@ object Bench {
     // wrapper can point it at the round artifact directly.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), record(qsFull) + "\n")
       System.err.println(s"[bench] full record written to $outFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

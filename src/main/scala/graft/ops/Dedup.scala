@@ -460,6 +460,79 @@ object Dedup {
        |WHERE p.shared_ngrams >= $MinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q140: n-gram CONTAINMENT — the ASYMMETRIC complement of q67's
+    * Jaccard-style overlap: C(A⊂B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    * detects a document substantially CONTAINED in another (quotes,
+    * excerpt pages, wrapper boilerplate around a copied core) that
+    * symmetric measures miss whenever the containing document is much
+    * larger (min-normalized overlap fires, Jaccard does not — and
+    * min-normalization cannot tell WHICH side is the copy; containment
+    * is directional). The dedup-policy consumer drops `doc_sub` and
+    * keeps `doc_super`.
+    *
+    * Same posting-list scale shape as q67 (one digest-keyed shuffle,
+    * df-capped fan-out); the ratio is integer-exact ppm so the gate
+    * hash never rides on float division. */
+  private val ContainMinShared = 3
+  private val ContainPpm = 600000L
+
+  private def qNgramContainment(s: SparkSession, dir: String): DataFrame = {
+    val grams = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= NgramK)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(ws) - $NgramK),
+           |  i -> concat_ws(' ', slice(ws, i + 1, $NgramK)))""".stripMargin)))
+        .as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val dfreq = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+    val kept = grams.join(dfreq.select(col("h")), "h").localCheckpoint(true)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_sub"), col("y.doc_id").as("doc_super"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= ContainMinShared)
+      .join(sizes.select(col("doc_id").as("doc_sub"), col("n_grams").as("n_sub")),
+        "doc_sub")
+      .withColumn("containment_ppm",
+        expr("CAST(shared_ngrams * 1000000 div n_sub AS BIGINT)"))
+      .filter(col("containment_ppm") >= ContainPpm)
+      .select(col("doc_sub"), col("doc_super"), col("shared_ngrams"),
+        col("n_sub"), col("containment_ppm"))
+      .orderBy(col("doc_sub"), col("doc_super"))
+  }
+
+  private val qNgramContainmentSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $NgramK),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - ${NgramK - 2}),
+       |    i -> array_to_string(ws[i : i + ${NgramK - 1}], ' ')))) AS sh
+       |  FROM w),
+       |g AS (SELECT doc_id, md5(sh) AS h FROM g0),
+       |dfreq AS (
+       |  SELECT h FROM g GROUP BY h HAVING COUNT(*) <= $MaxDf),
+       |kept AS (SELECT g.doc_id, g.h FROM g JOIN dfreq USING (h)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_sub, y.doc_id AS doc_super,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+       |  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_sub, p.doc_super, p.shared_ngrams,
+       |  a.n_grams AS n_sub,
+       |  p.shared_ngrams * 1000000 // a.n_grams AS containment_ppm
+       |FROM pairs p JOIN sizes a ON a.doc_id = p.doc_sub
+       |WHERE p.shared_ngrams >= $ContainMinShared
+       |  AND p.shared_ngrams * 1000000 // a.n_grams >= $ContainPpm
+       |ORDER BY doc_sub, doc_super""".stripMargin
+
   /** Hash-prefix partition count of the incremental band index. Each
     * micro-batch reads ONLY the bucket partitions its own bands hash
     * into (≤ min(|batch bands|, IndexBuckets)), so per-batch index I/O
@@ -781,6 +854,10 @@ object Dedup {
       "near-dup clusters: connected components over verified pairs"),
     "q67_exact_ngram_overlap" -> QueryDef(qNgramOverlap, Some(qNgramOverlapSql),
       "exact 8-token shingle overlap pairs (df-capped posting-list join)"),
+    "q140_ngram_containment" -> QueryDef(qNgramContainment,
+      Some(qNgramContainmentSql),
+      "directional n-gram containment: doc-inside-doc detection, " +
+        "integer-exact ppm"),
     "q72_stream_lsh_index" -> QueryDef(qStreamLshIndex, Some(qMinHashSql),
       "streaming incremental LSH index converges to the batch q35 candidates"),
     "q90_chunk_dedup" -> QueryDef(qChunkDedup, Some(qChunkDedupSql),

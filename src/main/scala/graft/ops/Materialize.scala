@@ -627,6 +627,115 @@ object Materialize {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
 
+  // --------------------------------------------------------------- q139
+
+  final case class ScdEvent(user_id: Long, event_id: Long,
+      event_type: String, us: Long)
+  final case class ScdState(prev_type: String, versions: Long)
+  final case class ScdOpen(user_id: Long, version: Long,
+      event_type: String, us: Long)
+
+  /** q139: q127's SCD TYPE-2 build restated as a STREAMING dimension
+    * maintainer — the warehouse-side consumer that keeps the history
+    * table current as CDC batches land, instead of rebuilding it. Keyed
+    * state is just (last tracked value, version counter); each
+    * micro-batch emits the versions it OPENS, and interval stitching
+    * (`valid_to` = next version's open instant) happens once over the
+    * sink — open events are append-only facts, so the stitch is a
+    * window over immutable output, not a state rewrite. Gated against
+    * the IDENTICAL batch q127 oracle (shared [[Scd2Cte]]).
+    *
+    * Unlike q129's commutative latest-wins fold, run-collapse is
+    * order-SENSITIVE, so the input replays through q130's ordered slice
+    * staging (time-sliced files, ordered mod-times) and each batch
+    * sorts its per-key slice — order within key across batches is then
+    * total, and the version counter in state lines up with the batch
+    * row_number. Scale shape: state is two fields per key, hash-
+    * partitioned on the merge key; the stitch window reuses the same
+    * key partitioning. */
+  private def qStreamScd2(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode, Trigger}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val schema = new StructType()
+      .add("user_id", LongType).add("event_id", LongType)
+      .add("event_type", StringType).add("us", LongType)
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
+    s.conf.set(spKey, "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      val opens = graft.streaming.StreamScratch.withScratch("graft_sscd_") { tmp =>
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
+        val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+        ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+          .repartition(8, col("slice"))
+          .select(to_json(struct(col("user_id"), col("event_id"),
+            col("event_type"), col("us"))).as("value"), col("slice"))
+          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+        for (i <- 0 until 8) {
+          val glob = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
+          if (glob.nonEmpty) {
+            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+            fs.rename(glob.head.getPath, dst)
+            fs.setTimes(dst, 1000L * (i + 1), -1)
+          }
+        }
+        val q = s.readStream
+          .option("maxFilesPerTrigger", 1)
+          .text(s"$tmp/in")
+          .select(from_json(col("value"), schema).as("d"))
+          .select(col("d.*")).as[ScdEvent]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+            (uid: Long, it: Iterator[ScdEvent], st: GroupState[ScdState]) =>
+              val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+              var cur = st.getOption.getOrElse(ScdState(null, 0L))
+              val out = Seq.newBuilder[ScdOpen]
+              for (e <- sorted)
+                if (cur.prev_type == null || cur.prev_type != e.event_type) {
+                  cur = ScdState(e.event_type, cur.versions + 1)
+                  out += ScdOpen(uid, cur.versions, e.event_type, e.us)
+                } else cur = cur.copy(prev_type = e.event_type)
+              st.update(cur)
+              out.result().iterator
+          }
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/chk")
+          .format("parquet").option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .as[(Long, Long, String, Long)].collect().toSeq
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      opens.toDF("user_id", "version", "event_type", "us")
+        .withColumn("valid_from", expr("timestamp_micros(us)"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    } finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
+  }
+
   // ------------------------------------------------------------- registry
 
   def defs: Seq[(String, QueryDef)] = Seq(
@@ -650,5 +759,8 @@ object Materialize {
       "point-in-time join of facts to SCD2 versions (temporal correctness)"),
     "q134_stream_static_join" -> QueryDef(qStreamStaticJoin,
       Some(qStreamStaticJoinSql),
-      "stream-static dimension enrichment + update-mode agg == batch"))
+      "stream-static dimension enrichment + update-mode agg == batch"),
+    "q139_stream_scd2" -> QueryDef(qStreamScd2, Some(qScd2Sql),
+      "streaming SCD2 maintenance: keyed run-collapse state, append-only " +
+        "opens, sink-side interval stitch == batch q127 oracle"))
 }

@@ -758,6 +758,204 @@ object Similarity {
        |SELECT cell, rnk, vec_id FROM r WHERE rnk <= $CellQuota
        |ORDER BY cell, rnk""".stripMargin
 
+  /** q135 — HARD-NEGATIVE MINING for contrastive embedding training
+    * (the candidate-generation stage of every dual-encoder training
+    * pipeline: for each anchor, the most-similar vectors of a DIFFERENT
+    * label, excluding near-duplicates). "Semi-hard" band per the triplet
+    * literature: cos in [[HnLo]], [[HnHi]]) — hard enough to carry
+    * gradient signal, below the near-dup ceiling where the "negative"
+    * is probably a labeling error.
+    *
+    * Scale shape: identical to q45's ANN probe — anchors probe their
+    * [[IvfProbes]] nearest IVF cells, so the pairwise stage is
+    * candidate-scoped, never corpus × corpus; the label-mismatch and
+    * cosine-band filters run inside the cell equi-join. At 100 TB the
+    * cell count grows with the corpus and per-cell cost stays O(1). */
+  private val HnLo = 0.30
+  private val HnHi = 0.95
+  private val HnTopK = 5
+
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(s, dir)
+    val labels = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val pivots = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("pv"),
+        col("norm").as("pn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val assigned = base.join(broadcast(pivots))
+      .withColumn("pcos", dot(col("v"), col("pv")) / (col("norm") * col("pn")))
+      .withColumn("prnk", row_number().over(wAssign))
+    val cells = assigned.filter(col("prnk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+      .join(labels, "vec_id")
+    val probes = assigned.filter(col("prnk") <= IvfProbes &&
+        col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"))
+    val anchors = base.join(labels, "vec_id")
+      .filter(col("vec_id") < 50 && col("lbl").isNotNull)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"),
+        col("norm").as("qn"), col("lbl").as("qlbl"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cells.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("v"), col("norm"),
+        col("lbl").as("nlbl"))
+      .join(broadcast(anchors), col("qid") === col("qid2"))
+      .filter(col("nlbl").isNotNull && col("nlbl") =!= col("qlbl"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .filter(col("cos") >= HnLo && col("cos") < HnHi)
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= HnTopK)
+      .select(col("qid"), col("rnk"), col("nid"),
+        col("qlbl").as("anchor_label"), col("nlbl").as("neg_label"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val qHardNegativesSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             CAST(label AS INT) AS lbl FROM embeddings),
+       |n AS (SELECT vec_id, v, lbl, sqrt(list_dot_product(v, v)) AS norm
+       |      FROM e),
+       |p AS (SELECT vec_id AS cell, v AS pv, norm AS pn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |a AS (SELECT n.vec_id, p.cell,
+       |        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |          list_dot_product(n.v, p.pv) / (n.norm * p.pn) DESC, p.cell)
+       |          AS prnk
+       |      FROM n CROSS JOIN p),
+       |cells AS (SELECT vec_id, cell FROM a WHERE prnk = 1),
+       |probes AS (SELECT vec_id AS qid, cell AS qcell FROM a
+       |           WHERE prnk <= $IvfProbes AND vec_id < 50),
+       |anch AS (SELECT vec_id AS qid2, v AS qv, norm AS qn, lbl AS qlbl
+       |         FROM n WHERE vec_id < 50 AND lbl IS NOT NULL),
+       |cand AS (SELECT pr.qid, c.vec_id AS nid
+       |         FROM cells c JOIN probes pr
+       |           ON c.cell = pr.qcell AND c.vec_id <> pr.qid),
+       |r AS (SELECT cand.qid, cand.nid, anch.qlbl, nb.lbl AS nlbl,
+       |        list_dot_product(anch.qv, nb.v) / (anch.qn * nb.norm) AS cos
+       |      FROM cand
+       |      JOIN anch ON anch.qid2 = cand.qid
+       |      JOIN n nb ON nb.vec_id = cand.nid
+       |      WHERE nb.lbl IS NOT NULL AND nb.lbl <> anch.qlbl),
+       |rr AS (SELECT qid, nid, qlbl, nlbl,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, nid) AS BIGINT) AS rnk
+       |       FROM r WHERE cos >= $HnLo AND cos < $HnHi)
+       |SELECT qid, rnk, nid, qlbl AS anchor_label, nlbl AS neg_label
+       |FROM rr WHERE rnk <= $HnTopK ORDER BY qid, rnk""".stripMargin
+
+  /** q136 — kNN AUTO-LABELING (weak supervision): every tenth vector is
+    * held out as "unlabeled" and classified by majority vote among its
+    * [[KnnK]] nearest LABELED neighbors; ties break to the smaller
+    * label. The semi-supervised label-spreading step curation pipelines
+    * run to extend a small seed taxonomy over a large corpus — and,
+    * read against the held-out true label, a distributed embedding-
+    * quality eval (the `correct` column aggregates to kNN accuracy).
+    *
+    * Scale shape: q45's probe pattern again — holdouts probe their
+    * [[IvfProbes]] nearest cells of the labeled partition; vote and
+    * rank run per-anchor after the cell equi-join. */
+  private val KnnK = 5
+
+  private def qKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(s, dir)
+    val labels = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val all = base.join(labels, "vec_id")
+    val train = all.filter(col("vec_id") % 10 =!= 0 && col("lbl").isNotNull)
+    val pivots = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("pv"),
+        col("norm").as("pn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val tCells = train.join(broadcast(pivots))
+      .withColumn("pcos", dot(col("v"), col("pv")) / (col("norm") * col("pn")))
+      .withColumn("prnk", row_number().over(wAssign))
+      .filter(col("prnk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"), col("lbl"))
+    val holdout = all.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qn"), col("lbl").as("true_lbl"))
+    val qProbes = holdout.join(broadcast(pivots))
+      .withColumn("pcos",
+        dot(col("qv"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cell"))))
+      .filter(col("prnk") <= IvfProbes)
+      .select(col("qid"), col("cell").as("qcell"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    // holdout and its probe table grow WITH the corpus (10% of rows):
+    // they shuffle on their equi-keys, only the constant pivot table is
+    // ever broadcast.
+    val topk = tCells.join(qProbes, col("cell") === col("qcell"))
+      .select(col("qid"), col("vec_id").as("nid"), col("v"), col("norm"),
+        col("lbl").as("nlbl"))
+      .join(holdout, Seq("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= KnnK)
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlbl"))
+    topk.groupBy(col("qid"), col("nlbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrnk", row_number().over(wVote))
+      .filter(col("vrnk") === 1)
+      .select(col("qid"), col("nlbl").as("pred_label"))
+      .join(holdout.select(col("qid"), col("true_lbl")), "qid")
+      .select(col("qid"), col("pred_label"),
+        col("true_lbl").as("true_label"),
+        (col("pred_label") === col("true_lbl")).cast(LongType).as("correct"))
+      .orderBy(col("qid"))
+  }
+
+  private val qKnnLabelSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             CAST(label AS INT) AS lbl FROM embeddings),
+       |n AS (SELECT vec_id, v, lbl, sqrt(list_dot_product(v, v)) AS norm
+       |      FROM e),
+       |p AS (SELECT vec_id AS cell, v AS pv, norm AS pn FROM n
+       |      WHERE vec_id < $IvfCells),
+       |t AS (SELECT * FROM n WHERE vec_id % 10 <> 0 AND lbl IS NOT NULL),
+       |tc AS (SELECT vec_id, cell, lbl FROM (
+       |         SELECT t.vec_id, p.cell, t.lbl,
+       |           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |             list_dot_product(t.v, p.pv) / (t.norm * p.pn) DESC,
+       |             p.cell) AS prnk
+       |         FROM t CROSS JOIN p) WHERE prnk = 1),
+       |h AS (SELECT vec_id AS qid, v AS qv, norm AS qn, lbl AS true_lbl
+       |      FROM n WHERE vec_id % 10 = 0),
+       |qp AS (SELECT qid, cell AS qcell FROM (
+       |         SELECT h.qid, p.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY h.qid ORDER BY
+       |             list_dot_product(h.qv, p.pv) / (h.qn * p.pn) DESC,
+       |             p.cell) AS prnk
+       |         FROM h CROSS JOIN p) WHERE prnk <= $IvfProbes),
+       |topk AS (SELECT qid, nid, nlbl FROM (
+       |    SELECT qp.qid, tc.vec_id AS nid, tc.lbl AS nlbl,
+       |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY
+       |        list_dot_product(h.qv, tn.v) / (h.qn * tn.norm) DESC,
+       |        tc.vec_id) AS rnk
+       |    FROM tc JOIN qp ON tc.cell = qp.qcell
+       |    JOIN h ON h.qid = qp.qid
+       |    JOIN n tn ON tn.vec_id = tc.vec_id) WHERE rnk <= $KnnK),
+       |votes AS (SELECT qid, nlbl, COUNT(*) AS votes FROM topk
+       |          GROUP BY qid, nlbl),
+       |pred AS (SELECT qid, nlbl AS pred_label FROM (
+       |    SELECT qid, nlbl,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY votes DESC, nlbl) AS vrnk
+       |    FROM votes) WHERE vrnk = 1)
+       |SELECT pred.qid, pred.pred_label, h.true_lbl AS true_label,
+       |  CAST(pred.pred_label = h.true_lbl AS BIGINT) AS correct
+       |FROM pred JOIN h ON h.qid = pred.qid
+       |ORDER BY pred.qid""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q102_cluster_sample" -> QueryDef(qClusterSample, Some(qClusterSampleSql),
       "cluster-balanced embedding sample: IVF cells + per-cell hash quota"),
@@ -775,5 +973,11 @@ object Similarity {
       "SemDeDup: within-cell cosine prune, keep the centroid-closest copy"),
     "q123_ann_pq" -> QueryDef(qAnnPq, Some(qAnnPqSql),
       "product-quantization ANN: integer-grid codebooks, ADC scan, " +
-        "in-gate recall verdict"))
+        "in-gate recall verdict"),
+    "q135_hard_negatives" -> QueryDef(qHardNegatives, Some(qHardNegativesSql),
+      "contrastive hard-negative mining: IVF-probe-scoped, label-mismatch, " +
+        "semi-hard cosine band"),
+    "q136_knn_label" -> QueryDef(qKnnLabel, Some(qKnnLabelSql),
+      "kNN auto-labeling of a held-out tenth by majority vote over " +
+        "IVF-probed labeled neighbors"))
 }
