@@ -27,7 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q108_zipf_coverage", // 1-row corpus-total scalar broadcast (q70 shape)
     "q110_session_pairs", // 1-row session-count scalar broadcast (q70 shape)
     "q120_resample_ma", // type-alphabet distinct broadcast against the spine
-    "q123_ann_pq") // 5-query exact-baseline probe broadcast (q38 shape)
+    "q123_ann_pq", // 5-query exact-baseline probe broadcast (q38 shape)
+    "q135_hard_negatives", // q45's 16-pivot assign stage, reused
+    "q136_knn_label") // q45's 16-pivot assign stage, reused
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -101,7 +103,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (with the bound named) or drop its hint.
     val constantFilterBounded = Set("q38_sim_cosine_topk",
       "q39_sim_ann_lsh", "q45_sim_ann_ivf", "q69_kmeans_lloyd",
-      "q89_semantic_dedup", "q102_cluster_sample")
+      "q89_semantic_dedup", "q102_cluster_sample",
+      "q135_hard_negatives", // vec_id < 50 anchor/probe set + 16 pivots
+      "q136_knn_label") // vec_id < 16 pivot table (holdout side NOT hinted)
     val offenders = Registry.queries.toSeq
       .filterNot { case (name, _) =>
         skipBuild(name) || constantFilterBounded(name) }
