@@ -718,11 +718,144 @@ object Cdc {
       |  AND abs((CAST(h.n AS DOUBLE) - s.mean) / sqrt(s.variance)) >= 2.0
       |ORDER BY event_type, hour""".stripMargin
 
+  /** q141: MULTI-TOUCH ATTRIBUTION — every touchpoint (view/click/
+    * signup) attributes to the user's NEAREST FOLLOWING purchase within
+    * a [[AttrLookbackUs]] lookback; per conversion the first touch, the
+    * last touch, and linear (1/n, integer ppm) credit roll up by touch
+    * type. The marketing-warehouse staple on top of a CDC event feed,
+    * and the missing ORDERED complement of q82's funnel counts.
+    *
+    * The "nearest following purchase" is one descending-order window
+    * per user (`last(..., ignoreNulls)` over ts DESC unbounded→current
+    * picks the closest later purchase) — so attribution is a single
+    * user_id shuffle, and the per-conversion and per-type rollups reuse
+    * that partitioning. No self-join of events against events: at 100
+    * TB the window formulation touches each event once, where the
+    * naive touch⋈purchase interval join is quadratic in per-user
+    * activity. Credit is integer ppm (1e6 div n) so the gate never
+    * hashes a float. */
+  private val AttrLookbackUs = 7L * 86400L * 1000000L
+
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val touched = e
+      .withColumn("conv_id",
+        last(when(col("event_type") === "purchase", col("event_id")), true)
+          .over(wDesc))
+      .withColumn("conv_us",
+        last(when(col("event_type") === "purchase", col("us")), true)
+          .over(wDesc))
+      .filter(col("event_type").isin("view", "click", "signup") &&
+        col("conv_id").isNotNull &&
+        col("conv_us") - col("us") <= AttrLookbackUs)
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wDsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val perConv = touched
+      .withColumn("n_touches", count(lit(1)).over(
+        Window.partitionBy(col("conv_id"))))
+      .withColumn("rnk_first", row_number().over(wAsc))
+      .withColumn("rnk_last", row_number().over(wDsc))
+    perConv.groupBy(col("event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rnk_first") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rnk_last") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(expr("1000000 div n_touches")).as("linear_ppm"))
+      .orderBy(col("touch_type"))
+  }
+
+  private val qAttributionSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |t AS (SELECT *,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+       |      IGNORE NULLS) OVER w AS conv_id,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN us END
+       |      IGNORE NULLS) OVER w AS conv_us
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us DESC, event_id DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tt AS (SELECT * FROM t
+       |  WHERE event_type IN ('view', 'click', 'signup')
+       |    AND conv_id IS NOT NULL AND conv_us - us <= $AttrLookbackUs),
+       |pc AS (SELECT *,
+       |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches,
+       |    ROW_NUMBER() OVER (PARTITION BY conv_id
+       |      ORDER BY us, event_id) AS rnk_first,
+       |    ROW_NUMBER() OVER (PARTITION BY conv_id
+       |      ORDER BY us DESC, event_id DESC) AS rnk_last
+       |  FROM tt)
+       |SELECT event_type AS touch_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |  CAST(SUM(CASE WHEN rnk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first,
+       |  CAST(SUM(CASE WHEN rnk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_last,
+       |  CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_ppm
+       |FROM pc GROUP BY event_type ORDER BY touch_type""".stripMargin
+
+  /** q142: TIME-DECAYED ENGAGEMENT SCORES — the feature-store
+    * "recency-weighted activity" feature: each event's value decays by
+    * half per [[DecayHalfLifeDays]] since the corpus watermark, summed
+    * per user. Exactness device: the decay factor is a DYADIC rational
+    * (weight = 1e6 >> e for integer e = age_days div half_life), the
+    * value is micro-quantized (floor(v·1e6+0.5), bit-identical in
+    * both engines), and the sum runs in DECIMAL(38,0)/HUGEINT — so a
+    * recency-weighted double sum, normally un-gateable under shuffle
+    * reordering, hashes exactly.
+    *
+    * Scale shape: the watermark is a 1-row broadcast; the score is one
+    * map-side-partial hash aggregate on user_id. */
+  private val DecayHalfLifeDays = 7L
+
+  private def qDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val ref = e.agg(max(col("us")).as("ref_us"))
+    e.crossJoin(broadcast(ref))
+      .withColumn("eexp", expr(
+        s"least((ref_us - us) div ${86400000000L} div $DecayHalfLifeDays, 62L)"))
+      .withColumn("v_u", expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("w_ppm", expr("shiftright(CAST(1000000 AS BIGINT), CAST(eexp AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(v_u AS DECIMAL(38,0)) * w_ppm) div 1000000 AS BIGINT)")
+          .as("score_micro"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qDecayScoreSql =
+    s"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+       |r AS (SELECT MAX(us) AS ref_us FROM e),
+       |w AS (SELECT user_id,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u,
+       |    (CAST(1000000 AS BIGINT) >> LEAST(
+       |      (r.ref_us - us) // ${86400000000L} // $DecayHalfLifeDays, 62))
+       |      AS w_ppm
+       |  FROM e CROSS JOIN r)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(v_u AS HUGEINT) * w_ppm) // 1000000 AS BIGINT)
+       |    AS score_micro
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q85_rate_anomaly" -> QueryDef(qRateAnomaly, Some(qRateAnomalySql),
       "hourly event-rate z-score anomalies (exact-decimal moments)"),
     "q84_event_transitions" -> QueryDef(qTransitions, Some(qTransitionsSql),
       "per-user event bigram counts via lead window (path analysis)"),
+    "q141_attribution" -> QueryDef(qAttribution, Some(qAttributionSql),
+      "multi-touch attribution: first/last/linear credit via one " +
+        "descending window, no interval self-join"),
+    "q142_decay_score" -> QueryDef(qDecayScore, Some(qDecayScoreSql),
+      "time-decayed engagement features: dyadic half-life weights, " +
+        "integer-exact micro sums"),
     "q82_event_funnel" -> QueryDef(qFunnel, Some(qFunnelSql),
       "ordered conversion funnel (strictly-after sequencing per user)"),
     "q83_retention_cohorts" -> QueryDef(qRetention, Some(qRetentionSql),
