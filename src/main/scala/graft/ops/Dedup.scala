@@ -99,8 +99,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared CTE chain reproducing [[minhashCandidates]] in DuckDB. */
-  private[ops] val candidatesCte = {
+  /** CTE chain reproducing [[bandTable]] in DuckDB, ending at `bands`
+    * — shared by [[candidatesCte]] (all-pairs-within-bucket form) and
+    * q144's new-vs-corpus band join. */
+  private[ops] val bandsCte = {
     val hs = (0 until NumHashes).map { i =>
       val src = if (i < 4) "ha" else "hb"
       s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS h$i"
@@ -124,12 +126,16 @@ object Dedup {
        |   $hs
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, unnest([$bs]) AS band FROM sig),
+       |  SELECT doc_id, unnest([$bs]) AS band FROM sig)""".stripMargin
+  }
+
+  /** Shared CTE chain reproducing [[minhashCandidates]] in DuckDB. */
+  private[ops] val candidatesCte =
+    s"""$bandsCte,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.doc_id < y.doc_id)""".stripMargin
-  }
 
   private def qMinHash(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -533,6 +539,107 @@ object Dedup {
        |  AND p.shared_ngrams * 1000000 // a.n_grams >= $ContainPpm
        |ORDER BY doc_sub, doc_super""".stripMargin
 
+  /** q144: INCREMENTAL SHARD DEDUP — the batch-ingest twin of q72's
+    * streaming index: a newly arrived shard (sources [[NewSources]],
+    * standing in for "today's crawl") is deduplicated AGAINST the
+    * standing corpus without any corpus-×-corpus work. Three verdicts
+    * in precedence order: `exact_dup` (content hash already in the
+    * corpus), `batch_dup` (an earlier-id doc in the same shard has the
+    * hash — first occurrence survives, the q90 rule), `near_dup`
+    * (MinHash band match against a corpus doc, confirmed by word-set
+    * Jaccard ≥ the q35/q37 threshold), else `kept`.
+    *
+    * Scale shape: the exact stage is a semi-join on the content hash;
+    * the near stage joins the SHARD's bands against the corpus band
+    * index on the band equi-key — cost tracks shard size × bucket
+    * occupancy, never corpus². The band table is computed once and
+    * checkpointed (two consumers: shard side, corpus side); on a real
+    * deployment the corpus side is the persisted q72 index, read
+    * bucket-pruned. */
+  private val NewSources = Seq("src0", "src1")
+
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isNew = col("source").isin(NewSources: _*)
+    val docs = load(s, dir, "documents")
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("th"))
+    val newDocs = hashed.filter(isNew)
+    val corpusHashes = hashed.filter(!isNew).select(col("th")).distinct()
+    val exactDup = newDocs.join(corpusHashes, Seq("th"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val batchDup = newDocs
+      .withColumn("min_id", min(col("doc_id")).over(
+        Window.partitionBy(col("th"))))
+      .filter(col("doc_id") > col("min_id"))
+      .select(col("doc_id")).withColumn("is_batch", lit(1L))
+    val bands = bandTable(docs).localCheckpoint(true)
+    val newIds = newDocs.select(col("doc_id"))
+    val corpusIds = hashed.filter(!isNew).select(col("doc_id"))
+    val cand = bands.join(newIds, "doc_id").as("x")
+      .join(bands.join(corpusIds, "doc_id").as("y"),
+        col("x.band") === col("y.band"))
+      .select(col("x.doc_id").as("doc_n"), col("y.doc_id").as("doc_c"))
+      .distinct()
+    val d = wordSets(s, dir)
+    val nearDup = cand
+      .join(d.select(col("doc_id").as("doc_n"), col("ws").as("ws_a")), "doc_n")
+      .join(d.select(col("doc_id").as("doc_c"), col("ws").as("ws_b")), "doc_c")
+      .withColumn("inter",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast(LongType))
+      .withColumn("uni",
+        size(col("ws_a")).cast(LongType) + size(col("ws_b")) - col("inter"))
+      .filter(col("inter").cast(DoubleType) / col("uni") >= JaccardThreshold)
+      .select(col("doc_n").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1L))
+    newDocs.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1L, "exact_dup")
+          .when(col("is_batch") === 1L, "batch_dup")
+          .when(col("is_near") === 1L, "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qIncrementalDedupSql = {
+    val newIn = NewSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH $bandsCte,
+       |src AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+       |nd AS (SELECT * FROM src WHERE source IN ($newIn)),
+       |cd AS (SELECT * FROM src WHERE source NOT IN ($newIn)),
+       |ex AS (SELECT DISTINCT nd.doc_id FROM nd
+       |       JOIN (SELECT DISTINCT th FROM cd) c USING (th)),
+       |bd AS (SELECT doc_id FROM (
+       |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY th) AS mid
+       |         FROM nd) t WHERE doc_id > mid),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_n, y.doc_id AS doc_c
+       |         FROM bands x JOIN nd ON nd.doc_id = x.doc_id
+       |         JOIN bands y ON x.band = y.band
+       |         JOIN cd ON cd.doc_id = y.doc_id),
+       |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |      FROM documents),
+       |nr AS (SELECT DISTINCT c.doc_n AS doc_id
+       |       FROM cand c
+       |       JOIN d a ON a.doc_id = c.doc_n
+       |       JOIN d b ON b.doc_id = c.doc_c
+       |       WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |         / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+       |         >= $JaccardThreshold)
+       |SELECT nd.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS status
+       |FROM nd
+       |LEFT JOIN ex ON ex.doc_id = nd.doc_id
+       |LEFT JOIN bd ON bd.doc_id = nd.doc_id
+       |LEFT JOIN nr ON nr.doc_id = nd.doc_id
+       |ORDER BY nd.doc_id""".stripMargin
+  }
+
   /** Hash-prefix partition count of the incremental band index. Each
     * micro-batch reads ONLY the bucket partitions its own bands hash
     * into (≤ min(|batch bands|, IndexBuckets)), so per-batch index I/O
@@ -858,6 +965,10 @@ object Dedup {
       Some(qNgramContainmentSql),
       "directional n-gram containment: doc-inside-doc detection, " +
         "integer-exact ppm"),
+    "q144_incremental_dedup" -> QueryDef(qIncrementalDedup,
+      Some(qIncrementalDedupSql),
+      "new-shard-vs-corpus dedup: exact semi-join + band-scoped near " +
+        "verify, no corpus self-join"),
     "q72_stream_lsh_index" -> QueryDef(qStreamLshIndex, Some(qMinHashSql),
       "streaming incremental LSH index converges to the batch q35 candidates"),
     "q90_chunk_dedup" -> QueryDef(qChunkDedup, Some(qChunkDedupSql),

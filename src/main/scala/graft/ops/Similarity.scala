@@ -956,6 +956,87 @@ object Similarity {
        |FROM pred JOIN h ON h.qid = pred.qid
        |ORDER BY pred.qid""".stripMargin
 
+  /** q143 — LABEL-NOISE AUDIT over the kNN GRAPH (confident-learning
+    * shape: a label whose nearest neighbors vote against it is probably
+    * mislabeled). Distinct plumbing from q136's probe join: this is the
+    * SRP band SELF-join (q40's candidate generator) ranking the top
+    * [[NoiseK]] neighbors of EVERY labeled vector — i.e., distributed
+    * kNN-graph construction, the same artifact embedding-quality and
+    * graph-based semi-supervised pipelines build — then a per-vector
+    * agreement vote. Vectors with fewer than 3 in-graph neighbors
+    * abstain (too little evidence either way).
+    *
+    * Scale shape: candidates form only inside (band, bkey) buckets
+    * whose occupancy the corpus-scaled r holds at O(TargetBucket), so
+    * the graph build is linear in corpus size; the vote is one
+    * per-center aggregate on the candidate partitioning. */
+  private val NoiseK = 5
+
+  private def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(s, dir)
+    val labels = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val lab = base.join(labels, "vec_id").filter(col("lbl").isNotNull)
+    val r = rBits(countOf(base, dir))
+    val bands = bandKeys(lab, NearDupBands, r)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("cid"), col("y.vec_id").as("nid"))
+      .distinct()
+    val wRank = Window.partitionBy(col("cid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(lab.select(col("vec_id").as("cid2"), col("v").as("cv"),
+        col("norm").as("cn"), col("lbl").as("clbl")), col("cid") === col("cid2"))
+      .join(lab.select(col("vec_id").as("nid2"), col("v").as("nv"),
+        col("norm").as("nn"), col("lbl").as("nlbl")), col("nid") === col("nid2"))
+      .withColumn("cos", dot(col("cv"), col("nv")) / (col("cn") * col("nn")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= NoiseK)
+      .groupBy(col("cid"), col("clbl"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("nlbl") === col("clbl"), 1L).otherwise(0L)).as("agree"))
+      .filter(col("k_eff") >= 3)
+      .select(col("cid").as("vec_id"), col("clbl").as("label"),
+        col("k_eff"), col("agree"),
+        (col("agree") * 2 < col("k_eff")).cast(LongType).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qLabelNoiseSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             CAST(label AS INT) AS lbl
+       |           FROM embeddings WHERE label IS NOT NULL),
+       |n AS (SELECT vec_id, v, lbl, sqrt(list_dot_product(v, v)) AS norm
+       |      FROM e),
+       |$rSelSql,
+       |bands AS (
+       |${bandsSql(NearDupBands)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS cid, y.vec_id AS nid
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+       |r AS (SELECT cand.cid, a.lbl AS clbl, b.lbl AS nlbl,
+       |        ROW_NUMBER() OVER (PARTITION BY cand.cid ORDER BY
+       |          list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+       |          cand.nid) AS rnk
+       |      FROM cand
+       |      JOIN n a ON a.vec_id = cand.cid
+       |      JOIN n b ON b.vec_id = cand.nid),
+       |g AS (SELECT cid, clbl,
+       |        CAST(COUNT(*) AS BIGINT) AS k_eff,
+       |        CAST(SUM(CASE WHEN nlbl = clbl THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS agree
+       |      FROM r WHERE rnk <= $NoiseK GROUP BY cid, clbl)
+       |SELECT cid AS vec_id, clbl AS label, k_eff, agree,
+       |  CAST(CASE WHEN agree * 2 < k_eff THEN 1 ELSE 0 END AS BIGINT)
+       |    AS flagged
+       |FROM g WHERE k_eff >= 3 ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q102_cluster_sample" -> QueryDef(qClusterSample, Some(qClusterSampleSql),
       "cluster-balanced embedding sample: IVF cells + per-cell hash quota"),
@@ -979,5 +1060,8 @@ object Similarity {
         "semi-hard cosine band"),
     "q136_knn_label" -> QueryDef(qKnnLabel, Some(qKnnLabelSql),
       "kNN auto-labeling of a held-out tenth by majority vote over " +
-        "IVF-probed labeled neighbors"))
+        "IVF-probed labeled neighbors"),
+    "q143_label_noise" -> QueryDef(qLabelNoise, Some(qLabelNoiseSql),
+      "label-noise audit: SRP kNN-graph neighbor vote flags " +
+        "probable mislabels"))
 }
