@@ -1,0 +1,420 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
+import Tables.load
+
+/** Sixth-wave battery: governance, retrieval and incremental-compute
+  * operators a production 100-TB data platform runs next to the core
+  * curation pipeline.
+  *
+  *  - q145: the built-in `dropDuplicatesWithinWatermark` surface (the
+  *    third streaming-dedup formulation after q63's FSM and q72's LSH
+  *    index), gated row-identical to batch distinct.
+  *  - q146: k-anonymity / l-diversity audit — the privacy-governance
+  *    check run before any user-grained release (companion to q138's
+  *    DP mechanism: q138 releases safely, q146 measures why you must).
+  *  - q147: local clustering coefficient on the LSH candidate graph
+  *    (per-node closure of q122's global triangle count — separates
+  *    template-clique dup clusters from drift chains per node).
+  *  - q148: boolean inverted-index retrieval (AND/AND/NOT) via
+  *    posting-list semi/anti joins — the exact-match retrieval twin of
+  *    the ANN battery (q38/q39/q45).
+  *  - q149: higher-order-function array analytics over the embedding
+  *    column — transform/filter/aggregate/zip_with/reverse all inside
+  *    whole-stage codegen, zero UDFs, integer-exact via the power-of-2
+  *    grid (multiplying a float by 1024 is an exponent shift, so both
+  *    engines floor the same exact value).
+  *  - q150: CUSUM change-point detection on hourly event rates. The
+  *    recursion S_t = max(0, S_{t-1} + x_t - k) is rewritten in closed
+  *    form S_t = C_t - min(0, min_{j<=t} C_j) (C = running sum), so it
+  *    is two window functions over one time-ordered shuffle instead of
+  *    an unparallelizable sequential fold.
+  *  - q151: incremental view maintenance for a join-aggregate view —
+  *    the delta rule for distributive aggregates (merge partial
+  *    DECIMAL sums of base and delta) gated bit-identical against the
+  *    full recompute, which is what lets a 100-TB nightly view absorb
+  *    a 0.1% delta without re-reading the 100 TB.
+  */
+object Advanced {
+
+  // ------------------------------------------------------------- q145
+
+  /** q145: STREAMING DEDUP via the built-in `dropDuplicatesWithinWatermark`
+    * — Spark's engine-native bounded-state dedup (state for a key is
+    * evicted once the watermark passes its event time + delay, so state
+    * is O(keys-per-delay-window), never O(stream lifetime)). The gate
+    * stages the event log as 16 time-ordered slices and injects an
+    * EXACT duplicate copy of every 7th event one slice LATER than its
+    * original (arrival skew across a micro-batch boundary), so the
+    * dedup state must survive the batch boundary to drop it; the
+    * watermark delay is derived from the data span (3 slice widths) so
+    * the construction holds at every SF. Result == batch DISTINCT,
+    * which (event ids being unique) is the event log itself. */
+  private def qStreamDedupWm(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("us", LongType)
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
+    s.conf.set(spKey, "8") // few hundred keys of state; see q130's note
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      val rows = graft.streaming.StreamScratch.withScratch("graft_ddw_") { tmp =>
+        val ev = load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
+        val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
+        // originals sliced by event time; duplicates of every 7th event
+        // staged one slice later (cap 15) — same bytes, later arrival
+        val orig = ev
+          .withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+        val dup = orig.filter(col("event_id") % 7 === 0)
+          .withColumn("slice", least(col("slice") + 1, lit(15L)))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+        orig.unionAll(dup)
+          .repartition(16, col("slice"))
+          .select(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), col("us"))).as("value"), col("slice"))
+          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+        for (i <- 0 until 16) {
+          val glob = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
+          if (glob.nonEmpty) {
+            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+            fs.rename(glob.head.getPath, dst)
+            fs.setTimes(dst, 1000L * (i + 1), -1)
+          }
+        }
+        // delay = 3 slice widths: a dup one slice late is always inside
+        // the watermark, an original is never late (slices are ordered)
+        val delaySec = (3L * step) / 1000000L + 1L
+        val q = s.readStream
+          .option("maxFilesPerTrigger", 1)
+          .text(s"$tmp/in")
+          .select(from_json(col("value"), schema).as("d"))
+          .select(col("d.event_id").as("event_id"),
+            col("d.user_id").as("user_id"),
+            col("d.event_type").as("event_type"), col("d.us").as("us"))
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withWatermark("ts", s"$delaySec seconds")
+          .dropDuplicatesWithinWatermark("event_id")
+          .drop("ts")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/chk")
+          .format("parquet").option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .as[(Long, Long, String, Long)].collect().toSeq
+      }
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .orderBy(col("event_id"))
+    } finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
+  }
+
+  private val qStreamDedupWmSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(epoch_us(ts) AS BIGINT) AS us
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------- q146
+
+  /** q146: K-ANONYMITY / L-DIVERSITY AUDIT. Quasi-identifier =
+    * (mktsegment, nation, account-balance band); sensitive attribute =
+    * the customer's order priorities. A QI group is k-anonymous when it
+    * hides each member among >= 5 look-alikes, l-diverse when the
+    * sensitive values seen in the group take >= 3 distinct values
+    * (Sweeney 2002; Machanavajjhala et al. 2007). Balance bands are
+    * exact integer cents (DECIMAL(18,2) -> cents, +10^7 offset so the
+    * truncating integer division is floor for every real balance) —
+    * zero float bucketing.
+    *
+    * Scale shape: one distinct on (custkey, priority) bounds the order
+    * fan-out to <=5 rows per customer, one equi-join on custkey, one
+    * hash aggregate on the QI key. Nothing broadcasts or collects. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = load(s, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+      expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "+ 10000000) div 100000").as("bal_bucket"))
+    val op = load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+    qi.join(op, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_members"),
+        countDistinct(col("o_orderpriority")).as("l_distinct"))
+      .withColumn("k_ok", (col("n_members") >= 5).cast("int"))
+      .withColumn("l_ok", (col("l_distinct") >= 3).cast("int"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+  }
+
+  private val qKAnonymitySql =
+    """WITH qi AS (
+      |  SELECT c_custkey, c_mktsegment, c_nationkey,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |     + 10000000) // 100000 AS bal_bucket
+      |  FROM customer),
+      |op AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+      |SELECT c_mktsegment, c_nationkey, bal_bucket,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+      |  CAST(CASE WHEN COUNT(DISTINCT c_custkey) >= 5 THEN 1 ELSE 0 END
+      |       AS INT) AS k_ok,
+      |  CAST(CASE WHEN COUNT(DISTINCT o_orderpriority) >= 3 THEN 1 ELSE 0
+      |       END AS INT) AS l_ok
+      |FROM qi LEFT JOIN op ON o_custkey = c_custkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------- q147
+
+  /** q147: LOCAL CLUSTERING COEFFICIENT per node of the MinHash-LSH
+    * candidate graph — lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) on a
+    * ppm integer grid (floor division, hash-gateable). Triangles come
+    * from q122's canonical a<b<c node-iterator (each triangle credits
+    * its three corners once); degrees from one union-all + hash agg.
+    * Every join is equi-keyed on a node or edge key; the graph is
+    * LSH-sparse so the middle self-join is candidate-scoped, exactly
+    * like q122. */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.minhashCandidates(s, dir)
+    val viaB = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    val tri = viaB
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("doc_a").as("node"))
+      .unionAll(e.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("lcc_ppm",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(0L))
+      .select(col("node"), col("deg"), col("tri"), col("lcc_ppm"))
+      .orderBy(col("node"))
+  }
+
+  private val qClusteringCoeffSql =
+    s"""WITH ${Dedup.candidatesCte},
+       |tri0 AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM cand e1
+       |  JOIN cand e2 ON e2.doc_a = e1.doc_b
+       |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |         SELECT a AS node FROM tri0
+       |         UNION ALL SELECT b FROM tri0
+       |         UNION ALL SELECT c FROM tri0) GROUP BY 1),
+       |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |         SELECT doc_a AS node FROM cand
+       |         UNION ALL SELECT doc_b FROM cand) GROUP BY 1)
+       |SELECT dg.node AS node, deg, COALESCE(tri, CAST(0 AS BIGINT)) AS tri,
+       |  CAST(CASE WHEN deg >= 2 THEN
+       |      (2 * COALESCE(tri, 0) * 1000000) // (deg * (deg - 1))
+       |    ELSE 0 END AS BIGINT) AS lcc_ppm
+       |FROM dg LEFT JOIN tn ON tn.node = dg.node
+       |ORDER BY dg.node""".stripMargin
+
+  // ------------------------------------------------------------- q148
+
+  /** q148: BOOLEAN INVERTED-INDEX RETRIEVAL — `vector AND hash AND NOT
+    * slow` evaluated as posting-list algebra: the conjunction is a
+    * per-doc distinct-hit count over the two needle terms (one filtered
+    * explode, no per-term join chain), the negation a left-anti join
+    * against the excluded term's postings. The term filter lands
+    * BEFORE the aggregate, so at 100 TB only rows for the 3 query
+    * terms ever shuffle — cost tracks result size, not corpus size
+    * (same device as q67's df-capped posting lists). */
+  private def qBoolSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val post = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val hits = post.filter(col("term").isin("vector", "hash"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("nhit"))
+      .filter(col("nhit") === 2)
+    hits.join(post.filter(col("term") === "slow"), Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBoolSearchSql =
+    """WITH post AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents)
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |WHERE d.doc_id IN (SELECT doc_id FROM post WHERE term = 'vector')
+      |  AND d.doc_id IN (SELECT doc_id FROM post WHERE term = 'hash')
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'slow')
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q149
+
+  /** q149: HIGHER-ORDER-FUNCTION ARRAY ANALYTICS over the embedding
+    * column — `transform` (quantize to the 2^10 grid: multiplying a
+    * float by 1024 only shifts the exponent, so floor sees the exact
+    * value in both engines), `aggregate` (component sum), array
+    * min/max, `filter` (count of saturated components), and
+    * `zip_with`+`reverse` (dot product with the reversed self — the
+    * palindromic autocorrelation probe). All five lambdas stay inside
+    * whole-stage codegen; the whole query is one narrow map over the
+    * vector scan, embarrassingly parallel at any scale. */
+  private def qHofArrayStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> floor(cast(x AS double) * 1024))")
+          .as("q"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("qsum"),
+        expr("array_min(q)").as("qmin"),
+        expr("array_max(q)").as("qmax"),
+        expr("cast(size(filter(q, x -> x >= 512 OR x < -512)) AS bigint)")
+          .as("n_large"),
+        expr("aggregate(zip_with(q, reverse(q), (a, b) -> a * b), " +
+          "0L, (acc, x) -> acc + x)").as("dot_rev"))
+      .orderBy(col("vec_id"))
+
+  private val qHofArrayStatsSql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(list_sum(q) AS BIGINT) AS qsum,
+      |  CAST(list_min(q) AS BIGINT) AS qmin,
+      |  CAST(list_max(q) AS BIGINT) AS qmax,
+      |  CAST(len(list_filter(q, x -> x >= 512 OR x < -512)) AS BIGINT)
+      |    AS n_large,
+      |  CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |    i -> q[i] * q[len(q) - i + 1])) AS BIGINT) AS dot_rev
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------- q150
+
+  /** q150: CUSUM CHANGE-POINT DETECTION on hourly event rates (Page
+    * 1954). The textbook recursion S_t = max(0, S_{t-1} + (x_t - k))
+    * is inherently sequential; it parallelizes via the prefix identity
+    * S_t = C_t - min(0, min_{j<=t} C_j) with C the running sum of
+    * (x_t - k) — so the whole detector is ONE shuffle on event_type
+    * and two window functions over the same time-ordered frame.
+    * Reference value k = the per-type integer-floor mean rate; alarm
+    * threshold h = 3k. Pure BIGINT arithmetic end to end.
+    *
+    * Scale: the shuffle key is the series key — a 100-TB event log
+    * with millions of series partitions perfectly; there is no global
+    * window anywhere. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val k = hourly.groupBy(col("event_type"))
+      .agg(expr("sum(n) div count(1)").as("k"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    hourly.join(k, "event_type")
+      .withColumn("c", sum(col("n") - col("k")).over(w))
+      .withColumn("s",
+        col("c") - least(lit(0L), min(col("c")).over(w)))
+      .withColumn("alarm", (col("s") > col("k") * 3).cast("int"))
+      .select(col("event_type"), col("hr"), col("n"), col("s"), col("alarm"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val qCusumSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |k AS (SELECT event_type,
+      |        CAST(SUM(n) AS BIGINT) // COUNT(*) AS k FROM h GROUP BY 1),
+      |c AS (SELECT h.event_type, hr, n, k.k,
+      |        SUM(n - k.k) OVER (PARTITION BY h.event_type ORDER BY hr) AS c
+      |      FROM h JOIN k ON k.event_type = h.event_type),
+      |s AS (SELECT event_type, hr, n, k,
+      |        c - LEAST(CAST(0 AS BIGINT),
+      |              MIN(c) OVER (PARTITION BY event_type ORDER BY hr)) AS s
+      |      FROM c)
+      |SELECT event_type, hr, n, CAST(s AS BIGINT) AS s,
+      |  CAST(CASE WHEN s > 3 * k THEN 1 ELSE 0 END AS INT) AS alarm
+      |FROM s ORDER BY event_type, hr""".stripMargin
+
+  // ------------------------------------------------------------- q151
+
+  /** q151: INCREMENTAL VIEW MAINTENANCE of a join-aggregate view
+    * (revenue + item count per customer over orders ⋈ lineitem). The
+    * delta rule for distributive aggregates: V(base ∪ Δ) = merge of
+    * the PARTIAL aggregates of base and Δ — partials stay exact
+    * DECIMAL(18,6) sums until the single final cast, so the maintained
+    * view is bit-identical to the full recompute (the oracle), not
+    * approximately equal. Here "base" is 90% of lineitem and Δ the
+    * `l_orderkey % 10 = 0` tranche; in production the base partial is
+    * a materialized table and only Δ is scanned — the property this
+    * gate proves is exactly what lets a 100-TB nightly view absorb a
+    * small delta without re-reading the base. */
+  private def qIvmJoinView(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    def partial(rows: DataFrame): DataFrame =
+      rows.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).as("rev"),
+          count(lit(1)).as("n"))
+    val base = partial(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+    val delta = partial(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("n")).as("n_items"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val qIvmJoinViewSql =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
+      "built-in dropDuplicatesWithinWatermark == batch distinct " +
+        "(cross-batch arrival-skew duplicates dropped)"),
+    "q146_k_anonymity" -> QueryDef(qKAnonymity, Some(qKAnonymitySql),
+      "k-anonymity / l-diversity audit over QI groups, integer cents bands"),
+    "q147_clustering_coeff" -> QueryDef(qClusteringCoeff,
+      Some(qClusteringCoeffSql),
+      "per-node local clustering coefficient on the LSH candidate graph"),
+    "q148_bool_search" -> QueryDef(qBoolSearch, Some(qBoolSearchSql),
+      "boolean inverted-index retrieval (AND/AND/NOT posting algebra)"),
+    "q149_hof_array_stats" -> QueryDef(qHofArrayStats, Some(qHofArrayStatsSql),
+      "higher-order-function array analytics, codegen lambdas, 2^10 grid"),
+    "q150_cusum_changepoint" -> QueryDef(qCusum, Some(qCusumSql),
+      "CUSUM change-point detection, prefix-min closed form, pure BIGINT"),
+    "q151_ivm_join_view" -> QueryDef(qIvmJoinView, Some(qIvmJoinViewSql),
+      "incremental join-view maintenance: partial-DECIMAL delta merge " +
+        "== full recompute"))
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the sixth-wave battery (q145–q151): each
+  * test checks the query against an independently-computed ground
+  * truth or a conservation law, not against its own implementation. */
+class AdvancedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q145 dropDuplicatesWithinWatermark == batch distinct") {
+    val out = Registry.queries("q145_stream_dedup_wm")(spark, dir)
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // the stream injected an exact duplicate of every 7th event one
+    // micro-batch later; the result must be the undoubled event log
+    assert(out.count() == events.count())
+    assert(out.exceptAll(events).isEmpty && events.exceptAll(out).isEmpty,
+      "streaming dedup must reproduce the batch-distinct event set")
+  }
+
+  test("q146 k-anonymity: groups partition customers, flags consistent") {
+    val out = Registry.queries("q146_k_anonymity")(spark, dir).collect()
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nCust,
+      "QI groups must partition the customer set")
+    for (r <- out) {
+      val (n, l) = (r.getAs[Long]("n_members"), r.getAs[Long]("l_distinct"))
+      assert(l <= 5, "only five order priorities exist")
+      assert(r.getAs[Int]("k_ok") == (if (n >= 5) 1 else 0))
+      assert(r.getAs[Int]("l_ok") == (if (l >= 3) 1 else 0))
+      assert(n >= 1)
+    }
+  }
+
+  test("q147 clustering coefficient: bounded, triangle-consistent") {
+    val out = Registry.queries("q147_clustering_coeff")(spark, dir).collect()
+    val triangles = Registry.queries("q122_triangles")(spark, dir).count()
+    // each triangle credits exactly its three corners
+    assert(out.map(_.getAs[Long]("tri")).sum == 3 * triangles,
+      "per-node triangle credits must total 3x the global count")
+    for (r <- out) {
+      val (deg, tri, lcc) = (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+        r.getAs[Long]("lcc_ppm"))
+      assert(deg >= 1, "isolated nodes cannot appear in an edge list")
+      assert(tri <= deg * (deg - 1) / 2,
+        "a node cannot close more wedges than it has")
+      assert(lcc >= 0 && lcc <= 1000000, "lcc is a ppm fraction")
+      if (deg < 2) assert(lcc == 0 && tri == 0)
+    }
+  }
+
+  test("q148 boolean search: every hit contains both terms, never the negation") {
+    val hits = Registry.queries("q148_bool_search")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+    val expected = docs.filter { r =>
+      val w = r.getSeq[String](1).toSet
+      w("vector") && w("hash") && !w("slow")
+    }.map(_.getLong(0)).toSet
+    assert(hits == expected, "posting-list algebra must equal direct evaluation")
+    assert(hits.nonEmpty, "gate must exercise a non-empty result")
+  }
+
+  test("q149 HOF stats: equal to a plain-Scala recompute per vector") {
+    val out = Registry.queries("q149_hof_array_stats")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    assert(vecs.nonEmpty && out.size == vecs.length)
+    for (r <- vecs) {
+      val id = r.getLong(0)
+      val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong)
+      val got = out(id)
+      assert(got.getAs[Long]("qsum") == q.sum, s"qsum vec $id")
+      assert(got.getAs[Long]("qmin") == q.min && got.getAs[Long]("qmax") == q.max)
+      assert(got.getAs[Long]("n_large") ==
+        q.count(x => x >= 512 || x < -512), s"n_large vec $id")
+      val dot = q.zip(q.reverse).map { case (a, b) => a * b }.sum
+      assert(got.getAs[Long]("dot_rev") == dot, s"dot_rev vec $id")
+    }
+  }
+
+  test("q150 CUSUM: closed form equals the sequential recursion") {
+    val out = Registry.queries("q150_cusum_changepoint")(spark, dir).collect()
+    val byType = out.groupBy(_.getString(0))
+    for ((_, rows) <- byType) {
+      val ordered = rows.sortBy(_.getTimestamp(1).getTime)
+      val ns = ordered.map(_.getAs[Long]("n"))
+      val k = ns.sum / ns.length // integer-floor mean, as the query defines
+      var sRef = 0L
+      for ((row, i) <- ordered.zipWithIndex) {
+        sRef = math.max(0L, sRef + ns(i) - k)
+        assert(row.getAs[Long]("s") == sRef,
+          s"closed form diverges from the recursion at step $i")
+        assert(row.getAs[Int]("alarm") == (if (sRef > 3 * k) 1 else 0))
+      }
+    }
+    assert(out.map(_.getAs[Int]("alarm")).sum > 0,
+      "gate data should trip at least one alarm")
+  }
+
+  test("q151 IVM: delta-merged view == direct full aggregate") {
+    val out = Registry.queries("q151_ivm_join_view")(spark, dir)
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val direct = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"), count(lit(1)).as("n_items"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty,
+      "incremental maintenance must be bit-identical to recompute")
+  }
+}

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q120_resample_ma", // type-alphabet distinct broadcast against the spine
     "q123_ann_pq", // 5-query exact-baseline probe broadcast (q38 shape)
     "q135_hard_negatives", // q45's 16-pivot assign stage, reused
-    "q136_knn_label") // q45's 16-pivot assign stage, reused
+    "q136_knn_label", // q45's 16-pivot assign stage, reused
+    "q142_decay_score") // 1-row corpus-watermark scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -38,7 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val skipBuild = Set("q27_cdc_stream_fsm", "q63_stream_dedup",
     "q72_stream_lsh_index", "q77_stream_topk", "q80_stream_agg_maintain",
     "q109_stream_sessionize", "q112_stream_rate_anomaly",
-    "q124_stream_sessions_tws")
+    "q124_stream_sessions_tws", "q129_stream_cdc_merge",
+    "q130_stream_interval_join", "q134_stream_static_join",
+    "q139_stream_scd2", "q145_stream_dedup_wm")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
