@@ -399,6 +399,229 @@ object Advanced {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------- q152
+
+  /** q152: STREAMING incremental maintenance of q151's join-aggregate
+    * view — the delta stream (lineitem tranches replayed one file per
+    * micro-batch) folds into a versioned per-customer partial state
+    * via [[graft.streaming.VersionedMaintenance]]: each batch joins
+    * only ITS OWN rows against the dimension and merges partial
+    * DECIMAL sums into the previous state version. State and result
+    * stay exact decimals until the single final cast, so the
+    * continuously-maintained view is bit-identical to q151's full
+    * recompute (they share one oracle). This is the "materialized view
+    * that absorbs a trickle" operator: per-trigger work is
+    * O(|batch| + |touched keys|), never O(view).
+    *
+    * Scale note: the per-batch join shuffles batch rows against the
+    * orders dimension on the order key (no broadcast — orders grows
+    * with SF); the state merge groups on the customer key. Both are
+    * the keys the production table would already be bucketed by. */
+  private def qStreamIvm(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    s.conf.set(spKey, "8")
+    try {
+      val rows = graft.streaming.StreamScratch.withScratch("graft_sivm_") { tmp =>
+        val li = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val ord = load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val schema = new StructType()
+          .add("l_orderkey", LongType)
+          .add("l_extendedprice", org.apache.spark.sql.types.DoubleType)
+          .add("l_discount", org.apache.spark.sql.types.DoubleType)
+        val jsonRows = li.select(to_json(struct(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"))).as("value"))
+        graft.streaming.VersionedMaintenance.run(tmp, jsonRows, schema) {
+          (prev, batch) =>
+            val partial = batch
+              .join(ord, col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_custkey"))
+              .agg(
+                sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("rev"),
+                count(lit(1)).as("n"))
+            prev.fold(partial)(p => p.unionByName(partial)
+              .groupBy(col("o_custkey"))
+              .agg(sum(col("rev")).cast(DecimalType(38, 6)).as("rev"),
+                sum(col("n")).as("n")))
+        }.collect().toSeq.map(r => (r.getLong(0),
+          r.getDecimal(1), r.getLong(2)))
+      }
+      import spark.implicits._
+      rows.toDF("o_custkey", "rev", "n")
+        .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
+          col("n").as("n_items"))
+        .orderBy(col("o_custkey"))
+    } finally s.conf.set(spKey, spSaved)
+  }
+
+  // ------------------------------------------------------------- q153
+
+  /** q153: LINEAR INTERPOLATION of gaps in an hourly value series —
+    * q120 zero-fills counts; this fills VALUE gaps the way a feature
+    * pipeline does, by interpolating between the nearest observed
+    * neighbors. Integer-exact: hourly sums are micro-quantized
+    * BIGINTs, hour positions are epoch-hour indices, and the
+    * interpolated value pv + (nv-pv)*(h-ph) div (nh-ph) uses only
+    * integer multiply/divide (both engines truncate toward zero).
+    * The neighbor search is two IGNORE-NULLS window walks (last
+    * observation backward, first observation forward) over one
+    * series-key shuffle — no self-join, no spine×data blowup; rows
+    * before the first / after the last observation are tagged 'edge'
+    * and left null.
+    *
+    * The series under repair is a CONSTANT-SIZE deterministic sample
+    * (the 2000 md5-smallest events — physically a TakeOrdered, i.e.
+    * per-partition top-k then a driver merge of 2000-row heads, no
+    * global sort): a fixed-rate subsample would stop having gaps as
+    * soon as the corpus grows past one-event-per-hour, and the gate
+    * would silently stop exercising the interpolation path (exactly
+    * what happened at sf0.1 with a plain type filter). */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val sample = ev
+      .withColumn("hk", md5(concat(lit("interp:"), col("event_id"))))
+      .orderBy(col("hk")).limit(2000)
+    val hourly = sample
+      .filter(col("event_type").isin("view", "purchase")) // sparse series
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+        .as("v"))
+    val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val types = hourly.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("h", expr("unix_micros(hour) div 3600000000"))
+      .withColumn("obs_h", when(col("v").isNotNull, col("h")))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("ph", last(col("obs_h"), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nh", first(col("obs_h"), ignoreNulls = true).over(wf))
+      .withColumn("v_filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("ph").isNotNull && col("nh").isNotNull,
+            expr("pv + ((nv - pv) * (h - ph)) div (nh - ph)")))
+      .withColumn("src",
+        when(col("v").isNotNull, lit("obs"))
+          .when(col("v_filled").isNotNull, lit("interp"))
+          .otherwise(lit("edge")))
+      .select(col("event_type"), col("hour"), col("v_filled"), col("src"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val qInterpolateSql =
+    """WITH sample AS (
+      |  SELECT * FROM events
+      |  ORDER BY md5('interp:' || event_id) LIMIT 2000),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM sample WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |             date_trunc('hour', MAX(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |            AS hour FROM bounds),
+      |grid AS (
+      |  SELECT t.event_type, s.hour, h.v,
+      |    epoch_us(s.hour) // 3600000000 AS h,
+      |    CASE WHEN h.v IS NOT NULL
+      |      THEN epoch_us(s.hour) // 3600000000 END AS obs_h
+      |  FROM spine s
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+      |  LEFT JOIN hourly h ON h.event_type = t.event_type
+      |    AND h.hour = s.hour),
+      |n AS (
+      |  SELECT event_type, hour, v, h,
+      |    LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+      |    LAST_VALUE(obs_h IGNORE NULLS) OVER wb AS ph,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+      |    FIRST_VALUE(obs_h IGNORE NULLS) OVER wf AS nh
+      |  FROM grid
+      |  WINDOW wb AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hour,
+      |  CAST(CASE WHEN v IS NOT NULL THEN v
+      |    WHEN ph IS NOT NULL AND nh IS NOT NULL
+      |      THEN pv + ((nv - pv) * (h - ph)) // (nh - ph)
+      |    END AS BIGINT) AS v_filled,
+      |  CASE WHEN v IS NOT NULL THEN 'obs'
+      |    WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+      |    ELSE 'edge' END AS src
+      |FROM n ORDER BY event_type, hour""".stripMargin
+
+  // ------------------------------------------------------------- q154
+
+  /** q154: WINSORIZED ROBUST MEAN per series — the outlier treatment a
+    * metrics pipeline applies before averaging: clamp each value to
+    * the [p5, p95] band and average the clamped series. Fully integer:
+    * values are micro-quantized, the percentile is NEAREST-RANK
+    * (cutoff = value at row_number ceil(p·n) in (value, event_id)
+    * order — no interpolation, no doubles), and the means are floor
+    * divisions. One sort-window over the series-key shuffle finds both
+    * cutoffs; the bounded per-type cutoff table rides back as a
+    * broadcast-sized aggregate join. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val v = load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    val ranked = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val cuts = ranked
+      .withColumn("lo_rank", expr("(n * 5 + 99) div 100"))
+      .withColumn("hi_rank", expr("(n * 95 + 99) div 100"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === col("lo_rank"), col("v"))).as("lo_v"),
+        max(when(col("rn") === col("hi_rank"), col("v"))).as("hi_v"))
+    v.join(cuts, "event_type")
+      .withColumn("cv", least(greatest(col("v"), col("lo_v")), col("hi_v")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo_v")).as("lo_v"), max(col("hi_v")).as("hi_v"),
+        expr("sum(v) div count(1)").as("raw_mean_micro"),
+        expr("sum(cv) div count(1)").as("robust_mean_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qWinsorizeSql =
+    """WITH v AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |cuts AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo_v,
+      |    MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi_v
+      |  FROM r GROUP BY 1)
+      |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(lo_v) AS lo_v, MAX(hi_v) AS hi_v,
+      |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS raw_mean_micro,
+      |  CAST(SUM(LEAST(GREATEST(v, lo_v), hi_v)) AS BIGINT) // COUNT(*)
+      |    AS robust_mean_micro
+      |FROM v JOIN cuts ON cuts.event_type = v.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -416,5 +639,13 @@ object Advanced {
       "CUSUM change-point detection, prefix-min closed form, pure BIGINT"),
     "q151_ivm_join_view" -> QueryDef(qIvmJoinView, Some(qIvmJoinViewSql),
       "incremental join-view maintenance: partial-DECIMAL delta merge " +
-        "== full recompute"))
+        "== full recompute"),
+    "q152_stream_ivm" -> QueryDef(qStreamIvm, Some(qIvmJoinViewSql),
+      "streaming continuous join-view maintenance == batch q151 " +
+        "(versioned partial-DECIMAL state folds)"),
+    "q153_interpolate" -> QueryDef(qInterpolate, Some(qInterpolateSql),
+      "linear gap interpolation via two IGNORE-NULLS window walks, " +
+        "integer micro grid"),
+    "q154_winsorize" -> QueryDef(qWinsorize, Some(qWinsorizeSql),
+      "winsorized robust mean, nearest-rank integer percentiles"))
 }

@@ -104,6 +104,61 @@ class AdvancedSpec extends AnyFunSuite {
       "gate data should trip at least one alarm")
   }
 
+  test("q152 streaming IVM: continuously-maintained view == batch q151") {
+    val stream = Registry.queries("q152_stream_ivm")(spark, dir)
+    val batch = Registry.queries("q151_ivm_join_view")(spark, dir)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streaming fold must restate the batch view bit-identically")
+  }
+
+  test("q153 interpolation: interp rows are linear between observed neighbors") {
+    val out = Registry.queries("q153_interpolate")(spark, dir).collect()
+    val srcs = out.map(_.getAs[String]("src")).toSet
+    assert(srcs == Set("obs", "interp", "edge"),
+      "gate data must exercise all three row kinds")
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val ordered = rows.sortBy(_.getTimestamp(1).getTime)
+      val obs = ordered.zipWithIndex.collect {
+        case (r, i) if r.getAs[String]("src") == "obs" =>
+          i.toLong -> r.getAs[Long]("v_filled")
+      }
+      for ((r, i) <- ordered.zipWithIndex) r.getAs[String]("src") match {
+        case "interp" =>
+          val (ph, pv) = obs.filter(_._1 < i).last
+          val (nh, nv) = obs.find(_._1 > i).get
+          val want = pv + ((nv - pv) * (i - ph)) / (nh - ph)
+          assert(r.getAs[Long]("v_filled") == want, s"row $i linearity")
+        case "edge" =>
+          assert(r.isNullAt(r.fieldIndex("v_filled")))
+          assert(obs.isEmpty || i < obs.head._1 || i > obs.last._1,
+            "edge rows only outside the observed range")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q154 winsorize: equals a plain-Scala nearest-rank recompute") {
+    val out = Registry.queries("q154_winsorize")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+    val byType = ev.groupBy(_.getString(0))
+    assert(out.keySet == byType.keySet)
+    for ((t, rows) <- byType) {
+      val v = rows.map(r => (math.floor(r.getDouble(2) * 1e6 + 0.5).toLong,
+        r.getLong(1))).sortBy(identity).map(_._1)
+      val n = v.length.toLong
+      val lo = v(((n * 5 + 99) / 100 - 1).toInt)
+      val hi = v(((n * 95 + 99) / 100 - 1).toInt)
+      val got = out(t)
+      assert(got.getAs[Long]("lo_v") == lo && got.getAs[Long]("hi_v") == hi,
+        s"$t cutoffs")
+      assert(got.getAs[Long]("robust_mean_micro") ==
+        v.map(x => math.min(math.max(x, lo), hi)).sum / n, s"$t robust mean")
+      assert(got.getAs[Long]("raw_mean_micro") == v.sum / n, s"$t raw mean")
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
