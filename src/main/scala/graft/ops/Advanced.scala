@@ -622,6 +622,180 @@ object Advanced {
       |FROM v JOIN cuts ON cuts.event_type = v.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- q155
+
+  /** q155: RECIPROCAL-RANK FUSION — the hybrid-retrieval merge step
+    * (Cormack et al. 2009): two independent per-language document
+    * rankings (by length, and by lexical diversity = distinct-token
+    * ppm — stand-ins for the dense and lexical retrieval legs) fuse as
+    * score = Σ 10^9 div (60 + rank_i), all integer, and the fused
+    * top-10 per language is emitted. Each ranking is one window over
+    * the same language-key shuffle; the fusion is a projection, the
+    * cut one more rank window — no join between the rankings because
+    * both are computed in place on the same row.
+    *
+    * Scale: everything partitions on the group key; with per-query
+    * candidate lists (the production case) the key is query_id and
+    * the lists are top-k-bounded before fusion. */
+  private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"),
+      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
+        " div size(split(text, ' '))").as("ttr_ppm"))
+    val byLen = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val byTtr = Window.partitionBy(col("lang"))
+      .orderBy(col("ttr_ppm").desc, col("doc_id"))
+    val fused = docs
+      .withColumn("r_len", row_number().over(byLen))
+      .withColumn("r_ttr", row_number().over(byTtr))
+      .withColumn("rrf_ppb",
+        expr("1000000000 div (60 + r_len) + 1000000000 div (60 + r_ttr)"))
+    val byScore = Window.partitionBy(col("lang"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("r_len"), col("r_ttr"), col("rrf_ppb"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val qRankFusionSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id) AS r_len,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ttr_ppm DESC, doc_id) AS r_ttr
+      |  FROM d),
+      |f AS (
+      |  SELECT lang, doc_id, r_len, r_ttr,
+      |    1000000000 // (60 + r_len) + 1000000000 // (60 + r_ttr)
+      |      AS rrf_ppb
+      |  FROM r)
+      |SELECT lang, rank, doc_id, CAST(r_len AS BIGINT) AS r_len,
+      |  CAST(r_ttr AS BIGINT) AS r_ttr, CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY rrf_ppb DESC, doc_id) AS rank FROM f) t
+      |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
+  // ------------------------------------------------------------- q156
+
+  /** q156: MARKOV NEXT-EVENT PREDICTION + in-sample accuracy — the
+    * simplest behavioral model a product-analytics stack ships: the
+    * global first-order transition matrix (q84's per-user `lead`
+    * pairs), an argmax predictor per current state (tie → smallest
+    * next type, so the model is deterministic), and its in-sample
+    * hit-rate per state in integer ppm. The argmax is one rank window
+    * over the (states × states)-bounded transition table; scoring is
+    * an equi-join of the transition pairs against the size-|states|
+    * predictor table. */
+  private def qMarkovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val pairs = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("cur"), col("next_type").as("nxt"))
+    val trans = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val pred = trans
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cur"))
+        .orderBy(col("cnt").desc, col("nxt"))))
+      .filter(col("rk") === 1)
+      .select(col("cur"), col("nxt").as("predicted"))
+    pairs.join(pred, "cur")
+      .groupBy(col("cur"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .as("hits"),
+        max(col("predicted")).as("predicted"))
+      .withColumn("acc_ppm", expr("hits * 1000000 div n"))
+      .select(col("cur"), col("predicted"), col("n"), col("hits"),
+        col("acc_ppm"))
+      .orderBy(col("cur"))
+  }
+
+  private val qMarkovAccuracySql =
+    """WITH p AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |pairs AS (SELECT cur, nxt FROM p WHERE nxt IS NOT NULL),
+      |trans AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+      |          FROM pairs GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT cur, nxt AS predicted FROM (
+      |    SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+      |      ORDER BY cnt DESC, nxt) AS rk FROM trans) t
+      |  WHERE rk = 1)
+      |SELECT pairs.cur AS cur, MAX(predicted) AS predicted,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits,
+      |  CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS acc_ppm
+      |FROM pairs JOIN pred ON pred.cur = pairs.cur
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q157
+
+  /** q157: BENFORD'S-LAW SCREEN on money amounts — the classic
+    * forensic-accounting / data-quality check: the first significant
+    * digit of organic multiplicative quantities follows
+    * P(d) = log10(1 + 1/d). Digits come from the STRING form of exact
+    * integer cents (integer-to-decimal-string is identical in every
+    * engine — no log10/pow float path, whose rounding at exact powers
+    * of ten is not portable); expected ppm are compile-time literals
+    * of floor(log10(1+1/d)·10^6). One narrow scan + one 9-group
+    * aggregate; the deviation column makes the screen actionable. */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordPpm.foldLeft(lit(0L)) { case (el, (d, p)) =>
+      when(col("digit") === d.toString, lit(p)).otherwise(el)
+    }
+    load(s, dir, "lineitem")
+      .select(expr("substring(CAST(CAST(CAST(l_extendedprice AS " +
+        "DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("n * 1000000 div total"))
+      .withColumn("exp_ppm", expected)
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  private val qBenfordSql = {
+    val cases = BenfordPpm
+      .map { case (d, p) => s"WHEN digit = '$d' THEN $p" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT substring(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+       |  FROM lineitem),
+       |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g),
+       |o AS (SELECT digit, n, CAST(n * 1000000 // total AS BIGINT)
+       |        AS obs_ppm,
+       |        CAST(CASE $cases ELSE 0 END AS BIGINT) AS exp_ppm
+       |      FROM t)
+       |SELECT digit, n, obs_ppm, exp_ppm,
+       |  abs(obs_ppm - exp_ppm) AS dev_ppm
+       |FROM o ORDER BY digit""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -647,5 +821,13 @@ object Advanced {
       "linear gap interpolation via two IGNORE-NULLS window walks, " +
         "integer micro grid"),
     "q154_winsorize" -> QueryDef(qWinsorize, Some(qWinsorizeSql),
-      "winsorized robust mean, nearest-rank integer percentiles"))
+      "winsorized robust mean, nearest-rank integer percentiles"),
+    "q155_rank_fusion" -> QueryDef(qRankFusion, Some(qRankFusionSql),
+      "reciprocal-rank fusion of two per-group rankings, integer RRF"),
+    "q156_markov_accuracy" -> QueryDef(qMarkovAccuracy,
+      Some(qMarkovAccuracySql),
+      "first-order Markov next-event predictor + in-sample ppm accuracy"),
+    "q157_benford" -> QueryDef(qBenford, Some(qBenfordSql),
+      "Benford's-law first-digit screen on exact cents, literal " +
+        "expected ppm"))
 }

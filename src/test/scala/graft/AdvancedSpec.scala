@@ -159,6 +159,70 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 rank fusion: equals a plain-Scala RRF recompute") {
+    val out = Registry.queries("q155_rank_fusion")(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("w")).collect()
+      .map { r =>
+        val w = r.getSeq[String](3)
+        (r.getString(1), r.getLong(0), r.getLong(2),
+          w.distinct.size.toLong * 1000000L / w.size) }
+    for ((lang, rows) <- docs.groupBy(_._1)) {
+      val rLen = rows.sortBy(d => (-d._3, d._2)).map(_._2).zipWithIndex.toMap
+      val rTtr = rows.sortBy(d => (-d._4, d._2)).map(_._2).zipWithIndex.toMap
+      def score(id: Long) =
+        1000000000L / (61 + rLen(id)) + 1000000000L / (61 + rTtr(id))
+      val want = rows.map(_._2).sortBy(id => (-score(id), id)).take(10)
+      val got = out.filter(_.getString(0) == lang).sortBy(_.getInt(1))
+      assert(got.map(_.getAs[Long]("doc_id")).toSeq == want.toSeq,
+        s"lang $lang")
+      for (r <- got)
+        assert(r.getAs[Long]("rrf_ppb") == score(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("q156 Markov: predictor is the transition argmax, accuracy exact") {
+    val out = Registry.queries("q156_markov_accuracy")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { u =>
+      val o = u.sortBy(e => (e._3, e._4)).map(_._2)
+      o.zip(o.drop(1))
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size).toMap
+    for (r <- out) {
+      val cur = r.getString(0)
+      val nexts = counts.collect { case ((c, n), k) if c == cur => (n, k) }
+      val predicted = nexts.toSeq.sortBy { case (n, k) => (-k, n) }.head._1
+      assert(r.getAs[String]("predicted") == predicted, s"$cur argmax")
+      val n = pairs.count(_._1 == cur).toLong
+      val hits = counts.getOrElse((cur, predicted), 0).toLong
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("hits") == hits)
+      assert(r.getAs[Long]("acc_ppm") == hits * 1000000L / n)
+    }
+  }
+
+  test("q157 Benford: digits partition the table, ppm bookkeeping exact") {
+    val out = Registry.queries("q157_benford")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    assert(out.map(_.getString(0)).toSet == (1 to 9).map(_.toString).toSet,
+      "every leading digit 1-9 must occur at gate scale")
+    val ppmSum = out.map(_.getAs[Long]("obs_ppm")).sum
+    assert(ppmSum > 1000000L - 9 && ppmSum <= 1000000L,
+      "floor-division ppm must sum to just under 10^6")
+    for (r <- out) {
+      val d = r.getString(0).toInt
+      val exp = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+      assert(r.getAs[Long]("exp_ppm") == exp, s"digit $d literal")
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - exp))
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
