@@ -796,6 +796,273 @@ object Advanced {
        |FROM o ORDER BY digit""".stripMargin
   }
 
+  // ------------------------------------------------------------- q158
+
+  /** q158: STREAM-STREAM **LEFT OUTER** interval join — the other half
+    * of q130's inner join, and the harder streaming surface: an
+    * unmatched view must be emitted WITH NULLS, which the engine can
+    * only do once the watermark proves no matching purchase can still
+    * arrive. The gate's device for completeness: a far-future SENTINEL
+    * row is staged as the last slice and flows through the watermark
+    * operator BEFORE being filtered out of the join inputs — it drags
+    * the watermark past every real row's eviction time, so all pending
+    * outer results flush and the stream equals the batch LEFT JOIN
+    * (the oracle). Without the sentinel the trailing delay-window of
+    * views would never emit — the classic production pitfall this gate
+    * encodes.
+    *
+    * Scale shape = q130: state hash-partitioned on user_id, bounded by
+    * watermark delay × per-key rate, evicted continuously. */
+  private def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = new StructType()
+      .add("user_id", LongType).add("event_id", LongType)
+      .add("event_type", StringType).add("us", LongType)
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
+    s.conf.set(spKey, "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      val rows = graft.streaming.StreamScratch.withScratch("graft_soj_") { tmp =>
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .filter(col("event_type").isin("view", "purchase"))
+        val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
+        val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+        ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+          .repartition(8, col("slice"))
+          .select(to_json(struct(col("user_id"), col("event_id"),
+            col("event_type"), col("us"))).as("value"), col("slice"))
+          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+        for (i <- 0 until 8) {
+          val glob = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
+          if (glob.nonEmpty) {
+            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+            fs.rename(glob.head.getPath, dst)
+            fs.setTimes(dst, 1000L * (i + 1), -1)
+          }
+        }
+        // TWO sentinel slices far past hi + delay + join window. The
+        // sentinels carry REAL event types on impossible (negative)
+        // user ids: a typed-out marker row would be removed by the
+        // event_type filter, which Catalyst pushes BELOW the watermark
+        // operator (PushDownPredicates walks through EventTimeWatermark)
+        // — measured: such a sentinel never advances the watermark.
+        // Typed-in rows pass both side filters, advance both side
+        // watermarks, equi-match nothing (negative ids, view -1 vs
+        // purchase -2), and are dropped on read-back. Two slices
+        // because a watermark computed from batch b's data only takes
+        // effect in batch b+1: sentinel-1 advances it, the batch
+        // processing sentinel-2 runs under it and flushes the last
+        // pending outer rows.
+        for (j <- 0 until 2) {
+          val sentinelUs = mm.getLong(1) + (24L + j) * 3600000000L
+          val p = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-9$j.txt")
+          val os = fs.create(p)
+          os.write((s"""{"user_id":-1,"event_id":${-1 - j},""" +
+            s""""event_type":"view","us":$sentinelUs}""" + "\n" +
+            s"""{"user_id":-2,"event_id":${-3 - j},""" +
+            s""""event_type":"purchase","us":$sentinelUs}""").getBytes("UTF-8"))
+          os.close()
+          fs.setTimes(p, 1000L * (100 + j), -1)
+        }
+        def side(t: String, pfx: String) = s.readStream
+          .option("maxFilesPerTrigger", 1)
+          .text(s"$tmp/in")
+          .select(from_json(col("value"), schema).as("d"))
+          .select(col("d.user_id").as(s"${pfx}_user"),
+            col("d.event_id").as(s"${pfx}_id"),
+            col("d.event_type").as(s"${pfx}_t"),
+            expr("timestamp_micros(d.us)").as(s"${pfx}_ts"))
+          .withWatermark(s"${pfx}_ts", "2 hours")
+          .filter(col(s"${pfx}_t") === t) // after the watermark operator
+        val q = side("view", "v")
+          .join(side("purchase", "p"),
+            expr("""v_user = p_user AND p_ts >= v_ts
+                   |AND p_ts <= v_ts + interval 1 hour""".stripMargin),
+            "leftOuter")
+          .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+            col("p_id").as("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/chk")
+          .format("parquet").option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .filter(col("user_id") >= 0) // drop any flushed sentinel rows
+          .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+      }
+      // NULLS FIRST made explicit on both sides: Spark's asc default is
+      // nulls-first, DuckDB's is nulls-last — an implicit sort order
+      // would shuffle the unmatched rows to different positions
+      rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
+        .orderBy(col("user_id"), col("view_id"),
+          col("purchase_id").asc_nulls_first)
+    } finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
+  }
+
+  private val qStreamOuterJoinSql =
+    """WITH v AS (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- q159
+
+  /** q159: ROLLING NEAREST-RANK MEDIAN over a trailing 24-hour frame —
+    * the robust rolling baseline (median absolute level) a monitoring
+    * stack prefers over q120's moving mean when the series has spikes.
+    * No engine ships a windowed exact quantile, so the frame's values
+    * ride a windowed collect/sort/index: exact nearest-rank lower
+    * median at position (n+1) div 2 of the sorted frame, all BIGINT.
+    * The frame is ROWS-bounded (24 rows of an hourly series), so the
+    * per-row list is constant-size — the collect is O(frame), not
+    * O(partition), and the whole query is one series-key shuffle. */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val hourly = load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-23, Window.currentRow)
+    hourly
+      .withColumn("win", collect_list(col("n")).over(frame))
+      .withColumn("med", expr(
+        "element_at(sort_array(win), CAST((size(win) + 1) div 2 AS INT))"))
+      .withColumn("dev", col("n") - col("med"))
+      .select(col("event_type"), col("hr"), col("n"), col("med"), col("dev"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val qRollingMedianSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hr, n,
+      |    list_sort(list(n) OVER f) AS win
+      |  FROM h
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, hr, n,
+      |  win[CAST((len(win) + 1) // 2 AS INT)] AS med,
+      |  n - win[CAST((len(win) + 1) // 2 AS INT)] AS dev
+      |FROM w ORDER BY event_type, hr""".stripMargin
+
+  // ------------------------------------------------------------- q160
+
+  /** q160: CHI-SQUARE CONTINGENCY AUDIT (event_type × day-of-week) —
+    * the association screen behind "is usage shape independent of
+    * weekday?". Exact arithmetic end to end: with cell count c, row
+    * total r, column total k, grand total N, each cell contributes
+    * (c·N − r·k)²·10^6 / (r·k·N) — numerator up to ~10^32, so the
+    * product runs in DECIMAL(38,0) (HUGEINT in the oracle) and the
+    * single floor division lands back in BIGINT micro units. One
+    * narrow scan, one cells aggregate, two bounded marginal joins
+    * (row/column tables are alphabet-sized). */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = load(s, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("c"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("c")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("c")).as("k"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    cells.join(rowT, "event_type").join(colT, "dow").crossJoin(broadcast(tot))
+      .withColumn("chi_micro", expr(
+        """CAST((CAST(c AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * k)
+          |  * (CAST(c AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * k)
+          |  * 1000000 div (CAST(r AS DECIMAL(38,0)) * k * n)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("event_type"), col("dow"), col("c"), col("r"), col("k"),
+        col("chi_micro"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val qChiSquareSql =
+    """WITH cells AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+      |SELECT cells.event_type, cells.dow, c, r, k,
+      |  CAST((CAST(c AS HUGEINT) * n - CAST(r AS HUGEINT) * k)
+      |    * (CAST(c AS HUGEINT) * n - CAST(r AS HUGEINT) * k)
+      |    * 1000000 // (CAST(r AS HUGEINT) * k * n) AS BIGINT) AS chi_micro
+      |FROM cells
+      |JOIN rt ON rt.event_type = cells.event_type
+      |JOIN ct ON ct.dow = cells.dow
+      |CROSS JOIN t
+      |ORDER BY cells.event_type, cells.dow""".stripMargin
+
+  // ------------------------------------------------------------- q161
+
+  /** q161: PARETO FRONTIER per language — multi-objective document
+    * selection (maximize length AND lexical diversity): a doc is kept
+    * iff no STRICTLY LONGER doc has ttr ≥ its own. Window form: the
+    * per-distinct-length max-ttr table (bounded by the length alphabet,
+    * not the corpus), a running max over lengths descending shifted by
+    * one ROW (= strictly longer), and a join back on (lang, length) —
+    * no point-vs-point dominance join anywhere, so the frontier costs
+    * two bounded windows instead of O(n²). */
+  private def qParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"),
+      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
+        " div size(split(text, ' '))").as("ttr_ppm"))
+    val lens = d.groupBy(col("lang"), col("n_chars"))
+      .agg(max(col("ttr_ppm")).as("mt"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = lens.withColumn("best_longer", max(col("mt")).over(wl))
+      .select(col("lang"), col("n_chars"), col("best_longer"))
+    d.join(run, Seq("lang", "n_chars"))
+      .filter(col("best_longer").isNull || col("ttr_ppm") > col("best_longer"))
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("ttr_ppm"))
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
+  private val qParetoFrontierSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+      |  FROM documents),
+      |lens AS (SELECT lang, n_chars, MAX(ttr_ppm) AS mt
+      |         FROM d GROUP BY 1, 2),
+      |run AS (
+      |  SELECT lang, n_chars,
+      |    MAX(mt) OVER (PARTITION BY lang ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS best_longer
+      |  FROM lens)
+      |SELECT d.lang, doc_id, d.n_chars, ttr_ppm
+      |FROM d JOIN run ON run.lang = d.lang AND run.n_chars = d.n_chars
+      |WHERE best_longer IS NULL OR ttr_ppm > best_longer
+      |ORDER BY d.lang, d.n_chars DESC, doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -829,5 +1096,17 @@ object Advanced {
       "first-order Markov next-event predictor + in-sample ppm accuracy"),
     "q157_benford" -> QueryDef(qBenford, Some(qBenfordSql),
       "Benford's-law first-digit screen on exact cents, literal " +
-        "expected ppm"))
+        "expected ppm"),
+    "q158_stream_outer_join" -> QueryDef(qStreamOuterJoin,
+      Some(qStreamOuterJoinSql),
+      "stream-stream LEFT OUTER interval join == batch left join " +
+        "(sentinel-flushed watermark completeness)"),
+    "q159_rolling_median" -> QueryDef(qRollingMedian,
+      Some(qRollingMedianSql),
+      "rolling 24-row nearest-rank median (windowed collect/sort/index)"),
+    "q160_chi_square" -> QueryDef(qChiSquare, Some(qChiSquareSql),
+      "chi-square contingency audit in exact DECIMAL(38)/HUGEINT micro"),
+    "q161_pareto_frontier" -> QueryDef(qParetoFrontier,
+      Some(qParetoFrontierSql),
+      "Pareto frontier per group via bounded length-alphabet windows"))
 }

@@ -223,6 +223,74 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 stream-stream outer join == batch left interval join") {
+    val out = Registry.queries("q158_stream_outer_join")(spark, dir)
+    val ev = Tables.load(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val batch = v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("interval 1 hour"), "left")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+      "streaming outer join must equal the batch left join")
+    assert(out.filter(col("purchase_id").isNull).count() > 0,
+      "gate data must exercise the null-emission path")
+  }
+
+  test("q159 rolling median: equals a plain-Scala sliding recompute") {
+    val out = Registry.queries("q159_rolling_median")(spark, dir).collect()
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val ordered = rows.sortBy(_.getTimestamp(1).getTime)
+      val ns = ordered.map(_.getAs[Long]("n"))
+      for ((r, i) <- ordered.zipWithIndex) {
+        val frame = ns.slice(math.max(0, i - 23), i + 1).sorted
+        val med = frame((frame.length + 1) / 2 - 1)
+        assert(r.getAs[Long]("med") == med, s"median at row $i")
+        assert(r.getAs[Long]("dev") == ns(i) - med)
+      }
+    }
+  }
+
+  test("q160 chi-square: cells partition events, contributions exact") {
+    val out = Registry.queries("q160_chi_square")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(out.map(_.getAs[Long]("c")).sum == total)
+    val n = BigInt(total)
+    for (r <- out) {
+      val (c, rt, kt) = (BigInt(r.getAs[Long]("c")),
+        BigInt(r.getAs[Long]("r")), BigInt(r.getAs[Long]("k")))
+      val d = c * n - rt * kt
+      assert(BigInt(r.getAs[Long]("chi_micro")) ==
+        d * d * 1000000 / (rt * kt * n), s"cell ${r.getString(0)}/${r.get(1)}")
+    }
+  }
+
+  test("q161 Pareto frontier: kept iff no strictly longer doc has >= ttr") {
+    val out = Registry.queries("q161_pareto_frontier")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id"))).toSet
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("w")).collect()
+      .map { r =>
+        val w = r.getSeq[String](3)
+        (r.getString(1), r.getLong(0), r.getLong(2),
+          w.distinct.size.toLong * 1000000L / w.size) }
+    val expected = (for {
+      (lang, rows) <- docs.groupBy(_._1).toSeq
+      d <- rows
+      if !rows.exists(o => o._3 > d._3 && o._4 >= d._4)
+    } yield (lang, d._2)).toSet
+    assert(out == expected, "window frontier must equal brute-force dominance")
+    assert(out.nonEmpty && out.size < docs.length,
+      "frontier must be a proper non-empty subset")
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q135_hard_negatives", // q45's 16-pivot assign stage, reused
     "q136_knn_label", // q45's 16-pivot assign stage, reused
     "q142_decay_score", // 1-row corpus-watermark scalar broadcast (q70 shape)
-    "q153_interpolate") // type-alphabet distinct broadcast against the spine (q120 shape)
+    "q153_interpolate", // type-alphabet distinct broadcast against the spine (q120 shape)
+    "q160_chi_square") // 1-row grand-total scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -42,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q109_stream_sessionize", "q112_stream_rate_anomaly",
     "q124_stream_sessions_tws", "q129_stream_cdc_merge",
     "q130_stream_interval_join", "q134_stream_static_join",
-    "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm")
+    "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm",
+    "q158_stream_outer_join")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
