@@ -264,6 +264,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LongVectorSum].getName, "graft_vecsum"),
       LongVectorSum.sqlBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isqrt"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntegerSqrt].getName, "graft_isqrt"),
+      IntegerSqrt.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

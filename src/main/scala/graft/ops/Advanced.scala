@@ -1063,6 +1063,200 @@ object Advanced {
       |WHERE best_longer IS NULL OR ttr_ppm > best_longer
       |ORDER BY d.lang, d.n_chars DESC, doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q162
+
+  /** q162: INTEGER-EXACT Z-SCORES via the native [[graft.functions.IntegerSqrt]]
+    * codegen expression — the missing piece that kept standard
+    * deviations out of the hash-gateable integer style (q85/q112 use
+    * exact DECIMAL moments but must end in an IEEE division; here even
+    * the stddev is an integer). Per event type over daily counts:
+    * mean_milli = Σx·1000 div D; var_milli² = (D·Σx² − (Σx)²)·10^6
+    * div D² routed through DECIMAL(38) so the cross-term cannot
+    * overflow; sd_milli = isqrt(var) — the oracle spells the same
+    * corrected-floor-sqrt device in plain SQL, so both engines agree
+    * bit-for-bit (IEEE sqrt is correctly rounded → ±1 → two
+    * conditional fixes land exactly). One narrow scan, one daily
+    * aggregate, one alphabet-bounded stats join. */
+  private def qIntegerZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean_milli", expr("sx * 1000 div d"))
+      .withColumn("var_milli2", expr(
+        """CAST((CAST(d AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000
+          |  div (CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)""".stripMargin))
+      .withColumn("sd_milli",
+        graft.functions.IntegerSqrt(col("var_milli2")))
+      .select(col("event_type"), col("mean_milli"), col("sd_milli"))
+    daily.join(stats, "event_type")
+      .withColumn("z_milli", expr(
+        "(x * 1000 - mean_milli) * 1000 div greatest(sd_milli, 1L)"))
+      .select(col("event_type"), col("day"), col("x"), col("mean_milli"),
+        col("sd_milli"), col("z_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val qIntegerZscoreSql =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, sx * 1000 // d AS mean_milli,
+      |    CAST((CAST(d AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      * 1000000 // (CAST(d AS HUGEINT) * d) AS BIGINT) AS var2
+      |  FROM m),
+      |s0 AS (SELECT event_type, mean_milli, var2,
+      |         CAST(floor(sqrt(CAST(var2 AS DOUBLE))) AS BIGINT) AS s
+      |       FROM v),
+      |s1 AS (SELECT event_type, mean_milli, var2,
+      |         s - CASE WHEN s > 0 AND s * s > var2 THEN 1 ELSE 0 END AS s
+      |       FROM s0),
+      |sd AS (SELECT event_type, mean_milli,
+      |         s + CASE WHEN (s + 1) * (s + 1) <= var2 THEN 1 ELSE 0 END
+      |           AS sd_milli
+      |       FROM s1)
+      |SELECT daily.event_type, day, x, mean_milli, sd_milli,
+      |  (x * 1000 - mean_milli) * 1000 // GREATEST(sd_milli, 1) AS z_milli
+      |FROM daily JOIN sd ON sd.event_type = daily.event_type
+      |ORDER BY daily.event_type, day""".stripMargin
+
+  // ------------------------------------------------------------- q163
+
+  /** q163: DISTRIBUTION-DRIFT AUDIT between two corpus halves — the
+    * KS-style check an ML-ops stack runs between yesterday's and
+    * today's ingest (here: a deterministic md5 split of the corpus).
+    * Per half: the ten nearest-rank deciles of document length (value
+    * at row_number ceil(n·d/10), pure integers); the report joins the
+    * decile vectors and emits per-decile absolute gaps — max |gap| is
+    * the drift statistic. The ranked windows run per half over one
+    * shuffle; the decile target table is 10 rows per half (bounded). */
+  private def qDecileDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .withColumn("half",
+        when(substring(md5(concat(lit("drift:"), col("doc_id"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+    val w = Window.partitionBy(col("half"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("half"))))
+    val deciles = ranked
+      .withColumn("dec", explode(expr("sequence(1, 10)")))
+      .filter(col("rn") === expr("(n * dec + 9) div 10"))
+      .groupBy(col("dec"))
+      .agg(max(when(col("half") === "A", col("n_chars"))).as("a_val"),
+        max(when(col("half") === "B", col("n_chars"))).as("b_val"))
+    deciles
+      .withColumn("gap", abs(col("a_val") - col("b_val")))
+      .orderBy(col("dec"))
+  }
+
+  private val qDecileDriftSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN substring(md5('drift:' || doc_id), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+      |      AS half
+      |  FROM documents),
+      |r AS (
+      |  SELECT half, n_chars,
+      |    row_number() OVER (PARTITION BY half ORDER BY n_chars, doc_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY half) AS n
+      |  FROM d),
+      |t AS (
+      |  SELECT CAST(dec AS INT) AS dec, half, n_chars
+      |  FROM r CROSS JOIN unnest(generate_series(1, 10)) AS u(dec)
+      |  WHERE rn = (n * dec + 9) // 10),
+      |p AS (
+      |  SELECT dec,
+      |    MAX(CASE WHEN half = 'A' THEN n_chars END) AS a_val,
+      |    MAX(CASE WHEN half = 'B' THEN n_chars END) AS b_val
+      |  FROM t GROUP BY 1)
+      |SELECT dec, a_val, b_val, abs(a_val - b_val) AS gap
+      |FROM p ORDER BY dec""".stripMargin
+
+  // ------------------------------------------------------------- q164
+
+  /** q164: CO-PURCHASE ITEM NEIGHBORS — the classic item-item
+    * collaborative-filtering table ("customers who bought A also
+    * bought B"): parts co-occurring in an order, association strength
+    * as LIFT in exact ppm (co·N·10^6 div (cnt_a·cnt_b), DECIMAL(38)
+    * against overflow), support-pruned (co ≥ 2 — measured stable at
+    * 2–4k pairs across three SFs where co ≥ 3 collapses to single
+    * digits as the catalog outgrows the order count), top-5 neighbors
+    * per anchor part. The pair generator is a self-equi-join on the order
+    * key — fan-out bounded by order width (≤ 7 lineitems at any TPC-H
+    * SF), never corpus²; counts join back on part keys; the grand
+    * total is a 1-row broadcast. */
+  private def qCoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val op = load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n"))
+    val pairs = op.as("x").join(op.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val scored = pairs
+      .join(cnt.select(col("p").as("pa"), col("cnt").as("ca")), "pa")
+      .join(cnt.select(col("p").as("pb"), col("cnt").as("cb")), "pb")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(co AS DECIMAL(38,0)) * n * 1000000
+          |  div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)""".stripMargin))
+    // each canonical pair recommends in both directions
+    val sym = scored.select(col("pa").as("item"), col("pb").as("rec"),
+        col("co"), col("lift_ppm"))
+      .unionAll(scored.select(col("pb").as("item"), col("pa").as("rec"),
+        col("co"), col("lift_ppm")))
+    val wr = Window.partitionBy(col("item"))
+      .orderBy(col("lift_ppm").desc, col("rec"))
+    sym.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("item"), col("rank"), col("rec"), col("co"),
+        col("lift_ppm"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  private val qCoPurchaseSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM op),
+      |pairs AS (
+      |  SELECT x.p AS pa, y.p AS pb, CAST(COUNT(*) AS BIGINT) AS co
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |scored AS (
+      |  SELECT pa, pb, co,
+      |    CAST(CAST(co AS HUGEINT) * n.n * 1000000
+      |      // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_ppm
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.p = pairs.pa
+      |  JOIN cnt cb ON cb.p = pairs.pb
+      |  CROSS JOIN n),
+      |sym AS (
+      |  SELECT pa AS item, pb AS rec, co, lift_ppm FROM scored
+      |  UNION ALL
+      |  SELECT pb AS item, pa AS rec, co, lift_ppm FROM scored)
+      |SELECT item, rank, rec, co, lift_ppm FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY item
+      |    ORDER BY lift_ppm DESC, rec) AS rank FROM sym) t
+      |WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1108,5 +1302,12 @@ object Advanced {
       "chi-square contingency audit in exact DECIMAL(38)/HUGEINT micro"),
     "q161_pareto_frontier" -> QueryDef(qParetoFrontier,
       Some(qParetoFrontierSql),
-      "Pareto frontier per group via bounded length-alphabet windows"))
+      "Pareto frontier per group via bounded length-alphabet windows"),
+    "q162_integer_zscore" -> QueryDef(qIntegerZscore, Some(qIntegerZscoreSql),
+      "integer-exact z-scores via the graft_isqrt codegen expression"),
+    "q163_decile_drift" -> QueryDef(qDecileDrift, Some(qDecileDriftSql),
+      "KS-style decile drift audit between md5 corpus halves"),
+    "q164_copurchase" -> QueryDef(qCoPurchase, Some(qCoPurchaseSql),
+      "item-item co-purchase neighbors: support-pruned exact-ppm lift, " +
+        "top-5 per anchor"))
 }

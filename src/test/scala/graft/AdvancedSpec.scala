@@ -291,6 +291,104 @@ class AdvancedSpec extends AnyFunSuite {
       "frontier must be a proper non-empty subset")
   }
 
+  test("graft_isqrt: exact floor sqrt on edges, both eval paths") {
+    import graft.functions.IntegerSqrt
+    def truth(x: Long): Long = {
+      // Newton's method on BigInt — independent of the IEEE device
+      var r = BigInt(x)
+      if (r > 1) {
+        var y = (r + 1) / 2
+        while (y < r) { r = y; y = (r + BigInt(x) / r) / 2 }
+      }
+      r.toLong
+    }
+    val edges = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      (1L << 31) - 1, 1L << 31, (1L << 52) + 1, (1L << 62) - 1,
+      3037000498L * 3037000498L, 3037000499L * 3037000499L,
+      3037000499L * 3037000499L - 1, Long.MaxValue)
+    val rng = new scala.util.Random(7)
+    val rand = Seq.fill(200)(math.abs(rng.nextLong()) max 0L)
+    for (x <- edges ++ rand)
+      assert(IntegerSqrt.isqrt(x) == truth(x), s"interpreted isqrt($x)")
+    // codegen path through a real plan
+    import spark.implicits._
+    val df = (edges ++ rand).toDF("x")
+      .withColumn("s", IntegerSqrt(col("x")))
+    for (r <- df.collect())
+      assert(r.getLong(1) == truth(r.getLong(0)), s"codegen isqrt(${r.get(0)})")
+  }
+
+  test("q162 integer z-scores: stats equal a BigInt recompute") {
+    val out = Registry.queries("q162_integer_zscore")(spark, dir).collect()
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val xs = rows.map(_.getAs[Long]("x"))
+      val d = BigInt(xs.length)
+      val sx = BigInt(xs.sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val mean = (sx * 1000 / d).toLong
+      val v = ((d * sxx - sx * sx) * 1000000 / (d * d)).toLong
+      val sd = graft.functions.IntegerSqrt.isqrt(v)
+      for (r <- rows) {
+        assert(r.getAs[Long]("mean_milli") == mean)
+        assert(r.getAs[Long]("sd_milli") == sd)
+        assert(r.getAs[Long]("z_milli") ==
+          (r.getAs[Long]("x") * 1000 - mean) * 1000 / math.max(sd, 1L))
+      }
+    }
+  }
+
+  test("q163 decile drift: deciles equal a plain-Scala nearest-rank recompute") {
+    val out = Registry.queries("q163_decile_drift")(spark, dir).collect()
+    assert(out.map(_.getInt(0)).toSeq.sorted == (1 to 10))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        substring(md5(concat(lit("drift:"), col("doc_id"))), 1, 1)
+          .as("h")).collect()
+      .map(r => (if ("01234567".contains(r.getString(2))) "A" else "B",
+        r.getLong(1), r.getLong(0)))
+    val halves = docs.groupBy(_._1).view
+      .mapValues(_.sortBy(d => (d._2, d._3)).map(_._2)).toMap
+    for (r <- out) {
+      val dec = r.getInt(0)
+      def decile(h: String): Long = {
+        val v = halves(h)
+        v(((v.length.toLong * dec + 9) / 10 - 1).toInt)
+      }
+      assert(r.getAs[Long]("a_val") == decile("A"), s"A decile $dec")
+      assert(r.getAs[Long]("b_val") == decile("B"), s"B decile $dec")
+      assert(r.getAs[Long]("gap") ==
+        math.abs(r.getAs[Long]("a_val") - r.getAs[Long]("b_val")))
+    }
+  }
+
+  test("q164 co-purchase: lift exact, neighbors ranked, support held") {
+    val out = Registry.queries("q164_copurchase")(spark, dir).collect()
+    val op = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cnt = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = BigInt(byOrder.size)
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+    for ((_, parts) <- byOrder; a <- parts; b <- parts if a < b)
+      co((a, b)) = co.getOrElse((a, b), 0L) + 1
+    for (r <- out) {
+      val (item, rec) = (r.getAs[Long]("item"), r.getAs[Long]("rec"))
+      val key = (math.min(item, rec), math.max(item, rec))
+      assert(r.getAs[Long]("co") == co(key) && co(key) >= 2)
+      assert(BigInt(r.getAs[Long]("lift_ppm")) ==
+        BigInt(co(key)) * n * 1000000 / (BigInt(cnt(item)) * cnt(rec)))
+    }
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("item"))) {
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      assert(ranked.length <= 5)
+      val lifts = ranked.map(_.getAs[Long]("lift_ppm"))
+      assert(lifts.zip(lifts.drop(1)).forall { case (a, b) => a >= b },
+        "neighbors must be in descending lift order")
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")

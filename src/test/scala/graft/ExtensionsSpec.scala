@@ -37,6 +37,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(vs == Seq(3L, 30L), s"vecsum=$vs")
 
+    // SQL-callable exact integer sqrt (q162's stddev device)
+    val iq = s2.sql(
+      "SELECT graft_isqrt(x) AS s FROM VALUES (0L), (15L), (16L), " +
+        "(9223372036854775807L) t(x) ORDER BY s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(iq == Seq(0L, 3L, 4L, 3037000499L), s"isqrt=$iq")
+
     // the custom logical node plans through the INJECTED strategy —
     // TopK.ensure is deliberately not called on this session
     import s2.implicits._
