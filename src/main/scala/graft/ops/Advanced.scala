@@ -1257,6 +1257,62 @@ object Advanced {
       |    ORDER BY lift_ppm DESC, rec) AS rank FROM sym) t
       |WHERE rank <= 5 ORDER BY item, rank""".stripMargin
 
+  // ------------------------------------------------------------- q165
+
+  /** q165: KEY-SKEW GINI REPORT — the quantitative companion to q125's
+    * salted join: how unevenly is per-user activity distributed, per
+    * event type? The textbook Gini needs a GLOBAL sort of per-key
+    * sizes — an anti-pattern this repo polices — so it is restated
+    * over the bounded SIZE HISTOGRAM: a tie-block of m keys of size s
+    * starting after C smaller keys contributes s·m·(2C + m − n) to
+    * the numerator (the arithmetic-series closed form of
+    * Σ(2i−n−1)·x₍ᵢ₎ within the block), and the windows run over the
+    * size ALPHABET (≤ max-events-per-user distinct sizes), never over
+    * the key population. Gini lands in exact ppm via DECIMAL(38)
+    * division. Zero global sorts, two bounded windows, one key-sized
+    * hash aggregate — works unchanged when "keys" are 10^9 users. */
+  private def qKeySkewGini(s: SparkSession, dir: String): DataFrame = {
+    val sizes = load(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("event_type"), col("sz"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sz"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("n", sum(col("m")).over(wt))
+      .withColumn("t", sum(col("sz") * col("m")).over(wt))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_keys"), max(col("t")).as("total"),
+        expr("""CAST(sum(CAST(sz AS DECIMAL(38,0)) * m * (2 * c + m - n))
+               |  * 1000000 div (max(n) * CAST(max(t) AS DECIMAL(38,0)))
+               |  AS BIGINT)""".stripMargin).as("gini_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qKeySkewGiniSql =
+    """WITH sizes AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM events GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT event_type, sz, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM sizes GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, sz, m,
+      |    COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY sz
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      CAST(0 AS BIGINT)) AS c,
+      |    SUM(m) OVER (PARTITION BY event_type) AS n,
+      |    SUM(sz * m) OVER (PARTITION BY event_type) AS t
+      |  FROM hist)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_keys,
+      |  CAST(MAX(t) AS BIGINT) AS total,
+      |  CAST(SUM(CAST(sz AS HUGEINT) * m * (2 * c + m - n)) * 1000000
+      |    // (CAST(MAX(n) AS HUGEINT) * MAX(t)) AS BIGINT) AS gini_ppm
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1309,5 +1365,7 @@ object Advanced {
       "KS-style decile drift audit between md5 corpus halves"),
     "q164_copurchase" -> QueryDef(qCoPurchase, Some(qCoPurchaseSql),
       "item-item co-purchase neighbors: support-pruned exact-ppm lift, " +
-        "top-5 per anchor"))
+        "top-5 per anchor"),
+    "q165_key_skew_gini" -> QueryDef(qKeySkewGini, Some(qKeySkewGiniSql),
+      "Gini key-skew report from the bounded size histogram, exact ppm"))
 }

@@ -389,6 +389,27 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 Gini: histogram closed form equals the sorted-vector definition") {
+    val out = Registry.queries("q165_key_skew_gini")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("sz")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("sz")))
+    for (r <- out) {
+      val xs = ev.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = BigInt(xs.length)
+      val t = BigInt(xs.sum)
+      val num = xs.zipWithIndex.map { case (x, i) =>
+        (BigInt(2) * (i + 1) - n - 1) * x }.sum
+      assert(r.getAs[Long]("n_keys") == xs.length)
+      assert(r.getAs[Long]("total") == xs.sum)
+      assert(BigInt(r.getAs[Long]("gini_ppm")) == num * 1000000 / (n * t),
+        s"${r.getString(0)} gini")
+      assert(r.getAs[Long]("gini_ppm") >= 0 &&
+        r.getAs[Long]("gini_ppm") < 1000000)
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
