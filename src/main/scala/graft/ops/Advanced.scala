@@ -41,6 +41,26 @@ import Tables.load
   */
 object Advanced {
 
+  /** Shared document projection for the ranking queries (q155/q161):
+    * token-type-ratio in exact ppm over the corpus-wide space-split
+    * convention. ONE definition in each engine — the ranking key of
+    * two gated queries must not be able to drift. */
+  private val TtrPpmExpr =
+    "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
+      " div size(split(text, ' '))"
+
+  private def docsWithTtr(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"), expr(TtrPpmExpr).as("ttr_ppm"))
+
+  /** DuckDB twin of [[docsWithTtr]] as a CTE body. */
+  private val DocsTtrCte =
+    """d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+      |  FROM documents)""".stripMargin
+
   // ------------------------------------------------------------- q145
 
   /** q145: STREAMING DEDUP via the built-in `dropDuplicatesWithinWatermark`
@@ -61,14 +81,7 @@ object Advanced {
     val schema = new StructType()
       .add("event_id", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("us", LongType)
-    val spKey = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spSaved = s.conf.get(spKey)
-    val provSaved = s.conf.getOption(provKey)
-    s.conf.set(spKey, "8") // few hundred keys of state; see q130's note
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try {
+    graft.streaming.StreamConfs.withHdfsStateStore(s) {
       val rows = graft.streaming.StreamScratch.withScratch("graft_ddw_") { tmp =>
         val ev = load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -81,29 +94,16 @@ object Advanced {
           .withColumn("slice", ((col("us") - lo) / step).cast(LongType))
         val dup = orig.filter(col("event_id") % 7 === 0)
           .withColumn("slice", least(col("slice") + 1, lit(15L)))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-        orig.unionAll(dup)
-          .repartition(16, col("slice"))
-          .select(to_json(struct(col("event_id"), col("user_id"),
-            col("event_type"), col("us"))).as("value"), col("slice"))
-          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-        for (i <- 0 until 16) {
-          val glob = fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
-          if (glob.nonEmpty) {
-            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-            fs.rename(glob.head.getPath, dst)
-            fs.setTimes(dst, 1000L * (i + 1), -1)
-          }
-        }
+        val in = graft.streaming.SliceReplay.stage(tmp,
+          orig.unionAll(dup)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              col("event_type"), col("us"))).as("value"), col("slice")), 16)
         // delay = 3 slice widths: a dup one slice late is always inside
         // the watermark, an original is never late (slices are ordered)
         val delaySec = (3L * step) / 1000000L + 1L
         val q = s.readStream
           .option("maxFilesPerTrigger", 1)
-          .text(s"$tmp/in")
+          .text(in)
           .select(from_json(col("value"), schema).as("d"))
           .select(col("d.event_id").as("event_id"),
             col("d.user_id").as("user_id"),
@@ -123,9 +123,6 @@ object Advanced {
       }
       rows.toDF("event_id", "user_id", "event_type", "us")
         .orderBy(col("event_id"))
-    } finally {
-      s.conf.set(spKey, spSaved)
-      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
     }
   }
 
@@ -638,10 +635,7 @@ object Advanced {
     * candidate lists (the production case) the key is query_id and
     * the lists are top-k-bounded before fusion. */
   private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"),
-      col("n_chars"),
-      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
-        " div size(split(text, ' '))").as("ttr_ppm"))
+    val docs = docsWithTtr(s, dir)
     val byLen = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     val byTtr = Window.partitionBy(col("lang"))
@@ -661,11 +655,7 @@ object Advanced {
   }
 
   private val qRankFusionSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang, n_chars,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-      |      * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
-      |  FROM documents),
+    s"""WITH $DocsTtrCte,
       |r AS (
       |  SELECT lang, doc_id,
       |    row_number() OVER (PARTITION BY lang
@@ -820,14 +810,7 @@ object Advanced {
     val schema = new StructType()
       .add("user_id", LongType).add("event_id", LongType)
       .add("event_type", StringType).add("us", LongType)
-    val spKey = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spSaved = s.conf.get(spKey)
-    val provSaved = s.conf.getOption(provKey)
-    s.conf.set(spKey, "8")
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try {
+    graft.streaming.StreamConfs.withHdfsStateStore(s) {
       val rows = graft.streaming.StreamScratch.withScratch("graft_soj_") { tmp =>
         val ev = load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
@@ -835,23 +818,6 @@ object Advanced {
           .filter(col("event_type").isin("view", "purchase"))
         val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
         val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-        ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
-          .repartition(8, col("slice"))
-          .select(to_json(struct(col("user_id"), col("event_id"),
-            col("event_type"), col("us"))).as("value"), col("slice"))
-          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-        for (i <- 0 until 8) {
-          val glob = fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
-          if (glob.nonEmpty) {
-            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-            fs.rename(glob.head.getPath, dst)
-            fs.setTimes(dst, 1000L * (i + 1), -1)
-          }
-        }
         // TWO sentinel slices far past hi + delay + join window. The
         // sentinels carry REAL event types on impossible (negative)
         // user ids: a typed-out marker row would be removed by the
@@ -865,20 +831,21 @@ object Advanced {
         // effect in batch b+1: sentinel-1 advances it, the batch
         // processing sentinel-2 runs under it and flushes the last
         // pending outer rows.
-        for (j <- 0 until 2) {
+        val sentinels = (0 until 2).map { j =>
           val sentinelUs = mm.getLong(1) + (24L + j) * 3600000000L
-          val p = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-9$j.txt")
-          val os = fs.create(p)
-          os.write((s"""{"user_id":-1,"event_id":${-1 - j},""" +
+          s"""{"user_id":-1,"event_id":${-1 - j},""" +
             s""""event_type":"view","us":$sentinelUs}""" + "\n" +
             s"""{"user_id":-2,"event_id":${-3 - j},""" +
-            s""""event_type":"purchase","us":$sentinelUs}""").getBytes("UTF-8"))
-          os.close()
-          fs.setTimes(p, 1000L * (100 + j), -1)
+            s""""event_type":"purchase","us":$sentinelUs}"""
         }
+        val in = graft.streaming.SliceReplay.stage(tmp,
+          ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+            .select(to_json(struct(col("user_id"), col("event_id"),
+              col("event_type"), col("us"))).as("value"), col("slice")),
+          8, sentinels)
         def side(t: String, pfx: String) = s.readStream
           .option("maxFilesPerTrigger", 1)
-          .text(s"$tmp/in")
+          .text(in)
           .select(from_json(col("value"), schema).as("d"))
           .select(col("d.user_id").as(s"${pfx}_user"),
             col("d.event_id").as(s"${pfx}_id"),
@@ -910,9 +877,6 @@ object Advanced {
       rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
         .orderBy(col("user_id"), col("view_id"),
           col("purchase_id").asc_nulls_first)
-    } finally {
-      s.conf.set(spKey, spSaved)
-      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
     }
   }
 
@@ -1028,10 +992,7 @@ object Advanced {
     * no point-vs-point dominance join anywhere, so the frontier costs
     * two bounded windows instead of O(n²). */
   private def qParetoFrontier(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents").select(col("doc_id"), col("lang"),
-      col("n_chars"),
-      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000" +
-        " div size(split(text, ' '))").as("ttr_ppm"))
+    val d = docsWithTtr(s, dir)
     val lens = d.groupBy(col("lang"), col("n_chars"))
       .agg(max(col("ttr_ppm")).as("mt"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
@@ -1045,11 +1006,7 @@ object Advanced {
   }
 
   private val qParetoFrontierSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang, n_chars,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-      |      * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
-      |  FROM documents),
+    s"""WITH $DocsTtrCte,
       |lens AS (SELECT lang, n_chars, MAX(ttr_ppm) AS mt
       |         FROM d GROUP BY 1, 2),
       |run AS (
@@ -1082,9 +1039,13 @@ object Advanced {
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("x"))
+    // x·x and its sum ride DECIMAL(38) from the start: a BIGINT
+    // accumulator would silently wrap in Spark (non-ANSI) while the
+    // oracle throws — the silent-vs-crash divergence only 100-TB-scale
+    // counts could reach, so it must be impossible by construction
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
       .withColumn("mean_milli", expr("sx * 1000 div d"))
       .withColumn("var_milli2", expr(
         """CAST((CAST(d AS DECIMAL(38,0)) * sxx
@@ -1109,7 +1070,7 @@ object Advanced {
       |m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
       |    CAST(SUM(x) AS BIGINT) AS sx,
-      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
       |  FROM daily GROUP BY 1),
       |v AS (
       |  SELECT event_type, sx * 1000 // d AS mean_milli,

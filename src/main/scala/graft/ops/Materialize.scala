@@ -315,29 +315,19 @@ object Materialize {
     val schema = new StructType()
       .add("user_id", LongType).add("event_id", LongType)
       .add("event_type", StringType).add("us", LongType)
-    // pin stream state partitioning (see q129); and pin the state store
-    // provider back to the in-memory default — q124/q129 leave the
-    // session on RocksDB (transformWithState requires it), and a
-    // stream-stream join opens 4 stores per partition per batch, which
-    // is 512 RocksDB instantiations over this query's 16 batches for a
-    // few hundred keys of state
-    val spKey = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spSaved = s.conf.get(spKey)
-    val provSaved = s.conf.getOption(provKey)
-    // note: the gate's ~1.5 s/micro-batch is TRIGGER overhead (planning
-    // + two source listings + sink commit), not state volume — measured
-    // identical at 2 and 8 state partitions; it amortizes to nothing on
-    // a real stream where a trigger carries minutes of data
-    s.conf.set(spKey, "8")
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try {
+    // pinned state partitioning + HDFS-backed provider (q124/q129 leave
+    // the session on RocksDB; a stream-stream join opens 4 stores per
+    // partition per batch — see StreamConfs). Note: the gate's
+    // ~1.5 s/micro-batch is TRIGGER overhead (planning + two source
+    // listings + sink commit), not state volume — measured identical at
+    // 2 and 8 state partitions; it amortizes to nothing on a real
+    // stream where a trigger carries minutes of data
+    graft.streaming.StreamConfs.withHdfsStateStore(s) {
     val rows = graft.streaming.StreamScratch.withScratch("graft_ssj_") { tmp =>
-      // slice files staged in TIME order with ordered mod-times: the
-      // file source replays them as in-order micro-batches, the
-      // premise the watermark's state eviction is correct under
-      // (q129's merge is order-independent and skips this)
+      // slice files staged in TIME order with ordered mod-times
+      // (SliceReplay): the file source replays them as in-order
+      // micro-batches, the premise the watermark's state eviction is
+      // correct under (q129's merge is order-independent and skips this)
       val ev = load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
@@ -347,31 +337,13 @@ object Materialize {
       // pairs ON slice boundaries, so the gate proves cross-batch state
       // survives exactly as long as the watermark bound requires
       val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-      // ONE partitioned write stages all 16 slice files (repartition on
-      // the slice key puts each slice wholly in one task, so every
-      // slice=i dir holds exactly one part file); the rename+mod-time
-      // loop then just moves them into replay order — 1 Spark job, not
-      // 16 filtered rescans of the source
-      ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
-        .repartition(16, col("slice"))
-        .select(to_json(struct(col("user_id"), col("event_id"),
-          col("event_type"), col("us"))).as("value"), col("slice"))
-        .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-      for (i <- 0 until 16) {
-        val glob = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
-        if (glob.nonEmpty) { // a slice can be empty at tiny scales
-          val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-          fs.rename(glob.head.getPath, dst)
-          fs.setTimes(dst, 1000L * (i + 1), -1)
-        }
-      }
+      val in = graft.streaming.SliceReplay.stage(tmp,
+        ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+          .select(to_json(struct(col("user_id"), col("event_id"),
+            col("event_type"), col("us"))).as("value"), col("slice")), 16)(s)
       def side(t: String, pfx: String) = s.readStream
         .option("maxFilesPerTrigger", 1)
-        .text(s"$tmp/in")
+        .text(in)
         .select(from_json(col("value"), schema).as("d"))
         .filter(col("d.event_type") === t)
         .select(col("d.user_id").as(s"${pfx}_user"),
@@ -396,9 +368,6 @@ object Materialize {
     }
     rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-    } finally {
-      s.conf.set(spKey, spSaved)
-      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
     }
   }
 
@@ -662,40 +631,20 @@ object Materialize {
     val schema = new StructType()
       .add("user_id", LongType).add("event_id", LongType)
       .add("event_type", StringType).add("us", LongType)
-    val spKey = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spSaved = s.conf.get(spKey)
-    val provSaved = s.conf.getOption(provKey)
-    s.conf.set(spKey, "8")
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try {
+    graft.streaming.StreamConfs.withHdfsStateStore(s) {
       val opens = graft.streaming.StreamScratch.withScratch("graft_sscd_") { tmp =>
         val ev = load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_micros(col("ts")).as("us"))
         val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
         val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
-        ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
-          .repartition(8, col("slice"))
-          .select(to_json(struct(col("user_id"), col("event_id"),
-            col("event_type"), col("us"))).as("value"), col("slice"))
-          .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-        for (i <- 0 until 8) {
-          val glob = fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
-          if (glob.nonEmpty) {
-            val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
-            fs.rename(glob.head.getPath, dst)
-            fs.setTimes(dst, 1000L * (i + 1), -1)
-          }
-        }
+        val in = graft.streaming.SliceReplay.stage(tmp,
+          ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
+            .select(to_json(struct(col("user_id"), col("event_id"),
+              col("event_type"), col("us"))).as("value"), col("slice")), 8)(s)
         val q = s.readStream
           .option("maxFilesPerTrigger", 1)
-          .text(s"$tmp/in")
+          .text(in)
           .select(from_json(col("value"), schema).as("d"))
           .select(col("d.*")).as[ScdEvent]
           .groupByKey(_.user_id)
@@ -730,9 +679,6 @@ object Materialize {
           col("valid_from"), col("valid_to"),
           when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
         .orderBy(col("user_id"), col("version"))
-    } finally {
-      s.conf.set(spKey, spSaved)
-      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
     }
   }
 

@@ -69,3 +69,74 @@ object VersionedMaintenance {
     s.read.parquet(s"$tmp/state/batch=$last")
   }
 }
+
+/** The ORDERED SLICE REPLAY device shared by the stream-gate queries
+  * (q130 / q139 / q145 / q158): stage a (value, slice) frame as one
+  * file per slice with mod-times in slice order — the file source then
+  * replays them as in-order micro-batches, which is the premise every
+  * watermark-correctness argument in those gates rests on. One
+  * partitioned write stages all slices (repartition on the slice key
+  * puts each slice wholly in one task, so `slice=i` holds exactly one
+  * part file — the helper owns the repartition so that premise cannot
+  * drift); the rename+mod-time loop just moves files into replay
+  * order. Optional sentinel blobs become files AFTER the real slices.
+  * A fix to this device reaches every stream gate at once. */
+object SliceReplay {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  /** @param sliced    frame with a `value` string column and a `slice`
+    *                  long column in [0, nSlices)
+    * @param sentinels raw file contents appended after the last slice,
+    *                  in order
+    * @return the staged input directory for `readStream.text` */
+  def stage(tmp: String, sliced: DataFrame, nSlices: Int,
+      sentinels: Seq[String] = Nil)(implicit s: SparkSession): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+    sliced.repartition(nSlices, col("slice"))
+      .write.mode("overwrite").partitionBy("slice").text(s"$tmp/staged")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+    for (i <- 0 until nSlices) {
+      val glob = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/staged/slice=$i/part-*"))
+      if (glob.nonEmpty) { // a slice can be empty at tiny scales
+        val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/slice-$i.txt")
+        fs.rename(glob.head.getPath, dst)
+        fs.setTimes(dst, 1000L * (i + 1), -1)
+      }
+    }
+    for ((blob, j) <- sentinels.zipWithIndex) {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/in/sentinel-$j.txt")
+      val os = fs.create(p)
+      os.write(blob.getBytes("UTF-8"))
+      os.close()
+      fs.setTimes(p, 1000L * (nSlices + 1 + j), -1)
+    }
+    s"$tmp/in"
+  }
+}
+
+/** Conf save/restore shared by the stateful stream gates: pin few
+  * shuffle/state partitions (hundreds of keys of state) and the
+  * HDFS-backed state store provider (q124/q129 leave the session on
+  * RocksDB, which transformWithState requires but which costs a
+  * per-store instantiation these small gates would pay hundreds of
+  * times), restoring both even when the body throws. */
+object StreamConfs {
+  def withHdfsStateStore[T](s: SparkSession, partitions: String = "8")(
+      body: => T): T = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spSaved = s.conf.get(spKey)
+    val provSaved = s.conf.getOption(provKey)
+    s.conf.set(spKey, partitions)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider")
+    try body
+    finally {
+      s.conf.set(spKey, spSaved)
+      provSaved.fold(s.conf.unset(provKey))(v => s.conf.set(provKey, v))
+    }
+  }
+}
