@@ -1274,6 +1274,183 @@ object Advanced {
       |    // (CAST(MAX(n) AS HUGEINT) * MAX(t)) AS BIGINT) AS gini_ppm
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- q166
+
+  /** q166: ADDITIVE TABLE FINGERPRINT — the reconciliation primitive
+    * behind "is the replica byte-equal to the source?" at 100 TB: per
+    * partition key, a row count plus a COMMUTATIVE checksum (sum of
+    * each row's md5-prefix as a 60-bit integer) — addition is
+    * order-independent, so the fingerprint needs no sort and two
+    * engines/two copies can compute it shuffle-order-free. The sum
+    * accumulates in DECIMAL(38)/HUGEINT and is released mod the
+    * largest sub-2^63 prime — 10^8 60-bit terms overflow a BIGINT
+    * accumulator, which ANSI Spark correctly refuses to wrap. Rows
+    * serialize through EXACT types only (keys as integers, money as
+    * DECIMAL(18,2) strings) — float-to-string is the one formatting
+    * both engines may disagree on, so it is banned from fingerprints.
+    * The gate's verdict column proves order-independence internally:
+    * the checksum of a repartition-shuffled self equals the scan-order
+    * checksum. */
+  private def qTableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    def fp(rows: DataFrame): DataFrame = rows
+      .select(col("l_returnflag"),
+        expr("""CAST(conv(substring(md5(concat_ws('|',
+          |  CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING))),
+          |  1, 15), 16, 10) AS BIGINT)""".stripMargin).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 9223372036854775783" +
+          " AS BIGINT)").as("checksum"))
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val a = fp(li)
+    val b = fp(li.repartition(13, col("l_linenumber"))) // scrambled order
+      .withColumnRenamed("n", "n2").withColumnRenamed("checksum", "c2")
+    a.join(b, "l_returnflag")
+      .withColumn("order_independent",
+        (col("n") === col("n2") && col("checksum") === col("c2")).cast("int"))
+      .select(col("l_returnflag"), col("n"), col("checksum"),
+        col("order_independent"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qTableFingerprintSql =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(('0x' || substring(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR) || '|' ||
+      |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS h
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(h AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+      |    AS checksum,
+      |  CAST(1 AS INT) AS order_independent
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q167
+
+  /** q167: MALFORMED-RECORD ROUTING (the DLQ error channel of SURVEY
+    * F/K8, restated as a relational gate): a deterministic tenth of
+    * the `props` JSON payloads is truncated mid-object; the parse
+    * stage must route bad rows to counts (never drop, never throw)
+    * while good rows keep aggregating. Spark: `from_json` yields null
+    * on malformed input (PERMISSIVE); DuckDB: `json_valid` guards
+    * `json_extract`. Reports per event type: totals, malformed count,
+    * bad-rate ppm, and the k-sum over the GOOD rows only. */
+  private def qMalformedRouting(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    load(s, dir, "events")
+      .withColumn("raw",
+        when(col("event_id") % 11 === 0,
+          expr("substring(props, 1, length(props) - 1)")) // truncated JSON
+          .otherwise(col("props")))
+      .withColumn("k",
+        from_json(col("raw"),
+          StructType(Seq(StructField("k", LongType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(coalesce(col("k"), lit(0L))).as("k_sum"))
+      .withColumn("bad_ppm", expr("n_bad * 1000000 div n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qMalformedRoutingSql =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 11 = 0
+      |      THEN substring(props, 1, length(props) - 1)
+      |      ELSE props END AS raw
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(raw)
+      |      THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+      |  FROM r)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bad,
+      |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS bad_ppm
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q168
+
+  /** q168: INTERPOLATED QUANTILES WITHOUT FLOATS — q55 gates Spark's
+    * `percentile` against DuckDB's `quantile_cont` and works because
+    * the inputs are small integers whose double interpolation happens
+    * to agree; this is the formulation that CANNOT disagree: position
+    * p·(n−1) as an exact rational over denominator 100, the lower/
+    * upper order statistics fetched by rank, and the interpolation
+    * v_lo·10^6 + (v_hi−v_lo)·frac·10^6 div 100 in pure BIGINT micro
+    * units. One sort window per group + two rank equi-joins. */
+  private def qIntegerQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val v = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(LongType).as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = v.withColumn("rn", row_number().over(w))
+      .select(col("l_returnflag").as("rf"), col("rn"), col("q"))
+    val stats = ranked.groupBy(col("rf"))
+      .agg(max(col("rn")).as("n"))
+      .withColumnRenamed("rf", "l_returnflag")
+      .withColumn("p", explode(expr("array(25L, 50L, 75L)")))
+      .withColumn("pos_num", expr("p * (n - 1)"))
+      .withColumn("idx_lo", expr("pos_num div 100"))
+      .withColumn("frac_num", expr("pos_num % 100"))
+    stats
+      .join(ranked.select(col("rf").as("rf1"), col("rn").as("rn_lo"),
+        col("q").as("v_lo")),
+        col("rn_lo") === col("idx_lo") + 1 &&
+          col("rf1") === col("l_returnflag"))
+      .join(ranked.select(col("rf").as("rf2"),
+        col("rn").as("rn_hi"), col("q").as("v_hi")),
+        col("rn_hi") === least(col("idx_lo") + 2, col("n")) &&
+          col("rf2") === col("l_returnflag"))
+      .withColumn("q_micro", expr(
+        "v_lo * 1000000 + (v_hi - v_lo) * frac_num * 1000000 div 100"))
+      .select(col("l_returnflag"), col("p"), col("n"), col("q_micro"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  private val qIntegerQuantilesSql =
+    """WITH v AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, q,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY q, l_orderkey, l_linenumber) AS rn
+      |  FROM v),
+      |s AS (
+      |  SELECT l_returnflag, CAST(MAX(rn) AS BIGINT) AS n
+      |  FROM r GROUP BY 1),
+      |t AS (
+      |  SELECT l_returnflag, n, CAST(p AS BIGINT) AS p,
+      |    CAST(p AS BIGINT) * (n - 1) AS pos_num
+      |  FROM s CROSS JOIN unnest([25, 50, 75]) AS u(p)),
+      |x AS (
+      |  SELECT l_returnflag, n, p,
+      |    pos_num // 100 AS idx_lo, pos_num % 100 AS frac_num
+      |  FROM t)
+      |SELECT x.l_returnflag, p, n,
+      |  lo.q * 1000000 + (hi.q - lo.q) * frac_num * 1000000 // 100
+      |    AS q_micro
+      |FROM x
+      |JOIN r lo ON lo.l_returnflag = x.l_returnflag
+      |  AND lo.rn = idx_lo + 1
+      |JOIN r hi ON hi.l_returnflag = x.l_returnflag
+      |  AND hi.rn = LEAST(idx_lo + 2, n)
+      |ORDER BY x.l_returnflag, p""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1328,5 +1505,14 @@ object Advanced {
       "item-item co-purchase neighbors: support-pruned exact-ppm lift, " +
         "top-5 per anchor"),
     "q165_key_skew_gini" -> QueryDef(qKeySkewGini, Some(qKeySkewGiniSql),
-      "Gini key-skew report from the bounded size histogram, exact ppm"))
+      "Gini key-skew report from the bounded size histogram, exact ppm"),
+    "q166_table_fingerprint" -> QueryDef(qTableFingerprint,
+      Some(qTableFingerprintSql),
+      "additive order-independent table fingerprint (reconciliation)"),
+    "q167_malformed_routing" -> QueryDef(qMalformedRouting,
+      Some(qMalformedRoutingSql),
+      "malformed-JSON routing: PERMISSIVE parse, DLQ counts, good-row agg"),
+    "q168_integer_quantiles" -> QueryDef(qIntegerQuantiles,
+      Some(qIntegerQuantilesSql),
+      "interpolated quantiles in pure BIGINT micro (float-free p*(n-1))"))
 }

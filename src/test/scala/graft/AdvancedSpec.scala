@@ -410,6 +410,59 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 fingerprint: order-independent, counts partition the table") {
+    val out = Registry.queries("q166_table_fingerprint")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    assert(out.forall(_.getAs[Int]("order_independent") == 1),
+      "shuffled-self checksum must equal scan-order checksum")
+    assert(out.map(_.getAs[Long]("checksum")).distinct.length == out.length,
+      "flag partitions should fingerprint differently")
+  }
+
+  test("q167 malformed routing: bad count matches the injection rule") {
+    val out = Registry.queries("q167_malformed_routing")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for (r <- out) {
+      val ids = ev.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getAs[Long]("n") == ids.length)
+      // truncating '{"k": N}' always yields invalid JSON → bad set is
+      // exactly the injected tenth
+      assert(r.getAs[Long]("n_bad") == ids.count(_ % 11 == 0),
+        s"${r.getString(0)} bad count")
+      assert(r.getAs[Long]("bad_ppm") ==
+        r.getAs[Long]("n_bad") * 1000000L / r.getAs[Long]("n"))
+    }
+    assert(out.map(_.getAs[Long]("n_bad")).sum > 0)
+  }
+
+  test("q168 integer quantiles: equals plain-Scala exact interpolation") {
+    val out = Registry.queries("q168_integer_quantiles")(spark, dir).collect()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        col("l_orderkey"), col("l_linenumber").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((flag, rows) <- li.groupBy(_._1)) {
+      val q = rows.sortBy(r => (r._2, r._3, r._4)).map(_._2)
+      val n = q.length.toLong
+      for (p <- Seq(25L, 50L, 75L)) {
+        val pos = p * (n - 1)
+        val (lo, frac) = (pos / 100, pos % 100)
+        val vLo = q(lo.toInt)
+        val vHi = q(math.min(lo + 1, n - 1).toInt)
+        val want = vLo * 1000000L + (vHi - vLo) * frac * 1000000L / 100
+        val got = out.find(r => r.getString(0) == flag &&
+          r.getAs[Long]("p") == p).get
+        assert(got.getAs[Long]("q_micro") == want, s"$flag p$p")
+        // cross-check against the engine's own double percentile
+        val dbl = vLo + (vHi - vLo) * (frac / 100.0)
+        assert(math.abs(got.getAs[Long]("q_micro") / 1e6 - dbl) < 1e-6)
+      }
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
