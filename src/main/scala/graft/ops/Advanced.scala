@@ -1451,6 +1451,49 @@ object Advanced {
       |  AND hi.rn = LEAST(idx_lo + 2, n)
       |ORDER BY x.l_returnflag, p""".stripMargin
 
+  // ------------------------------------------------------------- q169
+
+  /** q169: BITMAP-INDEX SET INTERSECTION — the roaring-bitmap
+    * technique as relational algebra: per (event type, word) a 32-bit
+    * user-presence word is built with one `bit_or` aggregate, and
+    * "users who did BOTH types" is a word-index equi-join + popcount
+    * of the AND — exact distinct-intersection counts with NO distinct
+    * shuffle and no per-user join: the join cardinality is
+    * |users|/32 per type, a 32× compression of the set-intersection
+    * problem. 32-bit words inside BIGINTs because DuckDB (correctly)
+    * refuses a shift into the sign bit that Spark would wrap
+    * silently — the same class of engine divergence q166 bans.
+    * Output: the full type×type intersection matrix (alphabet²,
+    * bounded) with exact user counts. */
+  private def qBitmapIntersect(s: SparkSession, dir: String): DataFrame = {
+    val words = load(s, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"),
+        expr("user_id div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)))")
+        .as("bits"))
+    val a = words.select(col("event_type").as("type_a"), col("w"),
+      col("bits").as("ba"))
+    val b = words.select(col("event_type").as("type_b"), col("w"),
+      col("bits").as("bb"))
+    a.join(b, "w")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("CAST(bit_count(ba & bb) AS BIGINT)")).as("n_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val qBitmapIntersectSql =
+    """WITH words AS (
+      |  SELECT event_type, user_id // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      |FROM words a
+      |JOIN words b ON a.w = b.w AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1514,5 +1557,9 @@ object Advanced {
       "malformed-JSON routing: PERMISSIVE parse, DLQ counts, good-row agg"),
     "q168_integer_quantiles" -> QueryDef(qIntegerQuantiles,
       Some(qIntegerQuantilesSql),
-      "interpolated quantiles in pure BIGINT micro (float-free p*(n-1))"))
+      "interpolated quantiles in pure BIGINT micro (float-free p*(n-1))"),
+    "q169_bitmap_intersect" -> QueryDef(qBitmapIntersect,
+      Some(qBitmapIntersectSql),
+      "bitmap-word set intersection: bit_or words + popcount AND join, " +
+        "exact distinct-both counts, 32x-compressed join"))
 }

@@ -463,6 +463,25 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q169 bitmap intersection: equals distinct set intersection") {
+    val out = Registry.queries("q169_bitmap_intersect")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- types; b <- types if a < b
+    } yield (a, b, (sets(a) & sets(b)).size.toLong)
+    assert(out.length == expected.length, "full canonical pair matrix")
+    for (r <- out) {
+      val want = expected.find(e => e._1 == r.getString(0) &&
+        e._2 == r.getString(1)).get._3
+      assert(r.getAs[Long]("n_both") == want,
+        s"${r.getString(0)}x${r.getString(1)}")
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
