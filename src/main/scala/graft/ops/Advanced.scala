@@ -1494,6 +1494,169 @@ object Advanced {
       |JOIN words b ON a.w = b.w AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- q170
+
+  /** q170: QUANTILE NORMALIZATION via the bounded value-alphabet
+    * histogram — map every document's length to its corpus-wide
+    * mid-rank quantile in ppm WITHOUT a global sort (the q165 device
+    * applied to feature calibration): per distinct value, the tie
+    * block's doubled average rank is 2C + m + 1, so q_ppm =
+    * (2C + m − 1)·10^6 div (2(n−1)) — exact integers, windows over
+    * the length alphabet only, then an alphabet equi-join back to the
+    * rows. The report aggregates per source: a source whose mean
+    * quantile drifts from 500 000 ppm is systematically long/short —
+    * the calibration check feature stores run per feature per
+    * source. */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.partitionBy()
+    val q = hist
+      .withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("n", sum(col("m")).over(wt))
+      .withColumn("q_ppm",
+        expr("(2 * c + m - 1) * 1000000 div (2 * (n - 1))"))
+      .select(col("n_chars"), col("q_ppm"))
+    d.join(q, "n_chars")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(q_ppm) div count(1)").as("mean_q_ppm"),
+        min(col("q_ppm")).as("min_q_ppm"),
+        max(col("q_ppm")).as("max_q_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val qQuantileNormalizeSql =
+    """WITH hist AS (
+      |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM documents GROUP BY 1),
+      |q AS (
+      |  SELECT n_chars,
+      |    CAST((2 * COALESCE(SUM(m) OVER (ORDER BY n_chars
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |       CAST(0 AS BIGINT)) + m - 1) * 1000000
+      |      // (2 * (SUM(m) OVER () - 1)) AS BIGINT) AS q_ppm
+      |  FROM hist)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(q_ppm) AS BIGINT) // COUNT(*) AS mean_q_ppm,
+      |  CAST(MIN(q_ppm) AS BIGINT) AS min_q_ppm,
+      |  CAST(MAX(q_ppm) AS BIGINT) AS max_q_ppm
+      |FROM documents JOIN q USING (n_chars)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q171
+
+  /** q171: ORDER-FULFILLMENT SLA REPORT — per order priority: how many
+    * orders shipped COMPLETELY (every lineitem) within 60 days of
+    * order date, as exact ppm. The all-items predicate is a `bool_and`
+    * aggregate over the order join — one shuffle on the order key,
+    * one alphabet aggregate; lateness is pure integer day arithmetic
+    * on epoch micros (both tables are midnight-aligned timestamps, so
+    * the floor division is the calendar day difference in both
+    * engines). */
+  private def qSlaFillRate(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ord = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val perOrder = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", expr(
+        "(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+          " div 86400000000"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(expr("bool_and(lag_days <= 60)").as("on_time"),
+        count(lit(1)).as("n_items"))
+    perOrder.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("on_time"), 1L).otherwise(0L)).as("n_on_time"))
+      .withColumn("on_time_ppm", expr("n_on_time * 1000000 div n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qSlaFillRateSql =
+    """WITH per_order AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    bool_and((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+      |      // 86400000000 <= 60) AS on_time
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_on_time,
+      |  CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS on_time_ppm
+      |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q172
+
+  /** q172: COMPLETE-OUTPUT-MODE streaming aggregate — the third output
+    * mode, closing the matrix (Append: q130/q139/q145/q158; Update:
+    * q134; Complete: here). The whole aggregate result re-emits every
+    * trigger into the in-memory sink; after AvailableNow drains the
+    * staged slices, the LAST complete emission must equal the batch
+    * aggregate, which is the oracle. Exact DECIMAL revenue as
+    * everywhere. Complete mode is the one whose state never evicts —
+    * correct only because the grouping alphabet (return flags) is
+    * bounded; the scaladoc point IS that choosing Complete for an
+    * unbounded key space is the production mistake. */
+  private def qStreamCompleteAgg(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types.{DoubleType, StructType}
+    graft.streaming.StreamConfs.withHdfsStateStore(s) {
+      graft.streaming.StreamScratch.withScratch("graft_cmpl_") { tmp =>
+        val li = load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_discount"))
+        li.select(to_json(struct(col("l_returnflag"),
+            col("l_extendedprice"), col("l_discount"))).as("value"))
+          .repartition(4)
+          .write.mode("overwrite").text(s"$tmp/in")
+        val schema = new StructType()
+          .add("l_returnflag", org.apache.spark.sql.types.StringType)
+          .add("l_extendedprice", DoubleType).add("l_discount", DoubleType)
+        val name = "graft_complete_" + math.abs(dir.hashCode).toString
+        val q = s.readStream
+          .option("maxFilesPerTrigger", 1)
+          .text(s"$tmp/in")
+          .select(from_json(col("value"), schema).as("d"))
+          .groupBy(col("d.l_returnflag").as("l_returnflag"))
+          .agg(
+            sum((col("d.l_extendedprice") * (lit(1.0) - col("d.l_discount")))
+              .cast(DecimalType(18, 6))).as("rev"),
+            count(lit(1)).as("n_items"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/chk")
+          .outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("l_returnflag"),
+            col("rev").cast(DoubleType).as("revenue"), col("n_items"))
+          .orderBy(col("l_returnflag"))
+          .collect().toSeq
+        s.catalog.dropTempView(name)
+        import spark.implicits._
+        out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .toDF("l_returnflag", "revenue", "n_items")
+          .orderBy(col("l_returnflag"))
+      }
+    }
+  }
+
+  private val qStreamCompleteAggSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1561,5 +1724,16 @@ object Advanced {
     "q169_bitmap_intersect" -> QueryDef(qBitmapIntersect,
       Some(qBitmapIntersectSql),
       "bitmap-word set intersection: bit_or words + popcount AND join, " +
-        "exact distinct-both counts, 32x-compressed join"))
+        "exact distinct-both counts, 32x-compressed join"),
+    "q170_quantile_normalize" -> QueryDef(qQuantileNormalize,
+      Some(qQuantileNormalizeSql),
+      "quantile normalization via bounded value-alphabet histogram " +
+        "(global ranks, no global sort)"),
+    "q171_sla_fill_rate" -> QueryDef(qSlaFillRate, Some(qSlaFillRateSql),
+      "order-fulfillment SLA: bool_and all-items predicate, integer " +
+        "day arithmetic, ppm"),
+    "q172_stream_complete_agg" -> QueryDef(qStreamCompleteAgg,
+      Some(qStreamCompleteAggSql),
+      "Complete-output-mode streaming aggregate == batch (closes the " +
+        "output-mode matrix)"))
 }

@@ -482,6 +482,62 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 quantile normalization: equals the sorted mid-rank definition") {
+    val out = Registry.queries("q170_quantile_normalize")(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val n = all.length.toLong
+    def qppm(v: Long): Long = {
+      val c = all.count(_ < v).toLong
+      val m = all.count(_ == v).toLong
+      (2 * c + m - 1) * 1000000L / (2 * (n - 1))
+    }
+    for (r <- out) {
+      val vs = docs.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getAs[Long]("n_docs") == vs.length)
+      val qs = vs.map(qppm)
+      assert(r.getAs[Long]("mean_q_ppm") == qs.sum / qs.length)
+      assert(r.getAs[Long]("min_q_ppm") == qs.min &&
+        r.getAs[Long]("max_q_ppm") == qs.max)
+    }
+  }
+
+  test("q171 SLA fill rate: equals a per-order recompute") {
+    val out = Registry.queries("q171_sla_fill_rate")(spark, dir).collect()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byOrder = li.groupBy(_._1)
+    for (r <- out) {
+      val orders = ord.filter(_._2 == r.getString(0))
+        .filter(o => byOrder.contains(o._1))
+      val onTime = orders.count { o =>
+        byOrder(o._1).forall { l =>
+          (l._2 - o._3) / 86400000L <= 60 }
+      }.toLong
+      assert(r.getAs[Long]("n_orders") == orders.length, r.getString(0))
+      assert(r.getAs[Long]("n_on_time") == onTime)
+      assert(r.getAs[Long]("on_time_ppm") ==
+        onTime * 1000000L / orders.length)
+    }
+  }
+
+  test("q172 Complete-mode streaming aggregate == batch aggregate") {
+    val stream = Registry.queries("q172_stream_complete_agg")(spark, dir)
+    val batch = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"), count(lit(1)).as("n_items"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "final Complete emission must equal the batch aggregate")
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")

@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q124_stream_sessions_tws", "q129_stream_cdc_merge",
     "q130_stream_interval_join", "q134_stream_static_join",
     "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm",
-    "q158_stream_outer_join")
+    "q158_stream_outer_join", "q172_stream_complete_agg")
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
