@@ -1657,6 +1657,100 @@ object Advanced {
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- q173
+
+  /** q173: WEIGHTED MEDIAN — "the document length at which half the
+    * TOKEN MASS sits" per language, the statistic curation actually
+    * wants when documents differ 100× in size (the unweighted q168
+    * median answers a different question). Nearest-rank weighted form:
+    * first value whose doubled running weight reaches the total — one
+    * per-group sort window for the running sum, one conditional-min
+    * aggregate; all BIGINT. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("tot",
+        sum(col("n_tokens")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), max(col("tot")).as("total_tokens"),
+        min(when(col("cum") * 2 >= col("tot"), col("n_chars")))
+          .as("wmedian_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val qWeightedMedianSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_chars, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_tokens) OVER (PARTITION BY lang) AS tot
+      |  FROM d)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MAX(tot) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN n_chars END) AS BIGINT)
+      |    AS wmedian_chars
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q174
+
+  /** q174: EXACT SLIDING-WINDOW DISTINCT — trailing-24-hour distinct
+    * users per hour, the metric every dashboard approximates with HLL
+    * because exact sliding distinct "needs" re-scanning each window.
+    * The bitmap-word device (q169) makes it exact AND linear: hourly
+    * presence words contribute themselves to the 24 target hours they
+    * are visible in (a row-local 24× explode — cost 24·|word-rows|,
+    * no hour×word grid, no window rescans), then one bit_or per
+    * (target hour, word) and a popcount sum. A row-frame window over
+    * sparse hourly words would silently UNDERCOUNT (a word absent at
+    * hour h contributes nothing at h even when its users were active
+    * at h−1) — the explode-contribution form is the correct one. */
+  private def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val hourly = ev.select(
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("user_id div 32").as("w"),
+        col("user_id"))
+      .groupBy(col("h"), col("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)))")
+        .as("bits"))
+    val Array(hmax) = ev.agg(expr("max(unix_micros(ts) div 3600000000)"))
+      .collect().map(_.getLong(0))
+    hourly
+      .withColumn("th", explode(expr("sequence(h, h + 23)")))
+      .filter(col("th") <= hmax)
+      .groupBy(col("th"), col("w"))
+      .agg(expr("bit_or(bits)").as("wbits"))
+      .groupBy(col("th"))
+      .agg(sum(expr("CAST(bit_count(wbits) AS BIGINT)")).as("u24"))
+      .select(expr("timestamp_micros(th * 3600000000)").as("hr"), col("u24"))
+      .orderBy(col("hr"))
+  }
+
+  private val qSlidingDistinctSql =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, user_id // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2),
+      |hm AS (SELECT MAX(epoch_us(ts) // 3600000000) AS hmax FROM events),
+      |contrib AS (
+      |  SELECT CAST(u.th AS BIGINT) AS th, w, bits
+      |  FROM hourly CROSS JOIN unnest(generate_series(h, h + 23)) AS u(th)
+      |  CROSS JOIN hm WHERE u.th <= hm.hmax),
+      |words AS (
+      |  SELECT th, w, bit_or(bits) AS wbits FROM contrib GROUP BY 1, 2)
+      |SELECT make_timestamp(th * 3600000000) AS hr,
+      |  CAST(SUM(bit_count(wbits)) AS BIGINT) AS u24
+      |FROM words GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1735,5 +1829,12 @@ object Advanced {
     "q172_stream_complete_agg" -> QueryDef(qStreamCompleteAgg,
       Some(qStreamCompleteAggSql),
       "Complete-output-mode streaming aggregate == batch (closes the " +
-        "output-mode matrix)"))
+        "output-mode matrix)"),
+    "q173_weighted_median" -> QueryDef(qWeightedMedian,
+      Some(qWeightedMedianSql),
+      "weighted median by token mass (running-weight window, BIGINT)"),
+    "q174_sliding_distinct" -> QueryDef(qSlidingDistinct,
+      Some(qSlidingDistinctSql),
+      "exact trailing-24h distinct users via bitmap-word contribution " +
+        "explode (no HLL, no window rescans)"))
 }

@@ -538,6 +538,45 @@ class AdvancedSpec extends AnyFunSuite {
       "final Complete emission must equal the batch aggregate")
   }
 
+  test("q173 weighted median: half the token mass sits on each side") {
+    val out = Registry.queries("q173_weighted_median")(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (r <- out) {
+      val vs = docs.filter(_._1 == r.getString(0))
+      val tot = vs.map(_._3).sum
+      assert(r.getAs[Long]("total_tokens") == tot)
+      val m = r.getAs[Long]("wmedian_chars")
+      // defining property of the weighted median (nearest-rank form):
+      // tokens strictly below the median < half; tokens at-or-below >= half
+      val below = vs.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = vs.filter(_._2 <= m).map(_._3).sum
+      assert(below * 2 < tot && atOrBelow * 2 >= tot,
+        s"${r.getString(0)} weighted-median property")
+    }
+  }
+
+  test("q174 sliding distinct: equals brute-force trailing-24h sets") {
+    val out = Registry.queries("q174_sliding_distinct")(spark, dir).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L -> r.getAs[Long]("u24"))
+      .toMap
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 3600000000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byHour = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hmax = ev.map(_._1).max
+    for ((h, got) <- out) {
+      val want = (h - 23 to h).flatMap(byHour.getOrElse(_, Set.empty))
+        .toSet.size.toLong
+      assert(got == want, s"hour $h")
+      assert(h <= hmax)
+    }
+    // every hour that any window covers is present
+    assert(out.size == (ev.map(_._1).min to hmax).length)
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
