@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
@@ -1751,6 +1751,125 @@ object Advanced {
       |  CAST(SUM(bit_count(wbits)) AS BIGINT) AS u24
       |FROM words GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- q175
+
+  /** q175: LARGEST-REMAINDER APPORTIONMENT — allocate a fixed sampling
+    * budget of [[ApportionBudget]] slots across languages proportional
+    * to token mass, exactly: floor allocations first, then the leftover
+    * slots go to the largest fractional remainders (tie → lang order) —
+    * the Hamilton method, the standard way a curation pipeline turns
+    * "sample 10 000 docs proportionally" into per-group integer quotas
+    * that provably sum to the budget. Pure integers: remainder =
+    * share·B mod T; one alphabet-bounded rank window. */
+  private val ApportionBudget = 10000L
+
+  private def qApportion(s: SparkSession, dir: String): DataFrame = {
+    val mass = load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(expr("CAST(sum(size(split(text, ' '))) AS BIGINT)").as("tok"))
+    val t = mass.agg(sum(col("tok")).as("t"))
+    val base = mass.crossJoin(broadcast(t))
+      .withColumn("floor_q", expr(s"tok * $ApportionBudget div t"))
+      .withColumn("rem", expr(s"(tok * $ApportionBudget) % t"))
+    val short = base.agg(
+      (lit(ApportionBudget) - sum(col("floor_q"))).as("short"))
+    base.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("quota",
+        col("floor_q") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+      .select(col("lang"), col("tok"), col("floor_q"), col("quota"))
+      .orderBy(col("lang"))
+  }
+
+  private val qApportionSql =
+    s"""WITH mass AS (
+       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |    AS tok
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM mass),
+       |base AS (
+       |  SELECT lang, tok, tok * $ApportionBudget // t AS floor_q,
+       |    (tok * $ApportionBudget) % t AS rem
+       |  FROM mass CROSS JOIN t),
+       |sh AS (SELECT $ApportionBudget - CAST(SUM(floor_q) AS BIGINT)
+       |         AS short FROM base)
+       |SELECT lang, tok, CAST(floor_q AS BIGINT) AS floor_q,
+       |  CAST(floor_q + CASE WHEN
+       |    row_number() OVER (ORDER BY rem DESC, lang) <= short
+       |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM base CROSS JOIN sh ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------- q176
+
+  /** q176: STRATIFIED-LIFT AUDIT (Simpson's-paradox guard) — the
+    * experiment sanity check: an md5 A/B split of customers, outcome =
+    * placed at least one URGENT order, strata = nation. Reports the
+    * 2×2 table and conversion ppm per arm PER STRATUM plus the pooled
+    * row (stratum −1), so an analyst can see when the pooled lift
+    * direction contradicts the strata (confounded assignment). All
+    * counts integers, rates floor-ppm; the pooled row is a second
+    * aggregate over the same per-customer table, not a re-scan. */
+  private def qStratifiedLift(s: SparkSession, dir: String): DataFrame = {
+    val urgent = load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val cust = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("ab:"), col("c_custkey"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+      .join(urgent.withColumn("conv", lit(1L)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey"), col("arm"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    def table(rows: DataFrame, stratum: Column): DataFrame =
+      rows.groupBy(stratum.as("stratum"))
+        .agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    table(cust, col("c_nationkey").cast(LongType))
+      .unionByName(table(cust, lit(-1L)))
+      .withColumn("rate_a_ppm", expr("conv_a * 1000000 div n_a"))
+      .withColumn("rate_b_ppm", expr("conv_b * 1000000 div n_b"))
+      .withColumn("lift_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
+      .orderBy(col("stratum"))
+  }
+
+  private val qStratifiedLiftSql =
+    """WITH urgent AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |cust AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS stratum,
+      |    CASE WHEN substring(md5('ab:' || c_custkey), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+      |      AS arm,
+      |    CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
+      |  FROM customer LEFT JOIN urgent u ON u.o_custkey = c_custkey),
+      |g AS (
+      |  SELECT stratum, arm, conv FROM cust
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), arm, conv FROM cust),
+      |tab AS (
+      |  SELECT stratum,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_b
+      |  FROM g GROUP BY 1)
+      |SELECT stratum, n_a, conv_a, n_b, conv_b,
+      |  conv_a * 1000000 // n_a AS rate_a_ppm,
+      |  conv_b * 1000000 // n_b AS rate_b_ppm,
+      |  conv_a * 1000000 // n_a - conv_b * 1000000 // n_b AS lift_ppm
+      |FROM tab ORDER BY stratum""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1836,5 +1955,12 @@ object Advanced {
     "q174_sliding_distinct" -> QueryDef(qSlidingDistinct,
       Some(qSlidingDistinctSql),
       "exact trailing-24h distinct users via bitmap-word contribution " +
-        "explode (no HLL, no window rescans)"))
+        "explode (no HLL, no window rescans)"),
+    "q175_apportion" -> QueryDef(qApportion, Some(qApportionSql),
+      "largest-remainder budget apportionment (Hamilton method, " +
+        "quotas provably sum to the budget)"),
+    "q176_stratified_lift" -> QueryDef(qStratifiedLift,
+      Some(qStratifiedLiftSql),
+      "A/B stratified-lift audit with pooled row (Simpson's-paradox " +
+        "guard, exact ppm)"))
 }

@@ -577,6 +577,45 @@ class AdvancedSpec extends AnyFunSuite {
     assert(out.size == (ev.map(_._1).min to hmax).length)
   }
 
+  test("q175 apportionment: quotas sum to the budget, Hamilton-exact") {
+    val out = Registry.queries("q175_apportion")(spark, dir).collect()
+    val budget = 10000L
+    assert(out.map(_.getAs[Long]("quota")).sum == budget,
+      "largest-remainder quotas must sum exactly to the budget")
+    val toks = out.map(r => r.getString(0) -> r.getAs[Long]("tok")).toMap
+    val t = toks.values.sum
+    for (r <- out) {
+      val fq = toks(r.getString(0)) * budget / t
+      assert(r.getAs[Long]("floor_q") == fq)
+      val q = r.getAs[Long]("quota")
+      assert(q == fq || q == fq + 1, "each group gets floor or floor+1")
+    }
+    // Hamilton: the +1s go to the largest remainders
+    val plusOne = out.filter(r => r.getAs[Long]("quota") >
+      r.getAs[Long]("floor_q")).map(r => toks(r.getString(0)) * budget % t)
+    val zero = out.filter(r => r.getAs[Long]("quota") ==
+      r.getAs[Long]("floor_q")).map(r => toks(r.getString(0)) * budget % t)
+    assert(plusOne.isEmpty || zero.isEmpty || plusOne.min >= zero.max)
+  }
+
+  test("q176 stratified lift: pooled row equals the stratum sums") {
+    val out = Registry.queries("q176_stratified_lift")(spark, dir).collect()
+    val pooled = out.find(_.getAs[Long]("stratum") == -1L).get
+    val strata = out.filter(_.getAs[Long]("stratum") >= 0L)
+    for (c <- Seq("n_a", "conv_a", "n_b", "conv_b"))
+      assert(pooled.getAs[Long](c) == strata.map(_.getAs[Long](c)).sum,
+        s"pooled $c")
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(pooled.getAs[Long]("n_a") + pooled.getAs[Long]("n_b") == nCust)
+    for (r <- out) {
+      assert(r.getAs[Long]("rate_a_ppm") ==
+        r.getAs[Long]("conv_a") * 1000000L / r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("lift_ppm") ==
+        r.getAs[Long]("rate_a_ppm") - r.getAs[Long]("rate_b_ppm"))
+      assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
