@@ -1636,15 +1636,21 @@ object Advanced {
           .format("memory").queryName(name)
           .start()
         q.awaitTermination()
+        // revenue released as exact integer CENTS, not a double: at 3
+        // groups the sum carries 17 significant digits and the
+        // DECIMAL->DOUBLE conversion rounds differently in the two
+        // engines by 1 ulp (caught at sf1). floor() before the cast
+        // because Spark truncates decimal->long where DuckDB rounds.
         val out = s.table(name)
           .select(col("l_returnflag"),
-            col("rev").cast(DoubleType).as("revenue"), col("n_items"))
+            expr("CAST(floor(rev * 100) AS BIGINT)").as("revenue_cents"),
+            col("n_items"))
           .orderBy(col("l_returnflag"))
           .collect().toSeq
         s.catalog.dropTempView(name)
         import spark.implicits._
-        out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-          .toDF("l_returnflag", "revenue", "n_items")
+        out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("l_returnflag", "revenue_cents", "n_items")
           .orderBy(col("l_returnflag"))
       }
     }
@@ -1652,8 +1658,8 @@ object Advanced {
 
   private val qStreamCompleteAggSql =
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(floor(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -532,8 +532,9 @@ class AdvancedSpec extends AnyFunSuite {
     val stream = Registry.queries("q172_stream_complete_agg")(spark, dir)
     val batch = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-        .as("revenue"), count(lit(1)).as("n_items"))
+      .agg(expr("CAST(floor(sum(CAST(l_extendedprice * (1.0 - l_discount)" +
+        " AS DECIMAL(18,6))) * 100) AS BIGINT)").as("revenue_cents"),
+        count(lit(1)).as("n_items"))
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
       "final Complete emission must equal the batch aggregate")
   }
