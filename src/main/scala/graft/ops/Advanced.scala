@@ -1876,6 +1876,101 @@ object Advanced {
       |  conv_a * 1000000 // n_a - conv_b * 1000000 // n_b AS lift_ppm
       |FROM tab ORDER BY stratum""".stripMargin
 
+  // ------------------------------------------------------------- q177
+
+  /** q177: DETERMINISTIC GROUP-WISE MODE — both engines ship a native
+    * `mode()` aggregate, and BOTH leave the tie-break implementation-
+    * defined, which makes the built-in un-gateable and (worse)
+    * non-reproducible run to run on a cluster. The portable form: one
+    * (group, value) count aggregate + one rank window with the
+    * explicit tie rule (max count, tie → smallest value). Reports the
+    * mode return-flag per order priority with its support count and
+    * ppm share — alphabet² intermediate, nothing data-sized after
+    * the first aggregate. (This generator's lineitem has no ship-mode
+    * column, so the mode is over the return-flag alphabet.) */
+  private def qDeterministicMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("tot"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cnt").desc, col("l_returnflag"))))
+      .filter(col("rk") === 1)
+      .join(tot, "o_orderpriority")
+      .select(col("o_orderpriority"), col("l_returnflag").as("mode_flag"),
+        col("cnt"), expr("cnt * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qDeterministicModeSql =
+    """WITH c AS (
+      |  SELECT o_orderpriority, l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS tot
+      |      FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT o_orderpriority, l_returnflag, cnt,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cnt DESC, l_returnflag) AS rk
+      |  FROM c)
+      |SELECT m.o_orderpriority, l_returnflag AS mode_flag, cnt,
+      |  cnt * 1000000 // tot AS share_ppm
+      |FROM m JOIN t ON t.o_orderpriority = m.o_orderpriority
+      |WHERE rk = 1 ORDER BY m.o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------- q178
+
+  /** q178: GAPS-AND-ISLANDS — the canonical SQL pattern the battery
+    * lacked, as user activity STREAKS: consecutive-day runs per user
+    * found with the rn-difference device (day − row_number() is
+    * constant inside an island), then a bounded histogram of longest
+    * streaks. Per-user windows shuffle on the user key; the report
+    * aggregates to the streak-length alphabet. */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = load(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+          .as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest"), count(lit(1)).as("n_streaks"))
+      .groupBy(col("longest"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_streaks")).as("total_streaks"))
+      .orderBy(col("longest"))
+  }
+
+  private val qStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+      |  FROM events),
+      |streaks AS (
+      |  SELECT user_id, day - row_number() OVER (PARTITION BY user_id
+      |      ORDER BY day) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM streaks GROUP BY 1, 2),
+      |per_user AS (
+      |  SELECT user_id, MAX(len) AS longest,
+      |    CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |  FROM runs GROUP BY 1)
+      |SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+      |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -1968,5 +2063,12 @@ object Advanced {
     "q176_stratified_lift" -> QueryDef(qStratifiedLift,
       Some(qStratifiedLiftSql),
       "A/B stratified-lift audit with pooled row (Simpson's-paradox " +
-        "guard, exact ppm)"))
+        "guard, exact ppm)"),
+    "q177_deterministic_mode" -> QueryDef(qDeterministicMode,
+      Some(qDeterministicModeSql),
+      "deterministic group-wise mode (explicit tie rule — the native " +
+        "mode() tie-break is engine-defined)"),
+    "q178_streaks" -> QueryDef(qStreaks, Some(qStreaksSql),
+      "gaps-and-islands: consecutive-day activity streaks via the " +
+        "rn-difference device, bounded histogram"))
 }

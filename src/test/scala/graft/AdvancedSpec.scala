@@ -617,6 +617,49 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 deterministic mode: argmax with the declared tie rule") {
+    val out = Registry.queries("q177_deterministic_mode")(spark, dir).collect()
+    val rows = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for (r <- out) {
+      val grp = rows.filter(_._1 == r.getString(0)).map(_._2)
+      val counts = grp.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mode = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+      assert(r.getAs[String]("mode_flag") == mode._1, r.getString(0))
+      assert(r.getAs[Long]("cnt") == mode._2)
+      assert(r.getAs[Long]("share_ppm") ==
+        mode._2 * 1000000L / grp.length)
+    }
+  }
+
+  test("q178 streaks: histogram equals a per-user islands recompute") {
+    val out = Registry.queries("q178_streaks")(spark, dir).collect()
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // .toSeq BEFORE .map: mapping a Map to pairs would collapse users
+    // sharing the same (longest, n_streaks) into one entry
+    val perUser = days.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // day − index is constant inside a consecutive run
+      val islands = sorted.zipWithIndex.map { case (d, i) => d - i }
+        .groupBy(identity).values.map(_.size.toLong).toSeq
+      (islands.max, islands.size.toLong)
+    }
+    val hist = perUser.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(out.length == hist.size)
+    for (r <- out) {
+      val (nUsers, totStreaks) = hist(r.getAs[Long]("longest"))
+      assert(r.getAs[Long]("n_users") == nUsers)
+      assert(r.getAs[Long]("total_streaks") == totStreaks)
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
