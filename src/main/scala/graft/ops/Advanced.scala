@@ -1971,6 +1971,101 @@ object Advanced {
       |  CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
       |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- q179
+
+  /** q179: STRICT ORDERED FUNNEL — view → click → purchase, each step
+    * strictly after the previous one PER USER (q82's ordered-funnel
+    * device promoted to a three-stage report with conversion ppm).
+    * Stage k is one conditional-min aggregate over an equi-join on
+    * the user key against stage k−1's timestamps — no event×event
+    * self-join, cost is one shuffle per stage on the same key. The
+    * report is three bounded rows: users reaching each step +
+    * conversion ppm against step 1. */
+  private def qStrictFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events").select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val (n1, n2, n3) = (t1.count(), t2.count(), t3.count())
+    import s.implicits._
+    Seq((1L, "view", n1, 1000000L),
+      (2L, "view>click", n2, n2 * 1000000L / n1),
+      (3L, "view>click>purchase", n3, n3 * 1000000L / n1))
+      .toDF("step", "stage", "n_users", "conv_ppm")
+      .orderBy(col("step"))
+  }
+
+  private val qStrictFunnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev
+      |       JOIN t1 ON t1.user_id = ev.user_id
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+      |t3 AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev
+      |       JOIN t2 ON t2.user_id = ev.user_id
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+      |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+      |        (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+      |        (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, n1 AS n_users,
+      |    CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+      |  UNION ALL
+      |  SELECT 2, 'view>click', n2, n2 * 1000000 // n1 FROM n
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', n3, n3 * 1000000 // n1 FROM n)
+      |ORDER BY step""".stripMargin
+
+  // ------------------------------------------------------------- q180
+
+  /** q180: COHORT LTV CURVES — cumulative micro-quantized value per
+    * signup-week cohort by week offset, the growth-analytics table
+    * behind every retention deck. Cohort = the user's first-event
+    * week (one min aggregate); offset weeks are integer epoch-week
+    * differences; the cumulative sum is a window over the bounded
+    * (cohort × offset) grid, not over events. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 604800000000").as("wk"),
+      expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val grid = ev.join(cohort, "user_id")
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("v")).as("week_value_micro"))
+    grid.withColumn("cum_ltv_micro",
+        sum(col("week_value_micro")).over(
+          Window.partitionBy(col("cw")).orderBy(col("offset_wk"))))
+      .select(col("cw").as("cohort_week"), col("offset_wk"), col("n_active"),
+        col("week_value_micro"), col("cum_ltv_micro"))
+      .orderBy(col("cohort_week"), col("offset_wk"))
+  }
+
+  private val qCohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT cw, wk - cw AS offset_wk,
+      |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+      |    CAST(SUM(v) AS BIGINT) AS week_value_micro
+      |  FROM ev JOIN cohort ON cohort.user_id = ev.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cw AS cohort_week, offset_wk, n_active, week_value_micro,
+      |  CAST(SUM(week_value_micro) OVER (PARTITION BY cw ORDER BY offset_wk)
+      |    AS BIGINT) AS cum_ltv_micro
+      |FROM grid ORDER BY cohort_week, offset_wk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -2070,5 +2165,11 @@ object Advanced {
         "mode() tie-break is engine-defined)"),
     "q178_streaks" -> QueryDef(qStreaks, Some(qStreaksSql),
       "gaps-and-islands: consecutive-day activity streaks via the " +
-        "rn-difference device, bounded histogram"))
+        "rn-difference device, bounded histogram"),
+    "q179_strict_funnel" -> QueryDef(qStrictFunnel, Some(qStrictFunnelSql),
+      "strict ordered 3-step funnel (stage-chained conditional mins, " +
+        "no event-by-event self-join)"),
+    "q180_cohort_ltv" -> QueryDef(qCohortLtv, Some(qCohortLtvSql),
+      "cohort LTV curves: cumulative micro value per signup week by " +
+        "offset (bounded grid window)"))
 }

@@ -660,6 +660,51 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 strict funnel: monotone stages equal a per-user recompute") {
+    val out = Registry.queries("q179_strict_funnel")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    for ((_, es) <- byUser) {
+      def minAfter(t: String, after: Long): Option[Long] = {
+        val c = es.filter(e => e._2 == t && e._3 > after).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      minAfter("view", Long.MinValue).foreach { t1 =>
+        n1 += 1
+        minAfter("click", t1).foreach { t2 =>
+          n2 += 1
+          minAfter("purchase", t2).foreach(_ => n3 += 1)
+        }
+      }
+    }
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(n1, n2, n3))
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0, "funnel must narrow and be exercised")
+    assert(out(1).getAs[Long]("conv_ppm") == n2 * 1000000L / n1)
+  }
+
+  test("q180 cohort LTV: cumulative curves are monotone and conserve value") {
+    val out = Registry.queries("q180_cohort_ltv")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    // the grid partitions all event value exactly once
+    assert(out.map(_.getAs[Long]("week_value_micro")).sum == ev.sum)
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("cohort_week"))) {
+      val ordered = rows.sortBy(_.getAs[Long]("offset_wk"))
+      var cum = 0L
+      for (r <- ordered) {
+        cum += r.getAs[Long]("week_value_micro")
+        assert(r.getAs[Long]("cum_ltv_micro") == cum,
+          "cumulative must equal the running sum of weekly values")
+        assert(r.getAs[Long]("offset_wk") >= 0)
+      }
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
