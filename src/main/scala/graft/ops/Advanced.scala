@@ -2066,6 +2066,120 @@ object Advanced {
       |    AS BIGINT) AS cum_ltv_micro
       |FROM grid ORDER BY cohort_week, offset_wk""".stripMargin
 
+  // ------------------------------------------------------------- q181
+
+  /** q181: RFM SEGMENTATION — the classic customer-analytics coding:
+    * per user, Recency (last event time), Frequency (event count),
+    * Monetary (micro-quantized value sum) each quartiled with
+    * `ntile(4)` under a DETERMINISTIC total order (metric + user id —
+    * ntile over a partial order is run-to-run unstable, the same
+    * trap as q177's native mode), composed into a 3-digit segment
+    * code. Report: users and value share per segment — 64 bounded
+    * rows. Scale note: a global ntile is a single-partition sort; at
+    * 10^9 users the production form computes the three quartile
+    * BOUNDARIES with q168's rank-free integer-quantile device and
+    * broadcast-joins them (alphabet-sized), which yields the same
+    * codes — the gate uses the direct window where exact ntile
+    * semantics (equal-size buckets, not equal-value cuts) are the
+    * point under test. */
+  private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perUser = load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r_us"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("m_micro"))
+    def q4(c: String) = ntile(4).over(
+      Window.orderBy(col(c).desc, col("user_id")))
+    val coded = perUser
+      .withColumn("r_q", q4("r_us")) // 1 = most recent
+      .withColumn("f_q", q4("f")) // 1 = most frequent
+      .withColumn("m_q", q4("m_micro")) // 1 = highest value
+      .withColumn("segment",
+        concat(col("r_q"), col("f_q"), col("m_q")))
+    val tot = coded.agg(sum(col("m_micro")).as("t"))
+    coded.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m_micro")).as("value_micro"))
+      .crossJoin(broadcast(tot))
+      .withColumn("value_share_ppm", expr("value_micro * 1000000 div t"))
+      .select(col("segment"), col("n_users"), col("value_micro"),
+        col("value_share_ppm"))
+      .orderBy(col("segment"))
+  }
+
+  private val qRfmSegmentsSql =
+    """WITH per_user AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS r_us,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS m_micro
+      |  FROM events GROUP BY 1),
+      |coded AS (
+      |  SELECT user_id, m_micro,
+      |    CAST(ntile(4) OVER (ORDER BY r_us DESC, user_id) AS VARCHAR)
+      |      || CAST(ntile(4) OVER (ORDER BY f DESC, user_id) AS VARCHAR)
+      |      || CAST(ntile(4) OVER (ORDER BY m_micro DESC, user_id)
+      |           AS VARCHAR) AS segment
+      |  FROM per_user),
+      |t AS (SELECT CAST(SUM(m_micro) AS BIGINT) AS t FROM coded)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(m_micro) AS BIGINT) AS value_micro,
+      |  CAST(SUM(m_micro) AS BIGINT) * 1000000 // MAX(t.t)
+      |    AS value_share_ppm
+      |FROM coded CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q182
+
+  /** q182: SEASONAL-BASELINE RESIDUALS — q85 z-scores each hour
+    * against the global mean, which flags every Friday evening as an
+    * anomaly; this deseasonalizes first: the baseline is the
+    * (day-of-week × hour-of-day) profile mean (168 cells, integer
+    * floor), and the residual is observed − baseline. Top 20 |residual|
+    * hours with deterministic tie-breaks. The profile table is
+    * alphabet-bounded (168 × types); everything else is one hourly
+    * aggregate. */
+  private def qSeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
+    val hourly = load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("hr")))
+      .withColumn("hod", hour(col("hr")))
+    val profile = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(expr("sum(n) div count(1)").as("base"))
+    hourly.join(profile, Seq("event_type", "dow", "hod"))
+      .withColumn("resid", col("n") - col("base"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        abs(col("resid")).desc, col("event_type"), col("hr"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("event_type"), col("hr"), col("n"),
+        col("base"), col("resid"))
+      .orderBy(col("rk"))
+  }
+
+  private val qSeasonalResidualsSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h2 AS (
+      |  SELECT event_type, hr, n, dayofweek(hr) + 1 AS dow,
+      |    hour(hr) AS hod
+      |  FROM hourly),
+      |profile AS (
+      |  SELECT event_type, dow, hod,
+      |    CAST(SUM(n) AS BIGINT) // COUNT(*) AS base
+      |  FROM h2 GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT h2.event_type, hr, n, base, n - base AS resid
+      |  FROM h2 JOIN profile
+      |    ON profile.event_type = h2.event_type
+      |    AND profile.dow = h2.dow AND profile.hod = h2.hod)
+      |SELECT rk, event_type, hr, n, base, resid FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY abs(resid) DESC,
+      |    event_type, hr) AS INT) AS rk FROM r) t
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -2171,5 +2285,12 @@ object Advanced {
         "no event-by-event self-join)"),
     "q180_cohort_ltv" -> QueryDef(qCohortLtv, Some(qCohortLtvSql),
       "cohort LTV curves: cumulative micro value per signup week by " +
-        "offset (bounded grid window)"))
+        "offset (bounded grid window)"),
+    "q181_rfm_segments" -> QueryDef(qRfmSegments, Some(qRfmSegmentsSql),
+      "RFM segmentation: deterministic ntile quartile codes, value " +
+        "share per segment"),
+    "q182_seasonal_resid" -> QueryDef(qSeasonalResiduals,
+      Some(qSeasonalResidualsSql),
+      "seasonal-baseline residual anomalies (dow x hod profile, " +
+        "deseasonalized top-20)"))
 }

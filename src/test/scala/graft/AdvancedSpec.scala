@@ -705,6 +705,51 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q181 RFM: segments partition users and conserve value") {
+    val out = Registry.queries("q181_rfm_segments")(spark, dir).collect()
+    val users = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users,
+      "segments must partition the user base")
+    for (r <- out) {
+      val seg = r.getString(0)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '4'),
+        s"segment code $seg")
+    }
+    val totalValue = out.map(_.getAs[Long]("value_micro")).sum
+    for (r <- out)
+      assert(r.getAs[Long]("value_share_ppm") ==
+        r.getAs[Long]("value_micro") * 1000000L / totalValue)
+    // quartile 1 on M must hold at least a quarter of the value
+    val topM = out.filter(_.getString(0).endsWith("1"))
+      .map(_.getAs[Long]("value_micro")).sum
+    assert(topM * 4 >= totalValue, "top monetary quartile share")
+  }
+
+  test("q182 seasonal residuals: baseline is the profile mean, top-20 exact") {
+    val out = Registry.queries("q182_seasonal_resid")(spark, dir).collect()
+    assert(out.map(_.getAs[Int]("rk")).toSeq == (1 to 20))
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("hr")))
+      .withColumn("hod", hour(col("hr"))).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Long]("n"),
+        r.getAs[Int]("dow"), r.getAs[Int]("hod")))
+    val profile = hourly.groupBy(h => (h._1, h._4, h._5)).view
+      .mapValues(v => v.map(_._3).sum / v.length).toMap
+    val resids = hourly.map(h =>
+      (h._1, h._2, h._3, profile((h._1, h._4, h._5))))
+      .map { case (t, hr, n, b) => (t, hr, n, b, n - b) }
+      .sortBy { case (t, hr, _, _, res) => (-math.abs(res), t, hr.getTime) }
+    for ((r, i) <- out.sortBy(_.getAs[Int]("rk")).zipWithIndex) {
+      val (t, hr, n, b, res) = resids(i)
+      assert(r.getString(1) == t && r.getTimestamp(2) == hr &&
+        r.getAs[Long]("n") == n && r.getAs[Long]("base") == b &&
+        r.getAs[Long]("resid") == res, s"rank ${i + 1}")
+    }
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
