@@ -2180,6 +2180,55 @@ object Advanced {
       |    event_type, hr) AS INT) AS rk FROM r) t
       |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------------------- q183
+
+  /** q183: RAPID-REPEAT PURCHASE SCREEN — same user, two purchases
+    * within 10 minutes: the double-charge / accidental-resubmit
+    * review queue. The pairwise stage is a BANDED self-join: one side
+    * explodes to its 10-minute bucket ±1 and joins on (user, bucket)
+    * equality — a pair in range matches on EXACTLY one of the three
+    * bucket values (the right side's bucket is fixed), so no distinct
+    * pass is needed and nothing is quadratic: candidates are bounded
+    * by per-(user, bucket) occupancy, the q35/q43 LSH-band shape
+    * applied to time. Residual |Δt| ≤ 10 min + id order make each
+    * unordered pair appear once; both amounts ride along micro-exact
+    * for the reviewer. */
+  private def qDuplicatePayments(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_micro"))
+      .withColumn("b", expr("us div 600000000"))
+    val left = p.select(col("user_id"), col("event_id").as("id_a"),
+        col("us").as("us_a"), col("v_micro").as("v_a"), col("b"))
+      .withColumn("jb", explode(expr("array(b - 1, b, b + 1)")))
+    val right = p.select(col("user_id"), col("event_id").as("id_b"),
+      col("us").as("us_b"), col("v_micro").as("v_b"), col("b").as("jb"))
+    left.join(right, Seq("user_id", "jb"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_b") - col("us_a")) <= 600000000L)
+      .select(col("user_id"), col("id_a"), col("id_b"), col("v_a"),
+        col("v_b"), abs(col("us_b") - col("us_a")).as("gap_us"))
+      .orderBy(col("user_id"), col("id_a"), col("id_b"))
+  }
+
+  private val qDuplicatePaymentsSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+      |    epoch_us(ts) // 600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT user_id, event_id AS id_a, us AS us_a,
+      |    v_micro AS v_a, CAST(u.jb AS BIGINT) AS jb
+      |  FROM p CROSS JOIN unnest([b - 1, b, b + 1]) AS u(jb))
+      |SELECT l.user_id, id_a, r.event_id AS id_b, v_a,
+      |  r.v_micro AS v_b, abs(r.us - us_a) AS gap_us
+      |FROM l JOIN p r ON r.user_id = l.user_id AND r.b = l.jb
+      |WHERE id_a < r.event_id AND abs(r.us - us_a) <= 600000000
+      |ORDER BY l.user_id, id_a, id_b""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q145_stream_dedup_wm" -> QueryDef(qStreamDedupWm, Some(qStreamDedupWmSql),
       "built-in dropDuplicatesWithinWatermark == batch distinct " +
@@ -2292,5 +2341,9 @@ object Advanced {
     "q182_seasonal_resid" -> QueryDef(qSeasonalResiduals,
       Some(qSeasonalResidualsSql),
       "seasonal-baseline residual anomalies (dow x hod profile, " +
-        "deseasonalized top-20)"))
+        "deseasonalized top-20)"),
+    "q183_duplicate_payments" -> QueryDef(qDuplicatePayments,
+      Some(qDuplicatePaymentsSql),
+      "rapid-repeat purchase screen: banded (user, 10-min bucket) " +
+        "self-join, exactly-once pairs, micro-exact amounts"))
 }

@@ -750,6 +750,24 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 rapid-repeat screen: equals the brute-force pair set") {
+    val out = Registry.queries("q183_duplicate_payments")(spark, dir).collect()
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (_, es) <- p.groupBy(_._1).toSeq
+      a <- es.toSeq; b <- es.toSeq
+      if a._2 < b._2 && math.abs(b._3 - a._3) <= 600000000L
+    } yield (a._1, a._2, b._2)).toSet
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"))).toSet == expected,
+      "banded join must equal brute-force within-window pairs")
+    assert(out.nonEmpty, "gate data must exercise the screen")
+    for (r <- out) assert(r.getAs[Long]("gap_us") <= 600000000L)
+  }
+
   test("q151 IVM: delta-merged view == direct full aggregate") {
     val out = Registry.queries("q151_ivm_join_view")(spark, dir)
     val li = Tables.load(spark, dir, "lineitem")
