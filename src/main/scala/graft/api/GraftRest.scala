@@ -87,6 +87,7 @@ final class GraftRest(graft: Graft, port: Int = 0) {
           val n = graft.snapshot(asOf).count()
           respond(ex, 200, s"""{"asOfTxId":$asOf,"count":$n}""")
         case ("GET", "/snapshot/status") =>
+          // bounded collect: one row per registered entity (registry-sized)
           val rows = graft.snapshotStatus().collect().map { r =>
             s"""{"domain":${JsonLite.quote(r.getString(0))},""" +
               s""""entity":${JsonLite.quote(r.getString(1))},""" +

@@ -78,7 +78,7 @@ object Formats {
       val bin = spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro").load(path)
         .select(col("content"))
-      // decode one file to discover the schema
+      // decode one file to discover the schema (bounded collect: 1 row)
       val first = bin.limit(1).collect()
       require(first.nonEmpty, s"no avro files under $path")
       val schemaJson = {

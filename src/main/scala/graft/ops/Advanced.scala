@@ -40,6 +40,11 @@ import Tables.load
   *    a 0.1% delta without re-reading the 100 TB.
   */
 object Advanced {
+  /** Unique suffix source for in-memory sink names (q172): collision-free
+    * unlike abs(hashCode), safe for concurrent runs in one session. */
+  private[ops] val sinkNameCounter =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
 
   /** Shared document projection for the ranking queries (q155/q161):
     * token-type-ratio in exact ppm over the corpus-wide space-split
@@ -82,10 +87,11 @@ object Advanced {
       .add("event_id", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("us", LongType)
     graft.streaming.StreamConfs.withHdfsStateStore(s) {
-      val rows = graft.streaming.StreamScratch.withScratch("graft_ddw_") { tmp =>
+      val result = graft.streaming.StreamScratch.withScratch("graft_ddw_") { tmp =>
         val ev = load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("us"))
+        // bounded collect: one min/max scalar pair for slice sizing
         val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
         val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 16 + 1)
         // originals sliced by event time; duplicates of every 7th event
@@ -101,6 +107,9 @@ object Advanced {
         // delay = 3 slice widths: a dup one slice late is always inside
         // the watermark, an original is never late (slices are ordered)
         val delaySec = (3L * step) / 1000000L + 1L
+        // sink lands OUTSIDE scratch (GateOut): the deduped stream —
+        // O(dataset) — must never transit the driver on return
+        val out = graft.streaming.GateOut.dir()
         val q = s.readStream
           .option("maxFilesPerTrigger", 1)
           .text(in)
@@ -115,14 +124,12 @@ object Advanced {
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/chk")
-          .format("parquet").option("path", s"$tmp/out")
+          .format("parquet").option("path", out)
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$tmp/out")
-          .as[(Long, Long, String, Long)].collect().toSeq
+        s.read.parquet(out)
       }
-      rows.toDF("event_id", "user_id", "event_type", "us")
-        .orderBy(col("event_id"))
+      result.orderBy(col("event_id"))
     }
   }
 
@@ -420,7 +427,7 @@ object Advanced {
     val spSaved = s.conf.get(spKey)
     s.conf.set(spKey, "8")
     try {
-      val rows = graft.streaming.StreamScratch.withScratch("graft_sivm_") { tmp =>
+      val result = graft.streaming.StreamScratch.withScratch("graft_sivm_") { tmp =>
         val li = load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         val ord = load(s, dir, "orders")
@@ -431,24 +438,25 @@ object Advanced {
           .add("l_discount", org.apache.spark.sql.types.DoubleType)
         val jsonRows = li.select(to_json(struct(col("l_orderkey"),
           col("l_extendedprice"), col("l_discount"))).as("value"))
-        graft.streaming.VersionedMaintenance.run(tmp, jsonRows, schema) {
-          (prev, batch) =>
-            val partial = batch
-              .join(ord, col("l_orderkey") === col("o_orderkey"))
-              .groupBy(col("o_custkey"))
-              .agg(
-                sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-                  .cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("rev"),
-                count(lit(1)).as("n"))
-            prev.fold(partial)(p => p.unionByName(partial)
-              .groupBy(col("o_custkey"))
-              .agg(sum(col("rev")).cast(DecimalType(38, 6)).as("rev"),
-                sum(col("n")).as("n")))
-        }.collect().toSeq.map(r => (r.getLong(0),
-          r.getDecimal(1), r.getLong(2)))
+        // final state version lives in scratch — one distributed
+        // re-write into GateOut, never a driver collect
+        graft.streaming.GateOut.persist(
+          graft.streaming.VersionedMaintenance.run(tmp, jsonRows, schema) {
+            (prev, batch) =>
+              val partial = batch
+                .join(ord, col("l_orderkey") === col("o_orderkey"))
+                .groupBy(col("o_custkey"))
+                .agg(
+                  sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                    .cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("rev"),
+                  count(lit(1)).as("n"))
+              prev.fold(partial)(p => p.unionByName(partial)
+                .groupBy(col("o_custkey"))
+                .agg(sum(col("rev")).cast(DecimalType(38, 6)).as("rev"),
+                  sum(col("n")).as("n")))
+          })
       }
-      import spark.implicits._
-      rows.toDF("o_custkey", "rev", "n")
+      result
         .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
           col("n").as("n_items"))
         .orderBy(col("o_custkey"))
@@ -811,11 +819,12 @@ object Advanced {
       .add("user_id", LongType).add("event_id", LongType)
       .add("event_type", StringType).add("us", LongType)
     graft.streaming.StreamConfs.withHdfsStateStore(s) {
-      val rows = graft.streaming.StreamScratch.withScratch("graft_soj_") { tmp =>
+      val result = graft.streaming.StreamScratch.withScratch("graft_soj_") { tmp =>
         val ev = load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_micros(col("ts")).as("us"))
           .filter(col("event_type").isin("view", "purchase"))
+        // bounded collect: one min/max scalar pair for slice sizing
         val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
         val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
         // TWO sentinel slices far past hi + delay + join window. The
@@ -853,6 +862,8 @@ object Advanced {
             expr("timestamp_micros(d.us)").as(s"${pfx}_ts"))
           .withWatermark(s"${pfx}_ts", "2 hours")
           .filter(col(s"${pfx}_t") === t) // after the watermark operator
+        // sink lands OUTSIDE scratch (GateOut): O(pairs) result, lazy return
+        val out = graft.streaming.GateOut.dir()
         val q = side("view", "v")
           .join(side("purchase", "p"),
             expr("""v_user = p_user AND p_ts >= v_ts
@@ -864,17 +875,16 @@ object Advanced {
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/chk")
-          .format("parquet").option("path", s"$tmp/out")
+          .format("parquet").option("path", out)
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$tmp/out")
-          .filter(col("user_id") >= 0) // drop any flushed sentinel rows
-          .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+        s.read.parquet(out)
       }
       // NULLS FIRST made explicit on both sides: Spark's asc default is
       // nulls-first, DuckDB's is nulls-last — an implicit sort order
       // would shuffle the unmatched rows to different positions
-      rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
+      result
+        .filter(col("user_id") >= 0) // drop any flushed sentinel rows
         .orderBy(col("user_id"), col("view_id"),
           col("purchase_id").asc_nulls_first)
     }
@@ -1619,7 +1629,10 @@ object Advanced {
         val schema = new StructType()
           .add("l_returnflag", org.apache.spark.sql.types.StringType)
           .add("l_extendedprice", DoubleType).add("l_discount", DoubleType)
-        val name = "graft_complete_" + math.abs(dir.hashCode).toString
+        // collision-free sink name: abs(hashCode) is negative at
+        // Int.MinValue and two dirs can collide — a counter cannot
+        val name = "graft_complete_" +
+          graft.ops.Advanced.sinkNameCounter.incrementAndGet()
         val q = s.readStream
           .option("maxFilesPerTrigger", 1)
           .text(s"$tmp/in")
@@ -1641,17 +1654,17 @@ object Advanced {
         // DECIMAL->DOUBLE conversion rounds differently in the two
         // engines by 1 ulp (caught at sf1). floor() before the cast
         // because Spark truncates decimal->long where DuckDB rounds.
-        val out = s.table(name)
-          .select(col("l_returnflag"),
-            expr("CAST(floor(rev * 100) AS BIGINT)").as("revenue_cents"),
-            col("n_items"))
-          .orderBy(col("l_returnflag"))
-          .collect().toSeq
+        // the memory sink is driver-resident by nature (bounded here:
+        // the return-flag alphabet); one tiny distributed persist moves
+        // the final emission to GateOut so the temp view can drop and
+        // the gate still returns a lazy reader, never driver rows
+        val result = graft.streaming.GateOut.persist(
+          s.table(name)
+            .select(col("l_returnflag"),
+              expr("CAST(floor(rev * 100) AS BIGINT)").as("revenue_cents"),
+              col("n_items")))
         s.catalog.dropTempView(name)
-        import spark.implicits._
-        out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          .toDF("l_returnflag", "revenue_cents", "n_items")
-          .orderBy(col("l_returnflag"))
+        result.orderBy(col("l_returnflag"))
       }
     }
   }
@@ -1728,6 +1741,7 @@ object Advanced {
       .groupBy(col("h"), col("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)))")
         .as("bits"))
+    // bounded collect: one scalar (the series' last hour)
     val Array(hmax) = ev.agg(expr("max(unix_micros(ts) div 3600000000)"))
       .collect().map(_.getLong(0))
     hourly

@@ -476,6 +476,7 @@ object Cdc {
       .localCheckpoint(true)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_delta_").toString
+    // bounded collect: the registered-entity alphabet (registry-sized)
     val entities = routed.select(col("entity")).distinct()
       .as[String].collect().sorted
     if (entities.isEmpty) // nothing routed: empty pointer table, not a crash
@@ -522,10 +523,11 @@ object Cdc {
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    // the summary is a handful of rows — read it eagerly inside the
-    // scratch scope (which deletes the staged event log + sink +
-    // checkpoint even on failure) and return a local frame
-    val rows = graft.streaming.StreamScratch.withScratch("graft_sdedup_") { tmp =>
+    // the summary is computed from the sink INSIDE the scratch scope
+    // (which deletes the staged event log + sink + checkpoint even on
+    // failure) and persisted into GateOut by one distributed write —
+    // the gate returns a lazy reader, never driver rows
+    val result = graft.streaming.StreamScratch.withScratch("graft_sdedup_") { tmp =>
       load(s, dir, "events")
         .select(to_json(struct(col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts"))).as("value"))
@@ -534,14 +536,12 @@ object Cdc {
       val q = graft.streaming.ChangeStreamPipeline.startDedup(
         s"$tmp/in", s"$tmp/out", s"$tmp/chk", statePartitions = Some(8))
       q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
-        .orderBy(col("event_type"))
-        .as[(String, Long, Long)].collect().toSeq
+      graft.streaming.GateOut.persist(
+        s.read.parquet(s"$tmp/out")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum")))
     }
-    rows.toDF("event_type", "n_keys", "checksum")
-      .orderBy(col("event_type"))
+    result.orderBy(col("event_type"))
   }
 
   private val qStreamDedupSql =

@@ -259,6 +259,7 @@ object CorpusOps {
     val ev = load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
+    // bounded collect: one min/max scalar pair for slice sizing
     val Array(minMax) = ev.agg(min(col("us")), max(col("us"))).collect()
     val (lo, hi) = (minMax.getLong(0), minMax.getLong(1))
     val step = (hi - lo) / 4 + 1
@@ -308,30 +309,29 @@ object CorpusOps {
       .groupByKey(_.user_id)
   }
 
-  /** Runs a started streaming query to completion and reads the
-    * emitted sessions back into the q106 output shape. */
-  private def finishSessions(s: SparkSession, tmp: String,
-      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[SessOut] = {
-    import s.implicits._
+  /** Runs a started streaming query to completion and returns the lazy
+    * read-back of its GateOut sink — the emitted sessions never transit
+    * the driver (the sink path must sit OUTSIDE the scratch scope). */
+  private def finishSessions(s: SparkSession, out: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     q.awaitTermination()
-    s.read.parquet(s"$tmp/out").as[SessOut].collect().toSeq
+    s.read.parquet(out)
   }
 
-  private def sessionsToDF(s: SparkSession, rows: Seq[SessOut]): DataFrame = {
-    import s.implicits._
-    rows.toDF()
+  private def sessionsToDF(sessions: DataFrame): DataFrame =
+    sessions
       .select(col("user_id"), col("session_seq"), col("n_events"),
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("duration_us"), col("n_types"))
       .orderBy(col("user_id"), col("session_seq"))
-  }
 
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
-    val rows = graft.streaming.StreamScratch.withScratch("graft_ssess_") { tmp =>
+    val sessions = graft.streaming.StreamScratch.withScratch("graft_ssess_") { tmp =>
       stageSessionInput(s, dir, tmp)
+      val out = graft.streaming.GateOut.dir()
       val q = sessionStream(s, tmp)
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.NoTimeout)(sessionFsm)
@@ -339,11 +339,11 @@ object CorpusOps {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/chk")
         .format("parquet")
-        .option("path", s"$tmp/out")
+        .option("path", out)
         .start()
-      finishSessions(s, tmp, q)
+      finishSessions(s, out, q)
     }
-    sessionsToDF(s, rows)
+    sessionsToDF(sessions)
   }
 
   // --------------------------------------------------------------- q124
@@ -398,8 +398,9 @@ object CorpusOps {
     // transformWithState requires the RocksDB state store provider
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val rows = graft.streaming.StreamScratch.withScratch("graft_tws_") { tmp =>
+    val sessions = graft.streaming.StreamScratch.withScratch("graft_tws_") { tmp =>
       stageSessionInput(s, dir, tmp)
+      val out = graft.streaming.GateOut.dir()
       val q = sessionStream(s, tmp)
         .transformWithState(new SessionProcessor, TimeMode.None(),
           OutputMode.Append(),
@@ -408,11 +409,11 @@ object CorpusOps {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/chk")
         .format("parquet")
-        .option("path", s"$tmp/out")
+        .option("path", out)
         .start()
-      finishSessions(s, tmp, q)
+      finishSessions(s, out, q)
     }
-    sessionsToDF(s, rows)
+    sessionsToDF(sessions)
   }
 
   // --------------------------------------------------------------- q110
@@ -563,7 +564,7 @@ object CorpusOps {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("us", LongType)))
-    val rows = graft.streaming.StreamScratch.withScratch("graft_srate_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_srate_") { tmp =>
       val staged = load(s, dir, "events")
         .select(to_json(struct(col("event_type"),
           unix_micros(col("ts")).as("us"))).as("value"))
@@ -591,16 +592,17 @@ object CorpusOps {
             - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
               / col("n_hours")) / col("n_hours"))
         .select(col("event_type"), col("mean"), col("variance"))
-      hourly.join(broadcast(stats), "event_type")
-        .withColumn("z", (col("n").cast(DoubleType) - col("mean"))
-          / sqrt(col("variance")))
-        .filter(col("variance") > 0.0 && abs(col("z")) >= 2.0)
-        .select(col("event_type"), timestamp_micros(col("hour_us")).as("hour"),
-          col("n"), col("z"))
-        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+      // the maintained table lives in scratch — one distributed persist
+      // into GateOut, never a driver collect
+      graft.streaming.GateOut.persist(
+        hourly.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("n").cast(DoubleType) - col("mean"))
+            / sqrt(col("variance")))
+          .filter(col("variance") > 0.0 && abs(col("z")) >= 2.0)
+          .select(col("event_type"), timestamp_micros(col("hour_us")).as("hour"),
+            col("n"), col("z")))
     }
-    rows.toDF("event_type", "hour", "n", "z")
-      .orderBy(col("event_type"), col("hour"))
+    result.orderBy(col("event_type"), col("hour"))
   }
 
   // --------------------------------------------------------------- q113

@@ -680,7 +680,7 @@ object Dedup {
     try {
       b.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$tmp/bands/batch=$id")
-      // bounded driver collect: at most IndexBuckets ints
+      // bounded collect: at most IndexBuckets ints
       val touched = b.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val index = readIndex(batch.sparkSession, s"$tmp/bands", id, touched)
@@ -714,7 +714,7 @@ object Dedup {
   private def qStreamLshIndex(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val rows = graft.streaming.StreamScratch.withScratch("graft_slsh_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_slsh_") { tmp =>
     // stage the corpus as 4 JSON-line files = 4 micro-batches
     load(s, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
@@ -738,12 +738,14 @@ object Dedup {
       }
       .start()
     query.awaitTermination()
-    s.read.parquet(s"$tmp/pairs")
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
-      .as[(Long, Long)].collect().toSeq
+    // the per-batch pair logs live in scratch — one distributed
+    // distinct + persist into GateOut; the pair set (O(pairs), the
+    // largest gate result in the battery) never transits the driver
+    graft.streaming.GateOut.persist(
+      s.read.parquet(s"$tmp/pairs")
+        .select(col("doc_a"), col("doc_b")).distinct())
     }
-    rows.toDF("doc_a", "doc_b").orderBy(col("doc_a"), col("doc_b"))
+    result.orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Chunk width for sub-document exact dedup. Real pipelines dedup on

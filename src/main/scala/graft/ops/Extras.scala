@@ -251,26 +251,26 @@ object Extras {
     val schema = StructType(Seq(
       StructField("source", StringType), StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("n_chars", LongType)))
-    val rows = graft.streaming.StreamScratch.withScratch("graft_stopk_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_stopk_") { tmp =>
       val staged = load(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
           col("n_chars"))).as("value"))
-      graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
-        (prev, batch) =>
-          val base = prev
-            .map(_.select(schema.fieldNames.map(col).toSeq: _*))
-            .getOrElse(batch.limit(0))
-          graft.plans.TopK.perGroup(base.unionByName(batch),
-            Seq(col("source")),
-            Seq(col("n_chars").desc, col("doc_id").asc), 3)
-      }
-        .filter(col("source") =!= "src19")
-        .orderBy(col("source"), col("doc_id"))
-        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
-        .as[(String, Long, String, Long)].collect().toSeq
+      // final maintained version lives in scratch — one distributed
+      // persist into GateOut, never a driver collect
+      graft.streaming.GateOut.persist(
+        graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
+          (prev, batch) =>
+            val base = prev
+              .map(_.select(schema.fieldNames.map(col).toSeq: _*))
+              .getOrElse(batch.limit(0))
+            graft.plans.TopK.perGroup(base.unionByName(batch),
+              Seq(col("source")),
+              Seq(col("n_chars").desc, col("doc_id").asc), 3)
+        }
+          .filter(col("source") =!= "src19")
+          .select(col("source"), col("doc_id"), col("lang"), col("n_chars")))
     }
-    rows.toDF("source", "doc_id", "lang", "n_chars")
-      .orderBy(col("source"), col("doc_id"))
+    result.orderBy(col("source"), col("doc_id"))
   }
 
   /** q80: STREAMING aggregate maintenance — the materialized-view
@@ -290,26 +290,27 @@ object Extras {
       StructField("lang", StringType), StructField("doc_id", LongType),
       StructField("n_chars", LongType)))
     val stateCols = Seq("lang", "n_docs", "chars", "checksum")
-    val rows = graft.streaming.StreamScratch.withScratch("graft_sagg_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_sagg_") { tmp =>
       val staged = load(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("lang"),
           col("n_chars"))).as("value"))
-      graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
-        (prev, batch) =>
-          val delta = batch.groupBy(col("lang"))
-            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
-              sum(col("doc_id")).as("checksum"))
-          prev.map(_.select(stateCols.map(col): _*)).getOrElse(delta.limit(0))
-            .unionByName(delta)
-            .groupBy(col("lang"))
-            .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
-              sum(col("checksum")).as("checksum"))
-      }
-        .orderBy(col("lang"))
-        .select(stateCols.map(col): _*)
-        .as[(String, Long, Long, Long)].collect().toSeq
+      // final maintained version lives in scratch — one distributed
+      // persist into GateOut, never a driver collect
+      graft.streaming.GateOut.persist(
+        graft.streaming.VersionedMaintenance.run(tmp, staged, schema) {
+          (prev, batch) =>
+            val delta = batch.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+                sum(col("doc_id")).as("checksum"))
+            prev.map(_.select(stateCols.map(col): _*)).getOrElse(delta.limit(0))
+              .unionByName(delta)
+              .groupBy(col("lang"))
+              .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+                sum(col("checksum")).as("checksum"))
+        }
+          .select(stateCols.map(col): _*))
     }
-    rows.toDF(stateCols: _*).orderBy(col("lang"))
+    result.orderBy(col("lang"))
   }
 
   private val qStreamAggMaintainSql =
@@ -480,7 +481,7 @@ object Extras {
       new java.io.ByteArrayInputStream(sk.getAs[Array[Byte]]("cms")))
     val topk = sk.getSeq[org.apache.spark.sql.Row](1)
     val band = math.ceil(eps * sk.getAs[Long]("n")).toLong
-    // exact side: bounded collect (one row per distinct event type)
+    // exact side: bounded collect, one row per distinct event type
     val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("event_type"))
       .as[(String, Long)].collect()

@@ -242,7 +242,7 @@ object Materialize {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-    val rows = graft.streaming.StreamScratch.withScratch("graft_smerge_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_smerge_") { tmp =>
       // up to four hash-partitioned input files = up to four
       // micro-batches in arbitrary slice order — fine HERE because
       // latest-wins is a commutative fold (q130, whose watermark DOES
@@ -250,6 +250,7 @@ object Materialize {
       val ev = load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
+      // bounded collect: one min/max scalar pair for slice sizing
       val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
       val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 4 + 1)
       ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
@@ -257,6 +258,9 @@ object Materialize {
         .select(to_json(struct(col("user_id"), col("event_id"),
           col("event_type"), col("value"), col("us"))).as("value"))
         .write.mode("overwrite").text(s"$tmp/in")
+      // sink lands OUTSIDE scratch (GateOut): O(keys) emissions return
+      // as a lazy reader, never driver rows
+      val out = graft.streaming.GateOut.dir()
       val q = s.readStream
         .option("maxFilesPerTrigger", 1)
         .text(s"$tmp/in")
@@ -269,18 +273,17 @@ object Materialize {
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/chk")
-        .format("parquet").option("path", s"$tmp/out")
+        .format("parquet").option("path", out)
         .start()
       q.awaitTermination()
-      // final state per key = the max-cumulative-count emission
-      s.read.parquet(s"$tmp/out")
-        .groupBy(col("user_id"))
-        .agg(max_by(struct(col("n_changes"), col("last_type"),
-          col("last_value"), col("last_us")), col("n_changes")).as("m"))
-        .select(col("user_id"), col("m.*"))
-        .as[(Long, Long, String, Double, Long)].collect().toSeq
+      s.read.parquet(out)
     }
-    rows.toDF("user_id", "n_changes", "last_type", "last_value", "last_us")
+    // final state per key = the max-cumulative-count emission
+    result
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_changes"), col("last_type"),
+        col("last_value"), col("last_us")), col("n_changes")).as("m"))
+      .select(col("user_id"), col("m.*"))
       .filter(col("last_type") =!= "error")
       .select(col("user_id"), col("n_changes"), col("last_type"),
         col("last_value"), expr("timestamp_micros(last_us)").as("updated_at"))
@@ -323,7 +326,7 @@ object Materialize {
     // 2 and 8 state partitions; it amortizes to nothing on a real
     // stream where a trigger carries minutes of data
     graft.streaming.StreamConfs.withHdfsStateStore(s) {
-    val rows = graft.streaming.StreamScratch.withScratch("graft_ssj_") { tmp =>
+    val result = graft.streaming.StreamScratch.withScratch("graft_ssj_") { tmp =>
       // slice files staged in TIME order with ordered mod-times
       // (SliceReplay): the file source replays them as in-order
       // micro-batches, the premise the watermark's state eviction is
@@ -332,6 +335,7 @@ object Materialize {
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .filter(col("event_type").isin("view", "purchase"))
+      // bounded collect: one min/max scalar pair for slice sizing
       val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
       // 16 slices, not 4: at the gate scales this puts view->purchase
       // pairs ON slice boundaries, so the gate proves cross-batch state
@@ -350,6 +354,8 @@ object Materialize {
           col("d.event_id").as(s"${pfx}_id"),
           expr("timestamp_micros(d.us)").as(s"${pfx}_ts"))
         .withWatermark(s"${pfx}_ts", "2 hours")
+      // sink lands OUTSIDE scratch (GateOut): O(pairs) result, lazy return
+      val out = graft.streaming.GateOut.dir()
       val q = side("view", "v")
         .join(side("purchase", "p"),
           expr("""v_user = p_user AND p_ts >= v_ts
@@ -360,14 +366,12 @@ object Materialize {
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/chk")
-        .format("parquet").option("path", s"$tmp/out")
+        .format("parquet").option("path", out)
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
-        .as[(Long, Long, Long, Long)].collect().toSeq
+      s.read.parquet(out)
     }
-    rows.toDF("user_id", "view_id", "purchase_id", "lag_us")
-      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    result.orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }
   }
 
@@ -545,7 +549,9 @@ object Materialize {
     val schema = new StructType()
       .add("l_partkey", LongType).add("l_extendedprice", DoubleType)
       .add("l_discount", DoubleType)
-    val rows = graft.streaming.StreamScratch.withScratch("graft_ssx_") { tmp =>
+    // collision-free memory-sink name (same rationale as q172)
+    val name = "graft_ssx_sink_" + Advanced.sinkNameCounter.incrementAndGet()
+    val result = graft.streaming.StreamScratch.withScratch("graft_ssx_") { tmp =>
       load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
         .withColumn("slice", pmod(col("l_partkey"), lit(4)))
@@ -569,22 +575,25 @@ object Materialize {
         .trigger(Trigger.AvailableNow())
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", s"$tmp/chk")
-        .format("memory").queryName("graft_ssx_sink")
+        .format("memory").queryName(name)
         .start()
       q.awaitTermination()
       // Update mode emits a row per (brand, batch-with-changes); the
       // final state per brand is the LAST emission — max n_items (the
-      // running count is strictly monotone)
-      val out = s.table("graft_ssx_sink")
-        .groupBy(col("p_brand"))
-        .agg(max_by(struct(col("n_items"), col("rev")), col("n_items")).as("m"))
-        .select(col("p_brand"), col("m.n_items"),
-          col("m.rev").cast(DoubleType).as("revenue"))
-        .as[(String, Long, Double)].collect().toSeq
-      s.sql("DROP TABLE IF EXISTS graft_ssx_sink")
-      out
+      // running count is strictly monotone). The memory sink is driver-
+      // resident by nature (bounded: the brand alphabet × batches); one
+      // tiny persist moves it to GateOut so the view drops and the gate
+      // returns a lazy reader, never driver rows
+      val persisted = graft.streaming.GateOut.persist(
+        s.table(name)
+          .groupBy(col("p_brand"))
+          .agg(max_by(struct(col("n_items"), col("rev")), col("n_items")).as("m"))
+          .select(col("p_brand"), col("m.n_items"),
+            col("m.rev").cast(DoubleType).as("revenue")))
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      persisted
     }
-    rows.toDF("p_brand", "n_items", "revenue").orderBy(col("p_brand"))
+    result.orderBy(col("p_brand"))
     } finally s.conf.set(spKey, spSaved)
   }
 
@@ -636,12 +645,16 @@ object Materialize {
         val ev = load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_micros(col("ts")).as("us"))
+        // bounded collect: one min/max scalar pair for slice sizing
         val Array(mm) = ev.agg(min(col("us")), max(col("us"))).collect()
         val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 8 + 1)
         val in = graft.streaming.SliceReplay.stage(tmp,
           ev.withColumn("slice", ((col("us") - lo) / step).cast(LongType))
             .select(to_json(struct(col("user_id"), col("event_id"),
               col("event_type"), col("us"))).as("value"), col("slice")), 8)(s)
+        // sink lands OUTSIDE scratch (GateOut): O(versions) result,
+        // stitched lazily after the scratch scope closes
+        val out = graft.streaming.GateOut.dir()
         val q = s.readStream
           .option("maxFilesPerTrigger", 1)
           .text(in)
@@ -665,14 +678,13 @@ object Materialize {
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/chk")
-          .format("parquet").option("path", s"$tmp/out")
+          .format("parquet").option("path", out)
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$tmp/out")
-          .as[(Long, Long, String, Long)].collect().toSeq
+        s.read.parquet(out)
       }
       val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      opens.toDF("user_id", "version", "event_type", "us")
+      opens
         .withColumn("valid_from", expr("timestamp_micros(us)"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .select(col("user_id"), col("version"), col("event_type"),

@@ -105,10 +105,11 @@ object Tokenizer {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-        .collect().head // 1-row argmax: the learned rule is driver data
+        .collect().head // bounded collect: 1-row argmax, the learned rule is driver data
       val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
       val prev = words
       words = prev.withColumn("syms", expr(applyRule(a, b))).persist()
+      // bounded collect: one scalar (total corpus token count)
       val total = words.select(sum(col("cnt") * size(col("syms"))))
         .collect().head.getLong(0)
       prev.unpersist()

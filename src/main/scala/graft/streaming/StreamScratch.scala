@@ -20,6 +20,45 @@ object StreamScratch {
   }
 }
 
+/** Caller-owned RESULT area for the streaming gates. A gate's final
+  * result must outlive its scratch scope ([[StreamScratch.withScratch]]
+  * deletes the staged input + checkpoint + sink on exit), but routing
+  * it through the driver (`collect` + rebuild-a-local-DataFrame) makes
+  * the gate's return path O(result) in driver memory — the one shape a
+  * 100×-scale run would trip over even when the operator itself is
+  * fully distributed. Instead the result lands HERE: either written
+  * once by the stream's own file sink (point the sink at [[dir]]) or
+  * by one distributed write ([[persist]]), and the gate returns a lazy
+  * reader — result bytes move executor→FS→executor, never through the
+  * driver. The area is deleted at JVM exit, not at gate exit. */
+object GateOut {
+  import org.apache.spark.sql.DataFrame
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val root: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_gate_out_")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile)
+    }
+    d.toString
+  }
+  /** A fresh, unique result directory (not yet created) — hand it to a
+    * stream's parquet file sink as the output path while the checkpoint
+    * stays in scratch; the sink's one write IS the materialization. */
+  def dir(): String = s"$root/r${counter.incrementAndGet()}"
+  /** One distributed write of `df` into a fresh result dir; returns the
+    * lazy read-back. For results computed FROM scratch-resident state
+    * (versioned-maintenance tables, per-batch pair logs) rather than
+    * written directly by a sink. */
+  def persist(df: DataFrame): DataFrame = {
+    val d = dir()
+    df.write.mode("overwrite").parquet(d)
+    df.sparkSession.read.parquet(d)
+  }
+}
+
 /** The streaming MAINTENANCE device shared by q77 (top-k) and q80
   * (additive aggregates): stage a table as JSON-line files, replay one
   * file per micro-batch, and fold each batch into a `batch=<id>`
@@ -64,6 +103,7 @@ object VersionedMaintenance {
       }
       .start()
     query.awaitTermination()
+    // bounded collect: one scalar (the last version id)
     val last = s.read.parquet(s"$tmp/state").agg(max(col("batch")))
       .collect()(0).getInt(0)
     s.read.parquet(s"$tmp/state/batch=$last")
@@ -122,7 +162,15 @@ object SliceReplay {
   * HDFS-backed state store provider (q124/q129 leave the session on
   * RocksDB, which transformWithState requires but which costs a
   * per-store instantiation these small gates would pay hundreds of
-  * times), restoring both even when the body throws. */
+  * times), restoring both even when the body throws.
+  *
+  * SINGLE-THREADED PER SESSION: the save/set/restore window mutates
+  * session-global conf, so two gates running concurrently on one
+  * SparkSession would race and leak the pinned values. The gate
+  * batteries (Verify/Bench/specs) run queries sequentially per
+  * session; if parallel query execution is ever introduced, gates
+  * must either serialize around this helper or move to
+  * `SparkSession.newSession()` per gate. */
 object StreamConfs {
   def withHdfsStateStore[T](s: SparkSession, partitions: String = "8")(
       body: => T): T = {

@@ -144,6 +144,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no gate return path routes result rows through the driver") {
+    // The round-6 verdict's one systemic scale flaw: streaming gates
+    // that `collect()` their final result to the driver and rebuild a
+    // local DataFrame — O(result) driver memory at 100× scale even when
+    // the operator itself is distributed. Results must instead land in
+    // GateOut (stream sink or one distributed persist) and return as a
+    // lazy reader. Mechanically: the rebuild idiom `collect().toSeq`
+    // must not appear in main source at all, and every remaining
+    // `.collect(` must be annotated as a bounded collect (a scalar, a
+    // fixed alphabet, or a registry-sized set) within the 3 preceding
+    // lines — an unannotated collect is either unbounded or undocumented,
+    // and both fail here.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.flatMap { case (line, i) =>
+          if (line.contains("collect().toSeq"))
+            Some(s"$p:${i + 1}: collect().toSeq rebuild idiom")
+          else if (line.contains(".collect(") && !line.trim.startsWith("//") &&
+              !(i - 3 to i).exists(j => j >= 0 &&
+                lines(j).toLowerCase.contains("bounded collect")))
+            Some(s"$p:${i + 1}: unannotated .collect( — bound it or GateOut it")
+          else None
+        }
+      }.toSeq
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the similarity battery joins only on bucket/cell equi-keys") {
     for (q <- Seq("q39_sim_ann_lsh", "q40_sim_cosine_neardup",
         "q43_dedup_simhash_hamming", "q35_dedup_minhash_lsh",
