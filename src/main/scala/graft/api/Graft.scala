@@ -2,8 +2,8 @@ package graft.api
 
 import graft.filters.DomainFilters
 import graft.filters.DomainFilters.Filter
-import graft.model.{ChangeEvent, FileState, Mode, Op}
-import graft.state.{FileStateFSM, RenameExpander}
+import graft.model.{ChangeEvent, FileState, Mode, Op, ReplicaState}
+import graft.state.{FileStateFSM, RenameExpander, ReplicaTracker}
 import graft.streaming.ChangeStreamPipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -125,16 +125,18 @@ final class Graft(val spark: SparkSession, stateDir: String) {
 
   /** Committed state versions, ascending (dirs with a `_SUCCESS`
     * marker; an uncommitted/crashed write is invisible). */
-  def versions(): Seq[Long] = {
+  def versions(): Seq[Long] = committedVersions("files")
+
+  private def committedVersions(prefix: String): Seq[Long] = {
+    val re = (java.util.regex.Pattern.quote(prefix) + """_v(\d+)""").r
     val dir = hpath("")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case VersionDir(v) if fs.exists(
-        hpath(s"files_v$v/_SUCCESS")) => v.toLong }
+      .collect { case re(v) if fs.exists(
+        hpath(s"${prefix}_v$v/_SUCCESS")) => v.toLong }
       .sorted
   }
 
-  private val VersionDir = """files_v(\d+)""".r
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     java.net.URI.create(stateDir), spark.sparkContext.hadoopConfiguration)
   private def hpath(rel: String) =
@@ -142,18 +144,19 @@ final class Graft(val spark: SparkSession, stateDir: String) {
 
   /** Every version dir on disk, committed or not — the next write must
     * never reuse a crashed writer's dir. */
-  private def allVersionDirs(): Seq[Long] = {
+  private def allVersionDirs(prefix: String = "files"): Seq[Long] = {
+    val re = (java.util.regex.Pattern.quote(prefix) + """_v(\d+)""").r
     val dir = hpath("")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case VersionDir(v) => v.toLong }
+      .collect { case re(v) => v.toLong }
   }
 
   private def persist(st: Dataset[FileState]): Unit =
     writeVersion(st.toDF(), allVersionDirs().maxOption.getOrElse(-1L) + 1)
 
-  private def writeVersion(df: DataFrame, v: Long): Unit =
-    df.write.mode("errorifexists").parquet(s"$stateDir/files_v$v")
+  private def writeVersion(df: DataFrame, v: Long, prefix: String = "files"): Unit =
+    df.write.mode("errorifexists").parquet(s"$stateDir/${prefix}_v$v")
 
   // ── snapshot (HDFSSnapshotProcessor parity) ──────────────────────────
   /** Emit synthetic Snapshot-mode CloseFile events for every live file
@@ -189,10 +192,169 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     val r = stateTable.agg(max(col("lastTxId"))).as[Option[Long]].head()
     r.getOrElse(-1L)
   }
+
+  // ── replica registry + snapshot service lifecycle ────────────────────
+  // SnapshotService parity (`svc/namenode/SnapshotService.java:107-177`):
+  // the reference holds a static processor created by
+  // POST /admin/snapshot/start and disposed by /admin/snapshot/stop;
+  // POST /snapshot/done is the pipeline→service callback that flips a
+  // file's replica record to ready and emits a Backlog CloseFile when
+  // the live head advanced past the snapshot
+  // (`agent/namenode/HDFSSnapshotProcessor.java:234-286`). Here the
+  // registry is a versioned parquet table next to the state table
+  // (`replicas_v<N>`, the same `_SUCCESS`-gated delta protocol), and
+  // the callback is a driver-side single-file update: two bounded
+  // lookups plus a ONE-ROW delta version — never a registry rewrite,
+  // so a 100M-file registry absorbs callbacks at O(1) I/O each.
+
+  @volatile private var snapshotService: Boolean = false
+
+  /** Whether /admin/snapshot/start has run in this facade's lifetime. */
+  def snapshotStarted: Boolean = snapshotService
+
+  /** Initialize the snapshot service: build the replica registry from
+    * the CURRENT state table (one row per live tracked file, ref
+    * `HDFSSnapshotProcessor.java:83-106`) as a fresh base version.
+    * Re-start rebuilds from current state, like the reference's
+    * processor re-init. Returns the registered file count. */
+  def snapshotStart(): Long = synchronized {
+    val reg = ReplicaTracker.fromSnapshot(stateTable, Graft.inodeOf).toDF()
+      // sever lineage before the old registry dirs are deleted below
+      .localCheckpoint(true)
+    allVersionDirs("replicas").foreach(v =>
+      fs.delete(hpath(s"replicas_v$v"), true))
+    writeVersion(reg, 0L, "replicas")
+    snapshotService = true
+    reg.count()
+  }
+
+  /** Dispose the service (ref /admin/snapshot/stop → NameNodeEnv
+    * dispose). The registry dirs persist on disk — like the reference's
+    * ZK tree — and a later start() rebuilds a fresh epoch. */
+  def snapshotStop(): Unit = snapshotService = false
+
+  /** Merged replica registry (base + one-row callback deltas, newest
+    * version wins per path). */
+  def replicaTable: Dataset[ReplicaState] = {
+    val vs = committedVersions("replicas")
+    require(vs.nonEmpty, s"no replica registry under $stateDir — " +
+      "POST /admin/snapshot/start first")
+    val merged = vs.map(v => spark.read.parquet(s"$stateDir/replicas_v$v")
+        .withColumn("__v", lit(v)))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("__v").desc)
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+      .as[ReplicaState]
+  }
+
+  /** The snapshot-done callback (`HDFSSnapshotProcessor.java:234-286`):
+    * validates the file + replica records and the snapshot tx, flips
+    * the record to ready, and — when the file's live head advanced past
+    * the snapshot — appends a Backlog CloseFile at the live head to
+    * [[backlogFeed]] so the delta stage catches the file up. Duplicate
+    * calls are idempotent (the reference warns and returns the record).
+    * Throws [[Graft.NotFound]] (→ 404) for unknown path/record and
+    * IllegalArgumentException (→ 400) on tx mismatch. */
+  def snapshotDone(path: String, txId: Long): Graft.SnapshotDone =
+    synchronized {
+      if (!snapshotService) throw new IllegalStateException(
+        "snapshot service not started (POST /admin/snapshot/start)")
+      // bounded lookups: one file-state row + one replica row (take(1))
+      val fileSt = stateTable.toDF().filter(col("path") === path)
+        .as[FileState].take(1).headOption.getOrElse(
+          throw new Graft.NotFound(s"HDFS file state not found. [path=$path]"))
+      val replica = replicaTable.toDF().filter(col("path") === path)
+        .as[ReplicaState].take(1).headOption.getOrElse(
+          throw new Graft.NotFound(
+            s"HDFS file replication record not found. [path=$path]"))
+      if (txId != replica.snapshotTxId)
+        throw new IllegalArgumentException("Snapshot transaction mismatch. " +
+          s"[expected=${replica.snapshotTxId}][actual=$txId]")
+      if (replica.snapshotReady) // duplicate call: idempotent
+        return Graft.SnapshotDone(replica, backlogEmitted = false,
+          duplicate = true)
+      val backlog = fileSt.lastTxId > replica.snapshotTxId
+      if (backlog)
+        // the catch-up event the delta stage consumes: Backlog CloseFile
+        // stamped at the live head (FSM Backlog accept: txId >= lastTxId)
+        Seq(ChangeEvent(fileSt.lastTxId, Op.CloseFile, path, Mode.Backlog))
+          .toDS().write.mode("append").parquet(s"$stateDir/backlog")
+      val updated = replica.copy(
+        lastReplicatedTx = math.max(replica.lastReplicatedTx,
+          if (backlog) fileSt.lastTxId else txId),
+        snapshotReady = true)
+      writeVersion(Seq(updated).toDS().toDF(),
+        allVersionDirs("replicas").max + 1, "replicas")
+      if (committedVersions("replicas").size > Graft.AutoCompactAfter)
+        compactReplicas()
+      Graft.SnapshotDone(updated, backlogEmitted = backlog, duplicate = false)
+    }
+
+  private def compactReplicas(): Unit = {
+    val vs = committedVersions("replicas")
+    val snap = replicaTable.toDF().localCheckpoint(true)
+    writeVersion(snap, allVersionDirs("replicas").max + 1, "replicas")
+    vs.foreach(v => fs.delete(hpath(s"replicas_v$v"), true))
+  }
+
+  /** Backlog CloseFile events appended by [[snapshotDone]] callbacks —
+    * the queue the delta-replication stage drains. */
+  def backlogFeed: Dataset[ChangeEvent] =
+    if (!fs.exists(hpath("backlog"))) spark.emptyDataset[ChangeEvent]
+    else spark.read.parquet(s"$stateDir/backlog").as[ChangeEvent]
+
+  // ── edits-log processor lifecycle ────────────────────────────────────
+  // EditsLogReaderService parity (`svc/namenode/EditsLogReaderService
+  // .java:21-75`): POST /editslog/start launches the change-stream
+  // processor, /editslog/stop halts it, /editslog/status reports it.
+  // One managed query per facade, like the reference's static runner.
+
+  @volatile private var editsQuery: Option[StreamingQuery] = None
+
+  /** Start the edits-log processor: JSON-line change events under
+    * `inDir` fold through the keyed FSM and land as parquet state
+    * updates under `outDir`. Throws IllegalStateException (→ 409) if
+    * already running. */
+  def editslogStart(inDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = synchronized {
+    if (editsQuery.exists(_.isActive)) throw new IllegalStateException(
+      "edits-log processor already running")
+    val q = ChangeStreamPipeline.startFiles(inDir, outDir, checkpoint)
+    editsQuery = Some(q)
+    q
+  }
+
+  /** Stop the running processor; false when none was running. */
+  def editslogStop(): Boolean = synchronized {
+    editsQuery match {
+      case Some(q) if q.isActive => q.stop(); true
+      case _ => false
+    }
+  }
+
+  def editslogRunning: Boolean = editsQuery.exists(_.isActive)
 }
 
 object Graft {
   /** Delta-version count that triggers auto-compaction on the next
     * incremental replay (keeps the read-side merge bounded). */
   val AutoCompactAfter = 8
+
+  /** [[Graft.snapshotDone]] outcome: the updated replica record, whether
+    * a Backlog CloseFile was emitted, and whether the call was a
+    * duplicate (reference: warn + return existing record). */
+  final case class SnapshotDone(replica: ReplicaState,
+      backlogEmitted: Boolean, duplicate: Boolean)
+
+  /** Lookup miss on the single-file callback surface — the REST layer
+    * maps this to 404 (unknown path ≠ malformed request). */
+  final class NotFound(msg: String) extends RuntimeException(msg)
+
+  /** Stable synthetic inode for a path (C10 id-synth parity — this
+    * namespace has no real inode numbers). Companion-level so the
+    * closure shipped to executors does not capture a facade instance. */
+  private[api] def inodeOf(st: FileState): Long = st.path.hashCode.toLong
 }

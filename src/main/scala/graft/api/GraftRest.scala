@@ -22,15 +22,31 @@ import graft.filters.DomainFilters.Filter
   *    the snapshot event set and returns its count (SnapshotService
   *    `run` returns the emitted-count the same way)
   *  - `GET    /snapshot/status` — per-entity live-file counts + max tx
-  *  - `GET    /editslog/status` — state watermark + persisted versions
-  *    (EditsLogReaderService `state`)
+  *  - `POST   /snapshot/done` — body `{"hdfsPath","transactionId"}`
+  *    (+ optional `"domain"`/`"entity"`, carried by the reference's
+  *    `SnapshotDoneRequest` for the message envelope; routing here
+  *    re-derives them from the registry) — the pipeline→snapshot-service
+  *    callback (SnapshotService `snapshotDone`,
+  *    `HDFSSnapshotProcessor.java:234-286`): flips the file's replica
+  *    record to ready and emits a Backlog CloseFile when the live head
+  *    advanced past the snapshot. 404 unknown path/record, 400 tx
+  *    mismatch, 409 before `/admin/snapshot/start`.
+  *  - `POST   /admin/snapshot/start` — init the service: build the
+  *    replica registry from current state (SnapshotService `start`)
+  *  - `POST   /admin/snapshot/stop` — dispose (SnapshotService `stop`)
+  *  - `GET    /editslog/status` — state watermark + persisted versions +
+  *    processor running flag (EditsLogReaderService `state`)
+  *  - `POST   /editslog/start` — body `{"inDir","outDir","checkpoint"}`;
+  *    launches the change-stream processor (EditsLogReaderService
+  *    `start` took its ConfigSource the same way); 409 if running
+  *  - `POST   /editslog/stop` — halts it (EditsLogReaderService `stop`)
   *
   * Handlers run driver-side and call straight into Spark jobs, like
   * the reference's controllers called straight into its processors.
-  * One deliberate omission: `/admin/.../start|stop` process control
-  * belongs to the cluster manager (spark-submit / YARN / k8s), not an
-  * in-app endpoint — ARCHITECTURE.md records the same call for
-  * distributed locks.
+  * The admin verbs control DRIVER-SIDE service state (registry epoch,
+  * managed streaming query) — JVM process control still belongs to the
+  * cluster manager (spark-submit / YARN / k8s), as ARCHITECTURE.md
+  * records for distributed locks.
   */
 final class GraftRest(graft: Graft, port: Int = 0) {
 
@@ -94,9 +110,42 @@ final class GraftRest(graft: Graft, port: Int = 0) {
               s""""n_files":${r.getLong(2)},"max_txid":${r.getLong(3)}}"""
           }
           respond(ex, 200, rows.mkString("[", ",", "]"))
+        case ("POST", "/snapshot/done") =>
+          val o = JsonLite.parseObject(body(ex))
+          val path = o.get("hdfsPath") match {
+            case Some(p: String) => p
+            case _ => throw new IllegalArgumentException(
+              "missing field 'hdfsPath'")
+          }
+          val tx = o.get("transactionId") match {
+            case Some(n: Long) => n
+            case _ => throw new IllegalArgumentException(
+              "missing field 'transactionId'")
+          }
+          val r = graft.snapshotDone(path, tx)
+          respond(ex, 200, snapshotDoneJson(r))
+        case ("POST", "/admin/snapshot/start") =>
+          val n = graft.snapshotStart()
+          respond(ex, 200, s"""{"state":"Running","registered":$n}""")
+        case ("POST", "/admin/snapshot/stop") =>
+          graft.snapshotStop()
+          respond(ex, 200, """{"state":"Disposed"}""")
+        case ("POST", "/editslog/start") =>
+          val o = JsonLite.parseObject(body(ex))
+          def str(k: String): String = o.get(k) match {
+            case Some(v: String) => v
+            case _ => throw new IllegalArgumentException(s"missing field '$k'")
+          }
+          graft.editslogStart(str("inDir"), str("outDir"), str("checkpoint"))
+          respond(ex, 200, """{"state":"Running"}""")
+        case ("POST", "/editslog/stop") =>
+          val stopped = graft.editslogStop()
+          respond(ex, 200,
+            s"""{"state":"${if (stopped) "Stopped" else "NotRunning"}"}""")
         case ("GET", "/editslog/status") =>
           respond(ex, 200,
             s"""{"watermark":${graft.watermark()},""" +
+              s""""running":${graft.editslogRunning},""" +
               s""""versions":${graft.versions().mkString("[", ",", "]")}}""")
         case _ =>
           // quote: the decoded path can carry quotes/control chars and
@@ -105,12 +154,25 @@ final class GraftRest(graft: Graft, port: Int = 0) {
             s"""{"error":${JsonLite.quote(s"no route for $method $path")}}""")
       }
     } catch {
+      case e: Graft.NotFound =>
+        respond(ex, 404, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
+      case e: IllegalStateException => // service lifecycle conflicts
+        respond(ex, 409, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
       case e: Throwable =>
         respond(ex, 500, s"""{"error":${JsonLite.quote(String.valueOf(e))}}""")
     }
   }
+
+  private def snapshotDoneJson(r: Graft.SnapshotDone): String =
+    s"""{"inode":${r.replica.inode},""" +
+      s""""path":${JsonLite.quote(r.replica.path)},""" +
+      s""""snapshotTxId":${r.replica.snapshotTxId},""" +
+      s""""lastReplicatedTx":${r.replica.lastReplicatedTx},""" +
+      s""""snapshotReady":${r.replica.snapshotReady},""" +
+      s""""backlogEmitted":${r.backlogEmitted},""" +
+      s""""duplicate":${r.duplicate}}"""
 
   private def toFilter(domain: String, o: Map[String, Any]): Filter = {
     def str(k: String): String = o.get(k) match {
