@@ -118,7 +118,7 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   /** Fold all versions into a single new base and prune the old ones. */
   def compact(): Unit = {
     val vs = versions()
-    val snapshot = stateTable.toDF().localCheckpoint(true)
+    val snapshot = stateTable.toDF().transform(graft.util.Pin.apply)
     writeVersion(snapshot, allVersionDirs().maxOption.getOrElse(-1L) + 1)
     vs.foreach(v => fs.delete(hpath(s"files_v$v"), true))
   }
@@ -220,7 +220,7 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def snapshotStart(): Long = synchronized {
     val reg = ReplicaTracker.fromSnapshot(stateTable, Graft.inodeOf).toDF()
       // sever lineage before the old registry dirs are deleted below
-      .localCheckpoint(true)
+      .transform(graft.util.Pin.apply)
     allVersionDirs("replicas").foreach(v =>
       fs.delete(hpath(s"replicas_v$v"), true))
     writeVersion(reg, 0L, "replicas")
@@ -295,7 +295,7 @@ final class Graft(val spark: SparkSession, stateDir: String) {
 
   private def compactReplicas(): Unit = {
     val vs = committedVersions("replicas")
-    val snap = replicaTable.toDF().localCheckpoint(true)
+    val snap = replicaTable.toDF().transform(graft.util.Pin.apply)
     writeVersion(snap, allVersionDirs("replicas").max + 1, "replicas")
     vs.foreach(v => fs.delete(hpath(s"replicas_v$v"), true))
   }

@@ -207,7 +207,7 @@ object FsImageBinary {
           Iterator.single(ImageRow("txid", -1L, "", "", 0L, 0L, -1L, -1L,
             s.txId))
       }
-      .localCheckpoint(true)
+      .transform(graft.util.Pin.apply)
   }
 
   private def inodesOf(parsed: Dataset[ImageRow])(

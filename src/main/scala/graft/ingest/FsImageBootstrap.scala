@@ -143,7 +143,7 @@ object FsImageBootstrap {
           col("pparent").as("nextUp"))
       // truncate lineage each round — without this the plan nests one
       // join per depth level and the optimizer re-walks it every action
-      current = stepped.localCheckpoint(true)
+      current = stepped.transform(graft.util.Pin.apply)
       // fixpoint when nobody has a parent left to climb
       continue = current.filter(col("nextUp").isNotNull).limit(1).count() > 0
       i += 1

@@ -473,7 +473,7 @@ object Cdc {
       // partition of the routed set (the writes below are per-entity
       // filters over this set; the registry bounds the entity count)
       .repartition(routeFilters.map(_.entity).distinct.size, col("entity"))
-      .localCheckpoint(true)
+      .transform(graft.util.Pin.apply)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_delta_").toString
     // bounded collect: the registered-entity alphabet (registry-sized)

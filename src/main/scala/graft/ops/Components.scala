@@ -45,7 +45,7 @@ object Components {
     val dst = edges.columns(1)
     val both = edges.select(col(src).as("eSrc"), col(dst).as("eDst"))
       .union(edges.select(col(dst).as("eSrc"), col(src).as("eDst")))
-      .localCheckpoint(true)
+      .transform(graft.util.Pin.apply)
     // Size the per-round shuffles to the GRAPH, not the session's
     // corpus-scale default: the verified-pair graph is orders of
     // magnitude smaller than the corpus it came from, and a 32-way
@@ -61,7 +61,7 @@ object Components {
     try {
       var labels = both.select(col("eSrc").as("id")).distinct()
         .select(col("id"), col("id").as("component"))
-        .localCheckpoint(true)
+        .transform(graft.util.Pin.apply)
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -76,7 +76,7 @@ object Components {
           .select(col("id"), col("prev"),
             least(col("prev"), coalesce(col("viaEdge"), col("prev")))
               .as("component"))
-          .localCheckpoint(true)
+          .transform(graft.util.Pin.apply)
         converged = next.filter(col("component") < col("prev")).isEmpty
         labels = next.select(col("id"), col("component"))
         round += 1
@@ -130,11 +130,11 @@ object Components {
     *             [[connectedComponents]] */
   private[graft] def starLabels(both: DataFrame, maxRounds: Int = 64): DataFrame = {
     var edges = both.select(col("eSrc").as("u"), col("eDst").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().transform(graft.util.Pin.apply)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val ss = smallStar(largeStar(edges)).localCheckpoint(true)
+      val ss = smallStar(largeStar(edges)).transform(graft.util.Pin.apply)
       // equal edge sets ⟺ same size and no new rows: one count (cheap,
       // just checkpointed) + one anti-join that short-circuits on the
       // first difference

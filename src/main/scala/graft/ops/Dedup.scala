@@ -423,7 +423,7 @@ object Dedup {
     // the full shingle table. At cluster scale this is the same
     // "checkpoint the shared frontier" device the label-propagation
     // rounds use.
-    val kept = grams.join(dfreq.select(col("h")), "h").localCheckpoint(true)
+    val kept = grams.join(dfreq.select(col("h")), "h").transform(graft.util.Pin.apply)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     kept.as("x")
       .join(kept.as("y"),
@@ -494,7 +494,7 @@ object Dedup {
     val dfreq = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
-    val kept = grams.join(dfreq.select(col("h")), "h").localCheckpoint(true)
+    val kept = grams.join(dfreq.select(col("h")), "h").transform(graft.util.Pin.apply)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     kept.as("x")
       .join(kept.as("y"),
@@ -573,7 +573,7 @@ object Dedup {
         Window.partitionBy(col("th"))))
       .filter(col("doc_id") > col("min_id"))
       .select(col("doc_id")).withColumn("is_batch", lit(1L))
-    val bands = bandTable(docs).localCheckpoint(true)
+    val bands = bandTable(docs).transform(graft.util.Pin.apply)
     val newIds = newDocs.select(col("doc_id"))
     val corpusIds = hashed.filter(!isNew).select(col("doc_id"))
     val cand = bands.join(newIds, "doc_id").as("x")

@@ -71,9 +71,9 @@ object Graphs {
       .unionAll(w.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
     val deg = edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
     // one materialization feeds every iteration's join
-    val edges = edges0.join(deg, "src").localCheckpoint(true)
+    val edges = edges0.join(deg, "src").transform(graft.util.Pin.apply)
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.util.Pin.apply)
     val n = nodes.count()
     val base = (PrScale * 15 / 100) / n // deterministic: all integer
     var pr = nodes.withColumn("pr", lit(PrScale / n))

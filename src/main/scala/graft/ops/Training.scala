@@ -380,7 +380,7 @@ object Training {
     // the gram table feeds five actions (eval count, Bloom build, the
     // pruned-candidate agg, the un-pruned exact join, nTrain) —
     // materialize the explode+md5 once, the q67 lesson applied here
-    val g = grams(s, dir).localCheckpoint(true)
+    val g = grams(s, dir).transform(graft.util.Pin.apply)
     val evalG = g.filter(col("doc_id") % EvalMod === 0)
       .select(col("g")).distinct()
     val filter = graft.functions.bloom.buildString(
