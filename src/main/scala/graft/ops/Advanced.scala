@@ -1094,7 +1094,8 @@ object Advanced {
       |         s - CASE WHEN s > 0 AND s * s > var2 THEN 1 ELSE 0 END AS s
       |       FROM s0),
       |sd AS (SELECT event_type, mean_milli,
-      |         s + CASE WHEN (s + 1) * (s + 1) <= var2 THEN 1 ELSE 0 END
+      |         s + CASE WHEN s < 3037000499 AND (s + 1) * (s + 1) <= var2
+      |                  THEN 1 ELSE 0 END
       |           AS sd_milli
       |       FROM s1)
       |SELECT daily.event_type, day, x, mean_milli, sd_milli,
@@ -2008,9 +2009,12 @@ object Advanced {
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
     val (n1, n2, n3) = (t1.count(), t2.count(), t3.count())
     import s.implicits._
-    Seq((1L, "view", n1, 1000000L),
-      (2L, "view>click", n2, n2 * 1000000L / n1),
-      (3L, "view>click>purchase", n3, n3 * 1000000L / n1))
+    // degenerate slice with zero stage-1 users: a zero funnel, not a
+    // division crash — mirrored by CASE WHEN n1 = 0 in the oracle
+    def ppm(n: Long): Long = if (n1 == 0) 0L else n * 1000000L / n1
+    Seq((1L, "view", n1, if (n1 == 0) 0L else 1000000L),
+      (2L, "view>click", n2, ppm(n2)),
+      (3L, "view>click>purchase", n3, ppm(n3)))
       .toDF("step", "stage", "n_users", "conv_ppm")
       .orderBy(col("step"))
   }
@@ -2031,11 +2035,14 @@ object Advanced {
       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
       |SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, n1 AS n_users,
-      |    CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+      |    CAST(CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END AS BIGINT)
+      |      AS conv_ppm FROM n
       |  UNION ALL
-      |  SELECT 2, 'view>click', n2, n2 * 1000000 // n1 FROM n
+      |  SELECT 2, 'view>click', n2,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END FROM n
       |  UNION ALL
-      |  SELECT 3, 'view>click>purchase', n3, n3 * 1000000 // n1 FROM n)
+      |  SELECT 3, 'view>click>purchase', n3,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE n3 * 1000000 // n1 END FROM n)
       |ORDER BY step""".stripMargin
 
   // ------------------------------------------------------------- q180
