@@ -259,28 +259,31 @@ object Relational2 {
   private val SaltFactor = 8
 
   /** q125: SKEW-SALTED JOIN — the manual hot-key treatment (q17 salts
-    * an aggregation; this salts a join): the build side replicates
-    * each row across [[SaltFactor]] salt values, the probe side draws
-    * a deterministic salt per row, and the join key becomes
-    * (key, salt) — a single hot orderkey's rows now land on 8 reducers
-    * instead of one. Gated against the UNSALTED join's aggregate:
-    * salting must be invisible in the result. At 100 TB the automatic
-    * path is AQE's skew-join split (enabled in Bench/Verify); the
-    * manual salt is the portable form that also works mid-pipeline
-    * where AQE cannot re-plan. Cost note: replication multiplies the
-    * build side ×8 — production salts only keys a frequency pass
-    * flags as hot; the technique, not the threshold, is under test. */
+    * an aggregation; this salts a join), in its PRODUCTION form: a
+    * frequency pass flags hot keys, only their build rows replicate
+    * across [[SaltFactor]] salt values, only their probe rows draw a
+    * spread salt, and every cold key rides salt 0 untouched
+    * ([[graft.util.Salting.hotSaltedJoin]]). Gated against the
+    * UNSALTED join's aggregate: salting must be invisible in the
+    * result.
+    *
+    * Round-7 measurement (`graft.SkewProbe`, 30% of probe rows on one
+    * hot key): BLANKET build-side salting — this query's previous form
+    * — ran 24.1 s at the 100× directory vs 10.1 s for AQE's runtime
+    * skew split and 22.4 s untreated: whole-side replication loses
+    * even to doing nothing. Hence the adopted order at 100 TB: let AQE
+    * split skewed join partitions (on by default); reach for the
+    * manual salt only where AQE cannot re-plan, and then always
+    * frequency-gated. */
   private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .withColumn("salt", explode(expr(s"sequence(0, ${SaltFactor - 1})")))
     val li = load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"),
         col("l_linenumber"))
-      .withColumn("salt",
-        pmod(hash(col("l_linenumber")), lit(SaltFactor)))
-    li.join(ord, col("l_orderkey") === col("o_orderkey")
-        && li("salt") === ord("salt"))
+    graft.util.Salting.hotSaltedJoin(li, ord,
+        "l_orderkey", "o_orderkey",
+        spread = col("l_linenumber"), nSalts = SaltFactor)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).cast(LongType).as("n_items"),
         Tables.dsum(col("l_extendedprice")).as("revenue"))

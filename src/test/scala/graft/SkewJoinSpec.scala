@@ -58,4 +58,42 @@ class SkewJoinSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("hot-salted join replicates ONLY flagged keys and matches plain join") {
+    import spark.implicits._
+    // one hot key (5000 rows) among 100 cold keys (~5 rows each)
+    val probe = spark.range(5000)
+      .select(lit(0L).as("k"), col("id").as("spread"),
+        (col("id") % 10).as("v"))
+      .union(spark.range(500).select((col("id") % 100 + 1).as("k"),
+        col("id").as("spread"), (col("id") % 10).as("v")))
+    val build = spark.range(101).select(col("id").as("bk"),
+      concat(lit("name-"), col("id")).as("name"))
+
+    val hot = graft.util.Salting.hotKeys(probe, "k")
+      .as[Long].collect().toSet // bounded collect: heavy-hitter set
+    assert(hot == Set(0L), s"expected exactly the hot key, got $hot")
+
+    val salted = graft.util.Salting.hotSaltedJoin(probe, build,
+      "k", "bk", spread = col("spread"))
+    val plain = probe.join(build, col("k") === col("bk"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(agg(salted) == agg(plain), "salting changed the join result")
+
+    // replication really is hot-only: cold build rows must NOT fan out
+    val buildSide = build
+      .join(org.apache.spark.sql.functions.broadcast(
+        graft.util.Salting.hotKeys(probe, "k")
+          .withColumnRenamed("k", "__hot")),
+        col("bk") === col("__hot"), "left")
+      .withColumn("nSalt",
+        when(col("__hot").isNotNull, lit(8)).otherwise(lit(1)))
+    val expected = buildSide.agg(sum(col("nSalt"))).head().getLong(0)
+    assert(expected == 100L + 8L, // 100 cold × 1 + 1 hot × 8
+      s"hot-only replication bound violated: $expected")
+  }
 }
