@@ -573,33 +573,43 @@ object Advanced {
     * metrics pipeline applies before averaging: clamp each value to
     * the [p5, p95] band and average the clamped series. Fully integer:
     * values are micro-quantized, the percentile is NEAREST-RANK
-    * (cutoff = value at row_number ceil(p·n) in (value, event_id)
-    * order — no interpolation, no doubles), and the means are floor
-    * divisions. One sort-window over the series-key shuffle finds both
-    * cutoffs; the bounded per-type cutoff table rides back as a
-    * broadcast-sized aggregate join. */
+    * (cutoff = value at rank ceil(p·n) — no interpolation, no
+    * doubles), and the means are floor divisions.
+    *
+    * Scale shape (round-7 rewrite): the former per-type
+    * `row_number()` window sorted each type's FULL row set in one
+    * task (5-value alphabet ⇒ one task owns 20M rows at 100×;
+    * measured exponent 1.13). The value-at-rank map is tie-break
+    * independent, so the query now runs on the VALUE HISTOGRAM:
+    * one map-side-combinable groupBy(type, v) — the only big-data op
+    * — then running counts, cutoffs, and BOTH means (Σ cnt·clamp(v))
+    * entirely on the histogram, whose size is the distinct
+    * micro-value set (saturates far below row count; truly
+    * continuous domains would first quantize or t-digest, same
+    * shape). Measured 4.9 s → sub-second at the 100× directory. */
   private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
-    val v = load(s, dir, "events")
-      .select(col("event_type"), col("event_id"),
+    val hist = load(s, dir, "events")
+      .select(col("event_type"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("v"), col("event_id"))
-    val ranked = v
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val cuts = ranked
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
       .withColumn("lo_rank", expr("(n * 5 + 99) div 100"))
       .withColumn("hi_rank", expr("(n * 95 + 99) div 100"))
-      .groupBy(col("event_type"))
-      .agg(max(when(col("rn") === col("lo_rank"), col("v"))).as("lo_v"),
-        max(when(col("rn") === col("hi_rank"), col("v"))).as("hi_v"))
-    v.join(cuts, "event_type")
+    val cuts = cum.groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= col("lo_rank"), col("v"))).as("lo_v"),
+        min(when(col("cum") >= col("hi_rank"), col("v"))).as("hi_v"))
+    hist.join(cuts, "event_type")
       .withColumn("cv", least(greatest(col("v"), col("lo_v")), col("hi_v")))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         max(col("lo_v")).as("lo_v"), max(col("hi_v")).as("hi_v"),
-        expr("sum(v) div count(1)").as("raw_mean_micro"),
-        expr("sum(cv) div count(1)").as("robust_mean_micro"))
+        expr("sum(v * cnt) div sum(cnt)").as("raw_mean_micro"),
+        expr("sum(cv * cnt) div sum(cnt)").as("robust_mean_micro"))
       .orderBy(col("event_type"))
   }
 
@@ -1397,37 +1407,43 @@ object Advanced {
     * the inputs are small integers whose double interpolation happens
     * to agree; this is the formulation that CANNOT disagree: position
     * p·(n−1) as an exact rational over denominator 100, the lower/
-    * upper order statistics fetched by rank, and the interpolation
-    * v_lo·10^6 + (v_hi−v_lo)·frac·10^6 div 100 in pure BIGINT micro
-    * units. One sort window per group + two rank equi-joins. */
+    * upper order statistics fetched by running count, and the
+    * interpolation v_lo·10^6 + (v_hi−v_lo)·frac·10^6 div 100 in pure
+    * BIGINT micro units.
+    *
+    * Scale shape (round-7 rewrite): the former per-flag `row_number()`
+    * window sorted each flag's FULL row set in one task (3-value
+    * alphabet ⇒ one task owns a third of lineitem; measured 75 s and
+    * exponent 1.02 at the 100× directory). The value-at-rank map is
+    * tie-break independent, so the order statistics now come from the
+    * VALUE HISTOGRAM: one map-side-combinable groupBy(flag, quantity)
+    * — 3×50 rows at any SF — then running counts and the two
+    * conditional-min lookups on that tiny table. Sub-second at 100×. */
   private def qIntegerQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val v = load(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        col("l_quantity").cast(LongType).as("q"),
-        col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = v.withColumn("rn", row_number().over(w))
-      .select(col("l_returnflag").as("rf"), col("rn"), col("q"))
-    val stats = ranked.groupBy(col("rf"))
-      .agg(max(col("rn")).as("n"))
-      .withColumnRenamed("rf", "l_returnflag")
+    val hist = load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast(LongType).as("q"))
+      .groupBy(col("rf"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("rf")).orderBy(col("q"))))
+    val stats = cum.groupBy(col("rf"))
+      .agg(max(col("cum")).as("n"))
       .withColumn("p", explode(expr("array(25L, 50L, 75L)")))
       .withColumn("pos_num", expr("p * (n - 1)"))
       .withColumn("idx_lo", expr("pos_num div 100"))
       .withColumn("frac_num", expr("pos_num % 100"))
-    stats
-      .join(ranked.select(col("rf").as("rf1"), col("rn").as("rn_lo"),
-        col("q").as("v_lo")),
-        col("rn_lo") === col("idx_lo") + 1 &&
-          col("rf1") === col("l_returnflag"))
-      .join(ranked.select(col("rf").as("rf2"),
-        col("rn").as("rn_hi"), col("q").as("v_hi")),
-        col("rn_hi") === least(col("idx_lo") + 2, col("n")) &&
-          col("rf2") === col("l_returnflag"))
+      .withColumn("rank_lo", col("idx_lo") + 1)
+      .withColumn("rank_hi", least(col("idx_lo") + 2, col("n")))
+    stats.join(cum, "rf") // tiny × tiny (9 × histogram rows)
+      .groupBy(col("rf"), col("p"), col("n"), col("frac_num"))
+      .agg(min(when(col("cum") >= col("rank_lo"), col("q"))).as("v_lo"),
+        min(when(col("cum") >= col("rank_hi"), col("q"))).as("v_hi"))
       .withColumn("q_micro", expr(
         "v_lo * 1000000 + (v_hi - v_lo) * frac_num * 1000000 div 100"))
-      .select(col("l_returnflag"), col("p"), col("n"), col("q_micro"))
+      .select(col("rf").as("l_returnflag"), col("p"), col("n"),
+        col("q_micro"))
       .orderBy(col("l_returnflag"), col("p"))
   }
 
