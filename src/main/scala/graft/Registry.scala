@@ -21,7 +21,8 @@ object Registry {
       ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Extras.defs ++
       ops.Curation.defs ++ ops.Training.defs ++ ops.Tokenizer.defs ++
       ops.Filtering.defs ++ ops.CorpusOps.defs ++ ops.Relational2.defs ++
-      ops.Materialize.defs ++ ops.Graphs.defs ++ ops.Advanced.defs
+      ops.Materialize.defs ++ ops.Graphs.defs ++ ops.Advanced.defs ++
+      ops.Wave7.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

@@ -42,7 +42,7 @@ object Dedup {
     * verify-stage Jaccard). 8 hashes = two md5 digests per shingle;
     * at t = 0.5 the planner lands on 4 bands × 2 rows. */
   private val LshParams = LshPlanner.plan(JaccardThreshold, maxHashes = 8)
-  private val NumHashes = LshParams.numHashes
+  private[ops] val NumHashes = LshParams.numHashes
   private val Bands = LshParams.bands
   private val Rows = LshParams.rows
   require(NumHashes <= 8, "hash family below draws from two md5 digests")
@@ -62,7 +62,9 @@ object Dedup {
     * bit-for-bit in DuckDB. Shared by the batch candidate join (q35)
     * and the streaming incremental index (q72), so both paths bucket
     * identically by construction. */
-  private[graft] def bandTable(docs0: DataFrame): DataFrame = {
+  /** (doc_id, h0..h7) MinHash signature table — the shared stage under
+    * [[bandTable]] and q188's banding-parameter sweep. */
+  private[ops] def sigTable(docs0: DataFrame): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -81,8 +83,12 @@ object Dedup {
       val src = if (i < 4) col("ha") else col("hb")
       min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
     }
-    val sigs = shingles.groupBy(col("doc_id"))
+    shingles.groupBy(col("doc_id"))
       .agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  private[graft] def bandTable(docs0: DataFrame): DataFrame = {
+    val sigs = sigTable(docs0)
     val bandCols = (0 until Bands).map { b =>
       val rowCols = (0 until Rows).map(i => col(s"h${b * Rows + i}"))
       md5(concat((lit(s"$b:") +: rowCols): _*))
@@ -99,18 +105,13 @@ object Dedup {
       .distinct()
   }
 
-  /** CTE chain reproducing [[bandTable]] in DuckDB, ending at `bands`
-    * — shared by [[candidatesCte]] (all-pairs-within-bucket form) and
-    * q144's new-vs-corpus band join. */
-  private[ops] val bandsCte = {
+  /** CTE chain reproducing [[sigTable]] in DuckDB, ending at `sig` —
+    * shared by [[bandsCte]] and q188's banding sweep. */
+  private[ops] val sigCte = {
     val hs = (0 until NumHashes).map { i =>
       val src = if (i < 4) "ha" else "hb"
       s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS h$i"
     }.mkString(",\n   ")
-    val bs = (0 until Bands)
-      .map(b => s"md5('$b:' || " +
-        (0 until Rows).map(i => s"h${b * Rows + i}").mkString(" || ") + ")")
-      .mkString(", ")
     s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -124,7 +125,18 @@ object Dedup {
        |sig AS (
        |  SELECT doc_id,
        |   $hs
-       |  FROM sh GROUP BY doc_id),
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** CTE chain reproducing [[bandTable]] in DuckDB, ending at `bands`
+    * — shared by [[candidatesCte]] (all-pairs-within-bucket form) and
+    * q144's new-vs-corpus band join. */
+  private[ops] val bandsCte = {
+    val bs = (0 until Bands)
+      .map(b => s"md5('$b:' || " +
+        (0 until Rows).map(i => s"h${b * Rows + i}").mkString(" || ") + ")")
+      .mkString(", ")
+    s"""$sigCte,
        |bands AS (
        |  SELECT doc_id, unnest([$bs]) AS band FROM sig)""".stripMargin
   }
