@@ -5,6 +5,11 @@ object TimeQ {
     val names = args(0).split(",")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    // count() lets Catalyst prune the aggregate payload — for queries
+    // whose row count is derivable from a keyed join (q188: right join
+    // on an aggregated key) that under-measures by >10x. "collect"
+    // mode forces every output column to materialize.
+    val collectMode = args.length > 3 && args(3) == "collect"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,9 +20,13 @@ object TimeQ {
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       // warmup at sf0.001
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+      def run(dir: String): Long = {
+        val df = fn(spark, dir)
+        if (collectMode) df.collect().length.toLong else df.count()
+      }
+      try run("/root/testdata/sf0.001") catch { case _: Throwable => () }
       val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); val c = fn(spark, sfDir).count()
+        val t0 = System.nanoTime(); val c = run(sfDir)
         ((System.nanoTime() - t0) / 1e9, c)
       }
       System.err.println(f"[timeq] $n rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")}")
