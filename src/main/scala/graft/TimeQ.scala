@@ -22,6 +22,9 @@ object TimeQ {
       // warmup at sf0.001
       def run(dir: String): Long = {
         val df = fn(spark, dir)
+        // bounded collect — timing-harness materialization of a gate
+        // result (gate outputs are aggregates; the largest is ~1M rows
+        // at sf10), never a production return path
         if (collectMode) df.collect().length.toLong else df.count()
       }
       try run("/root/testdata/sf0.001") catch { case _: Throwable => () }

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q160_chi_square", // 1-row grand-total scalar broadcast (q70 shape)
     "q164_copurchase", // 1-row order-count scalar broadcast (q70 shape)
     "q175_apportion", // 1-row total/shortfall scalar broadcasts (q70 shape)
-    "q181_rfm_segments") // 1-row total-value scalar broadcast (q70 shape)
+    "q181_rfm_segments", // 1-row total-value scalar broadcast (q70 shape)
+    "q193_burstiness", // 1-row doc-count scalar broadcast (q70 shape)
+    "q195_vocab_growth") // 1-row max-doc-id scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
