@@ -352,10 +352,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Shared recursive-CTE chain: LSH candidates → Jaccard-verified pair
-    * graph → transitive closure → `comp(doc_id, cluster_id)`. Used by
-    * the q52 cluster listing and the q92 canonical-doc selection. */
-  private val clustersCte =
+  /** CTE chain ending at the Jaccard-verified pair graph `pairs(doc_a,
+    * doc_b)` — shared by [[clustersCte]] and q199's split-leakage
+    * audit. */
+  private[ops] val verifiedPairsCte =
     s"""$candidatesCte,
        |d AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
@@ -365,7 +365,14 @@ object Dedup {
        |  FROM cand c JOIN d a ON a.doc_id = c.doc_a
        |               JOIN d b ON b.doc_id = c.doc_b
        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-       |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+       |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5)""".stripMargin
+
+  /** Shared recursive-CTE chain: LSH candidates → Jaccard-verified pair
+    * graph → transitive closure → `comp(doc_id, cluster_id)`. Used by
+    * the q52 cluster listing, the q92 canonical-doc selection, and
+    * q197's cluster-size histogram. */
+  private[ops] val clustersCte =
+    s"""$verifiedPairsCte,
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL

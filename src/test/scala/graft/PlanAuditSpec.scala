@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q175_apportion", // 1-row total/shortfall scalar broadcasts (q70 shape)
     "q181_rfm_segments", // 1-row total-value scalar broadcast (q70 shape)
     "q193_burstiness", // 1-row doc-count scalar broadcast (q70 shape)
-    "q195_vocab_growth") // 1-row max-doc-id scalar broadcast (q70 shape)
+    "q195_vocab_growth", // 1-row max-doc-id scalar broadcast (q70 shape)
+    "q197_cluster_histogram") // two 1-row scalar totals for the singleton row
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
