@@ -1,0 +1,424 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.load
+
+/** Twelfth wave (round 7): association & structure mining — link
+  * prediction on the co-purchase graph (the "which edge is MISSING"
+  * counterpart to q164's "which edge is strong"), PMI-family
+  * collocations over text, an embedding covariance/correlation audit,
+  * and Cramér's V effect sizes on top of the q160 chi-square device.
+  *
+  * House rules: integer-exact ppm/milli conventions, DECIMAL(38,0)/
+  * HUGEINT routing past 2^63, square roots through `graft_isqrt`,
+  * signed divisions spelled sign·(|x| div y) so both engines agree
+  * regardless of their negative-division convention. */
+object Wave12 {
+
+  // ------------------------------------------------------------- q206
+
+  /** q206: LINK PREDICTION on the co-purchase graph — rank part pairs
+    * that are NOT co-purchased yet but share many co-purchase
+    * neighbors: common-neighbor count, neighbor-set Jaccard, and the
+    * resource-allocation index Σ_z 1/deg(z) (the log-free member of
+    * the Adamic-Adar family, exact in ppm). Complements q164, which
+    * scores EXISTING edges.
+    *
+    * Scale shape: the graph is SPARSIFIED FIRST — only strong edges
+    * (co-purchased in ≥ 2 orders, q164's measured-stable support
+    * floor) enter; on the raw co-occurrence graph every part is
+    * 2 hops from every other (median degree 119 measured at sf1) and
+    * the candidate space is Σ_z deg(z)² ≈ 3·10⁹ — the thresholded
+    * graph is thousands of edges at any SF. Pair generation itself is
+    * an order-key self-join (fan-out ≤ order width², never corpus²).
+    * Bridge nodes are additionally degree-capped at 64 — on the
+    * strong-edge graph a genuine hub guard that rarely binds, with
+    * the capped count reported in every row so pruning is visible;
+    * u/v degrees for Jaccard stay uncapped. Top-20 by (cn, ra) with
+    * a total (u,v) tie-break — a TakeOrdered, never a global sort. */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val op = load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // measured asymmetry: packing the pair into one BIGINT (a·2³² + b)
+    // SLOWS Spark's codegen hash-agg here (119s vs 71s min-of-3 at the
+    // 100× directory) while the same packing is what makes the DuckDB
+    // oracle feasible — each engine gets its own formulation
+    val edges = op.as("x").join(op.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+      .select(col("a"), col("b"))
+    val sym = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nCapped = deg.filter(col("deg") > 64)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_capped_bridges"))
+    // 2-hop through degree-capped bridges z
+    val viaZ = sym.join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "zdeg"), "b")
+      .filter(col("zdeg") <= 64)
+      .select(col("a").as("u"), col("b").as("z"), col("zdeg"))
+    val cand = viaZ.as("l")
+      .join(viaZ.withColumnRenamed("u", "v").as("r"), Seq("z", "zdeg"))
+      .filter(col("u") < col("v"))
+      .join(edges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div zdeg")).as("ra_ppm"))
+    cand
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jaccard_ppm", expr("cn * 1000000 div (du + dv - cn)"))
+      .crossJoin(broadcast(nCapped))
+      .select(col("u"), col("v"), col("cn"), col("ra_ppm"),
+        col("jaccard_ppm"), col("du"), col("dv"), col("n_capped_bridges"))
+      .orderBy(col("cn").desc, col("ra_ppm").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** Oracle note: the support-floor aggregation runs on a PACKED
+    * single-BIGINT pair key (a·2³² + b) — grouping the ~10⁸-row pair
+    * stream on two separate columns made DuckDB spill past the
+    * sandbox's 70 GiB temp budget at the 100× directory, while the
+    * packed key finishes in seconds; unpacked afterwards, identical
+    * results (partkeys are far below 2³²). The twice-referenced CTEs
+    * are AS MATERIALIZED — DuckDB otherwise inlines `viaz` into both
+    * sides of the 2-hop join and re-runs the whole upstream pair
+    * pipeline twice concurrently, which is what actually blew the
+    * spill budget. */
+  private val qLinkPredictionSql =
+    """WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pk AS (
+      |  SELECT x.p * 4294967296 + y.p AS k
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+      |ek AS (SELECT k FROM pk GROUP BY k HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT k // 4294967296 AS a, k % 4294967296 AS b FROM ek),
+      |sym AS MATERIALIZED (
+      |  SELECT a, b FROM edges
+      |  UNION ALL SELECT b AS a, a AS b FROM edges),
+      |deg AS MATERIALIZED (
+      |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM sym GROUP BY 1),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_capped_bridges
+      |       FROM deg WHERE deg > 64),
+      |viaz AS MATERIALIZED (
+      |  SELECT sym.a AS u, sym.b AS z, deg.deg AS zdeg
+      |  FROM sym JOIN deg ON deg.node = sym.b WHERE deg.deg <= 64),
+      |hop AS (
+      |  SELECT l.u AS u, r.u AS v, l.zdeg
+      |  FROM viaz l JOIN viaz r ON l.z = r.z AND l.u < r.u),
+      |cand AS (
+      |  SELECT hop.u, hop.v, CAST(COUNT(*) AS BIGINT) AS cn,
+      |    CAST(SUM(1000000 // hop.zdeg) AS BIGINT) AS ra_ppm
+      |  FROM hop LEFT JOIN edges e ON e.a = hop.u AND e.b = hop.v
+      |  WHERE e.a IS NULL
+      |  GROUP BY 1, 2)
+      |SELECT u, v, cn, ra_ppm,
+      |  CAST(cn * 1000000 // (du.deg + dv.deg - cn) AS BIGINT)
+      |    AS jaccard_ppm,
+      |  du.deg AS du, dv.deg AS dv, nc.n_capped_bridges
+      |FROM cand
+      |JOIN deg du ON du.node = cand.u
+      |JOIN deg dv ON dv.node = cand.v
+      |CROSS JOIN nc
+      |ORDER BY cn DESC, ra_ppm DESC, u, v LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- q207
+
+  /** q207: COLLOCATION MINING — adjacent-word bigrams ranked by
+    * pointwise association LIFT c(ab)·W / (c(a)·c(b)) in exact ppm
+    * (the monotone-equivalent of PMI, log-free so both engines agree
+    * bit-for-bit), support floor c(ab) ≥ 5. The q91 split device
+    * provides the bigram stream; counts are three map-side-combinable
+    * groupBys over it; the scoring join touches only the (tiny)
+    * bigram-type table, never the corpus.
+    *
+    * Top-20 by (lift, count, a, b) — a TakeOrdered. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bi = load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+    val uni = bi.select(col("w1").as("w"))
+      .unionByName(bi.select(col("w2").as("w")))
+    val cw = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = bi.agg((count(lit(1)) * 2).as("tot_w"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+      .join(cw.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+      .join(cw.select(col("w").as("w2"), col("cw").as("cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(cab AS DECIMAL(38,0)) * tot_w * 1000000
+          |  div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("cab").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val qCollocationsSql =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM ws WHERE len(ws) >= 2),
+      |uni AS (SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi),
+      |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS tot_w FROM bi),
+      |ab AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT ab.w1, ab.w2, cab, ca.cw AS ca, cb.cw AS cb,
+      |  CAST(CAST(cab AS HUGEINT) * tot_w * 1000000
+      |    // (CAST(ca.cw AS HUGEINT) * cb.cw) AS BIGINT) AS lift_ppm
+      |FROM ab
+      |JOIN cw ca ON ca.w = ab.w1
+      |JOIN cw cb ON cb.w = ab.w2
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, cab DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- q208
+
+  /** q208: EMBEDDING COVARIANCE/CORRELATION AUDIT over the first 8
+    * dimensions — the whitening / redundant-feature screen: per dim
+    * pair (i ≤ j) the exact integer covariance numerator
+    * n·Σxy − Σx·Σy on milli-quantized components and the correlation
+    * in ppm via `graft_isqrt` of the variance numerators. Signed
+    * divisions are spelled sign·(|x| div y).
+    *
+    * Scale shape: ONE single-pass, map-side-combinable wide aggregate
+    * (8 sums + 8 squares + 28 cross products, all codegen'd — no
+    * explode, no self-join, no shuffle of pair rows); the 1×52
+    * aggregate row is reshaped to 36 report rows by `stack`, a
+    * driver-free generator on a one-row frame. */
+  private def qCovarianceAudit(s: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to 8
+    val base = load(s, dir, "embeddings").select(
+      dims.map(i => expr(
+        // widen float→double BEFORE the arithmetic: both engines then
+        // run the identical IEEE double ops (DuckDB would otherwise
+        // stay in single precision and round differently near .5)
+        s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 1000" +
+          s" + 0.5) AS BIGINT)")
+        .as(s"x$i")): _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        dims.map(i => sum(col(s"x$i")).as(s"s$i")) ++
+        (for (i <- dims; j <- dims if i <= j) yield
+          sum(expr(s"CAST(x$i AS DECIMAL(38,0)) * x$j")).as(s"p${i}_$j"))
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (for (i <- dims; j <- dims if i <= j) yield
+      Seq(s"${i}L", s"${j}L", s"s$i", s"s$j", s"p${i}_$i", s"p${j}_$j",
+        s"p${i}_$j")).flatten
+    wide
+      .select(col("n"),
+        expr(s"stack(36, ${stackArgs.mkString(", ")})")
+          .as(Seq("i", "j", "sx", "sy", "pxx", "pyy", "pxy")))
+      .withColumn("cov_num", expr(
+        "CAST(n AS DECIMAL(38,0)) * pxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("varx_num", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * pxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"))
+      .withColumn("vary_num", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * pyy" +
+          " - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)"))
+      .withColumn("cov_milli2", expr(
+        "CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END" +
+          " * (abs(cov_num) div (CAST(n AS DECIMAL(38,0)) * n))" +
+          " AS BIGINT)"))
+      .withColumn("sd_prod",
+        graft.functions.IntegerSqrt(col("varx_num")) *
+          graft.functions.IntegerSqrt(col("vary_num")))
+      // clamp: isqrt truncation in sd_prod can push |corr| a few ppm
+      // past 1 (var div floor(sqrt(var))² ≥ 1); a correlation report
+      // should stay in [-1, 1]
+      .withColumn("corr_ppm", expr(
+        "CASE WHEN sd_prod = 0 THEN 0L" +
+          " ELSE least(1000000L, greatest(-1000000L," +
+          " CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END" +
+          " * (abs(cov_num) * 1000000 div sd_prod) AS BIGINT))) END"))
+      .select(col("i"), col("j"), col("n"), col("cov_milli2"),
+        col("corr_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val qCovarianceAuditSql = {
+    val sums = (1 to 8).map(i =>
+      s"CAST(SUM(x$i) AS BIGINT) AS s$i").mkString(",\n      |    ")
+    val prods = (for (i <- 1 to 8; j <- 1 to 8 if i <= j) yield
+      s"SUM(CAST(x$i AS HUGEINT) * x$j) AS p${i}_$j")
+      .mkString(",\n      |    ")
+    val quant = (1 to 8).map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000 + 0.5)" +
+        s" AS BIGINT) AS x$i")
+      .mkString(",\n      |    ")
+    val rows = (for (i <- 1 to 8; j <- 1 to 8 if i <= j) yield
+      s"SELECT $i AS i, $j AS j, n, s$i AS sx, s$j AS sy, " +
+        s"p${i}_$i AS pxx, p${j}_$j AS pyy, p${i}_$j AS pxy FROM wide")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH q AS (
+      |  SELECT $quant
+      |  FROM embeddings),
+      |wide AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    $sums,
+      |    $prods
+      |  FROM q),
+      |pairs AS (
+      |  $rows),
+      |nums AS (
+      |  SELECT i, j, n,
+      |    CAST(n AS HUGEINT) * pxy - CAST(sx AS HUGEINT) * sy AS cov_num,
+      |    CAST(CAST(n AS HUGEINT) * pxx - CAST(sx AS HUGEINT) * sx
+      |      AS BIGINT) AS varx_num,
+      |    CAST(CAST(n AS HUGEINT) * pyy - CAST(sy AS HUGEINT) * sy
+      |      AS BIGINT) AS vary_num
+      |  FROM pairs),
+      |r AS (
+      |  SELECT i, j, n, cov_num, varx_num, vary_num,
+      |    CAST(floor(sqrt(CAST(varx_num AS DOUBLE))) AS BIGINT) AS sx0,
+      |    CAST(floor(sqrt(CAST(vary_num AS DOUBLE))) AS BIGINT) AS sy0
+      |  FROM nums),
+      |c AS (
+      |  SELECT i, j, n, cov_num,
+      |    (sx0 - CASE WHEN sx0 > 0 AND sx0 * sx0 > varx_num THEN 1
+      |        ELSE 0 END
+      |      + CASE WHEN sx0 < 3037000499
+      |          AND (sx0 + 1) * (sx0 + 1) <= varx_num THEN 1 ELSE 0 END)
+      |    * (sy0 - CASE WHEN sy0 > 0 AND sy0 * sy0 > vary_num THEN 1
+      |        ELSE 0 END
+      |      + CASE WHEN sy0 < 3037000499
+      |          AND (sy0 + 1) * (sy0 + 1) <= vary_num THEN 1 ELSE 0 END)
+      |      AS sd_prod
+      |  FROM r)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+      |  CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END
+      |    * (abs(cov_num) // (CAST(n AS HUGEINT) * n)) AS BIGINT)
+      |    AS cov_milli2,
+      |  CAST(CASE WHEN sd_prod = 0 THEN 0
+      |    ELSE least(1000000, greatest(-1000000,
+      |      CASE WHEN cov_num < 0 THEN -1 ELSE 1 END
+      |      * (abs(cov_num) * 1000000 // sd_prod))) END AS BIGINT)
+      |    AS corr_ppm
+      |FROM c ORDER BY i, j""".stripMargin
+  }
+
+  // ------------------------------------------------------------- q209
+
+  /** q209: CRAMÉR'S V EFFECT-SIZE SCREEN — the q160 chi-square cell
+    * convention ((c·N − r·k)²·10^6 div (r·k·N), DECIMAL-routed)
+    * normalized to the comparable [0,1] effect size
+    * V = √(χ² / (N·min(k−1, l−1))) via `graft_isqrt`, for two
+    * associations side by side: documents lang × source and events
+    * event_type × user segment. Chi-square says "dependent"; V says
+    * "how much" on a scale two differently-sized tables can share.
+    *
+    * Scale shape per pair: one map-side-combinable cells groupBy, two
+    * alphabet-sized marginal joins, arithmetic on ≤(k·l) rows. */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    def v(pair: String, cells0: DataFrame): DataFrame = {
+      val cells = cells0.groupBy(col("ra"), col("ck"))
+        .agg(count(lit(1)).as("c"))
+      val rm = cells.groupBy(col("ra")).agg(sum(col("c")).as("r"))
+      val cm = cells.groupBy(col("ck")).agg(sum(col("c")).as("k"))
+      val n = cells.agg(sum(col("c")).as("n"),
+        countDistinct(col("ra")).as("nr"),
+        countDistinct(col("ck")).as("nc"))
+      cells.join(rm, "ra").join(cm, "ck")
+        .crossJoin(broadcast(n))
+        .withColumn("cell_micro", expr(
+          """(CAST(c AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * k)
+            |  * (CAST(c AS DECIMAL(38,0)) * n
+            |     - CAST(r AS DECIMAL(38,0)) * k) * 1000000
+            |  div (CAST(r AS DECIMAL(38,0)) * k * n)""".stripMargin))
+        .groupBy()
+        .agg(max(col("n")).as("n"), max(col("nr")).as("n_rows"),
+          max(col("nc")).as("n_cols"),
+          sum(col("cell_micro")).as("chi2_micro_d"))
+        .withColumn("chi2_micro", expr("CAST(chi2_micro_d AS BIGINT)"))
+        .withColumn("v_ppm", graft.functions.IntegerSqrt(expr(
+          """CAST(CAST(chi2_micro_d AS DECIMAL(38,0)) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0))
+            |       * least(n_rows - 1, n_cols - 1)) AS BIGINT)"""
+            .stripMargin)))
+        .select(lit(pair).as("pair"), col("n"), col("n_rows"),
+          col("n_cols"), col("chi2_micro"), col("v_ppm"))
+    }
+    val docs = load(s, dir, "documents")
+      .select(col("lang").as("ra"), col("source").as("ck"))
+    val evs = load(s, dir, "events")
+      .select(col("event_type").as("ra"),
+        pmod(col("user_id"), lit(4)).cast("string").as("ck"))
+    v("documents:lang*source", docs)
+      .unionByName(v("events:type*segment", evs))
+      .orderBy(col("pair"))
+  }
+
+  private val qCramersVSql = {
+    def block(pair: String, src: String): String =
+      s"""SELECT '$pair' AS pair, n, n_rows, n_cols, chi2_micro, v_ppm
+      |FROM (
+      |  SELECT n, n_rows, n_cols, chi2_micro,
+      |    s0 - CASE WHEN s0 > 0 AND s0 * s0 > vsq THEN 1 ELSE 0 END
+      |       + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= vsq
+      |           THEN 1 ELSE 0 END AS v_ppm
+      |  FROM (
+      |    SELECT n, n_rows, n_cols, chi2_micro, vsq,
+      |      CAST(floor(sqrt(CAST(vsq AS DOUBLE))) AS BIGINT) AS s0
+      |    FROM (
+      |      SELECT MAX(n) AS n, MAX(nr) AS n_rows, MAX(nc) AS n_cols,
+      |        CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro,
+      |        CAST(SUM(cell_micro) * 1000000
+      |          // (CAST(MAX(n) AS HUGEINT)
+      |              * least(MAX(nr) - 1, MAX(nc) - 1)) AS BIGINT) AS vsq
+      |      FROM (
+      |        SELECT c.c, c.ra, c.ck, rm.r, cm.k, nn.n, nn.nr, nn.nc,
+      |          (CAST(c.c AS HUGEINT) * nn.n
+      |             - CAST(rm.r AS HUGEINT) * cm.k)
+      |          * (CAST(c.c AS HUGEINT) * nn.n
+      |             - CAST(rm.r AS HUGEINT) * cm.k) * 1000000
+      |          // (CAST(rm.r AS HUGEINT) * cm.k * nn.n) AS cell_micro
+      |        FROM (SELECT ra, ck, CAST(COUNT(*) AS BIGINT) AS c
+      |              FROM ($src) t GROUP BY 1, 2) c
+      |        JOIN (SELECT ra, CAST(COUNT(*) AS BIGINT) AS r
+      |              FROM ($src) t GROUP BY 1) rm ON rm.ra = c.ra
+      |        JOIN (SELECT ck, CAST(COUNT(*) AS BIGINT) AS k
+      |              FROM ($src) t GROUP BY 1) cm ON cm.ck = c.ck
+      |        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |            CAST(COUNT(DISTINCT ra) AS BIGINT) AS nr,
+      |            CAST(COUNT(DISTINCT ck) AS BIGINT) AS nc
+      |          FROM ($src) t) nn) cells) agg) sq)"""
+    val docs = "SELECT lang AS ra, source AS ck FROM documents"
+    val evs = "SELECT event_type AS ra, CAST(user_id % 4 AS VARCHAR) AS ck" +
+      " FROM events"
+    s"""${block("documents:lang*source", docs).stripMargin}
+       |UNION ALL
+       |${block("events:type*segment", evs).stripMargin}
+       |ORDER BY pair""".stripMargin
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q206_link_prediction" -> QueryDef(qLinkPrediction,
+      Some(qLinkPredictionSql),
+      "missing-link ranking on the co-purchase graph: common neighbors, Jaccard, resource-allocation index, degree-capped bridges"),
+    "q207_collocations" -> QueryDef(qCollocations, Some(qCollocationsSql),
+      "adjacent-word collocations by exact ppm lift (log-free PMI), support-floored, TakeOrdered top-20"),
+    "q208_covariance_audit" -> QueryDef(qCovarianceAudit,
+      Some(qCovarianceAuditSql),
+      "embedding dim-pair covariance/correlation audit: one single-pass wide aggregate, stack reshape, isqrt correlations"),
+    "q209_cramers_v" -> QueryDef(qCramersV, Some(qCramersVSql),
+      "Cramér's V effect sizes for two categorical associations via the q160 chi-square cell device + isqrt"))
+}

@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q181_rfm_segments", // 1-row total-value scalar broadcast (q70 shape)
     "q193_burstiness", // 1-row doc-count scalar broadcast (q70 shape)
     "q195_vocab_growth", // 1-row max-doc-id scalar broadcast (q70 shape)
-    "q197_cluster_histogram") // two 1-row scalar totals for the singleton row
+    "q197_cluster_histogram", // two 1-row scalar totals for the singleton row
+    "q206_link_prediction", // 1-row capped-bridge count broadcast (q70 shape)
+    "q207_collocations", // 1-row token-total scalar broadcast (q70 shape)
+    "q209_cramers_v") // 1-row marginal-total scalar broadcast per pair (q160 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
