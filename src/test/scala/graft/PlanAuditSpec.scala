@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q197_cluster_histogram", // two 1-row scalar totals for the singleton row
     "q206_link_prediction", // 1-row capped-bridge count broadcast (q70 shape)
     "q207_collocations", // 1-row token-total scalar broadcast (q70 shape)
-    "q209_cramers_v") // 1-row marginal-total scalar broadcast per pair (q160 shape)
+    "q209_cramers_v", // 1-row marginal-total scalar broadcast per pair (q160 shape)
+    "q210_target_encoding", // 1-row global-rate scalar broadcast (q70 shape)
+    "q211_conformal", // 3-row threshold table theta-joined to the bounded nc histogram
+    "q213_ipw_ate") // 1-row ATE scalar broadcast onto the 4-row propensity table
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
