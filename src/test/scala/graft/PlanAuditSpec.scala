@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q209_cramers_v", // 1-row marginal-total scalar broadcast per pair (q160 shape)
     "q210_target_encoding", // 1-row global-rate scalar broadcast (q70 shape)
     "q211_conformal", // 3-row threshold table theta-joined to the bounded nc histogram
-    "q213_ipw_ate") // 1-row ATE scalar broadcast onto the 4-row propensity table
+    "q213_ipw_ate", // 1-row ATE scalar broadcast onto the 4-row propensity table
+    "q216_t_closeness") // 5-row priority-alphabet broadcast completes each group
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
