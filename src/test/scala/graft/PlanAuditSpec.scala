@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q210_target_encoding", // 1-row global-rate scalar broadcast (q70 shape)
     "q211_conformal", // 3-row threshold table theta-joined to the bounded nc histogram
     "q213_ipw_ate", // 1-row ATE scalar broadcast onto the 4-row propensity table
-    "q216_t_closeness") // 5-row priority-alphabet broadcast completes each group
+    "q216_t_closeness", // 5-row priority-alphabet broadcast completes each group
+    "q219_p_chart", // 1-row center-line scalar broadcast (q70 shape)
+    "q221_cuped") // 1-row pooled-theta scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
