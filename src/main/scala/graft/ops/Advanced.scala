@@ -2112,26 +2112,36 @@ object Advanced {
     * ntile over a partial order is run-to-run unstable, the same
     * trap as q177's native mode), composed into a 3-digit segment
     * code. Report: users and value share per segment — 64 bounded
-    * rows. Scale note: a global ntile is a single-partition sort; at
-    * 10^9 users the production form computes the three quartile
-    * BOUNDARIES with q168's rank-free integer-quantile device and
-    * broadcast-joins them (alphabet-sized), which yields the same
-    * codes — the gate uses the direct window where exact ntile
-    * semantics (equal-size buckets, not equal-value cuts) are the
-    * point under test. */
+    * rows. Scale note (recoded round 8, oracle unchanged): a global
+    * `ntile(4).over(Window.orderBy(...))` is a SINGLE-TASK sort of the
+    * whole customer base, three times over. The exact same bucket
+    * assignment — SQL ntile semantics under the declared unique total
+    * order (metric desc, user_id) — is computed distributed with
+    * [[graft.util.Ranks.globalRank]] (range-repartition parallel sort +
+    * broadcast partition offsets) and [[graft.util.Ranks.ntileFromRank]]
+    * (the closed-form ntile bucket from rank and N). Cost: three range
+    * shuffles of the one-row-per-user table, each with full cluster
+    * parallelism, versus three one-task sorts. */
   private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Ranks
     val perUser = load(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("r_us"),
         count(lit(1)).as("f"),
         sum(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
           .as("m_micro"))
-    def q4(c: String) = ntile(4).over(
-      Window.orderBy(col(c).desc, col("user_id")))
-    val coded = perUser
-      .withColumn("r_q", q4("r_us")) // 1 = most recent
-      .withColumn("f_q", q4("f")) // 1 = most frequent
-      .withColumn("m_q", q4("m_micro")) // 1 = highest value
+    val nUsers = perUser.agg(count(lit(1)).as("_nu"))
+    val ranked = Ranks.globalRank(
+      Ranks.globalRank(
+        Ranks.globalRank(perUser,
+          "_rr", col("r_us").desc, col("user_id")),
+        "_rf", col("f").desc, col("user_id")),
+      "_rm", col("m_micro").desc, col("user_id"))
+    val coded = ranked
+      .crossJoin(broadcast(nUsers)) // 1-row user-count scalar
+      .withColumn("r_q", Ranks.ntileFromRank("_rr", "_nu", 4)) // 1 = most recent
+      .withColumn("f_q", Ranks.ntileFromRank("_rf", "_nu", 4)) // 1 = most frequent
+      .withColumn("m_q", Ranks.ntileFromRank("_rm", "_nu", 4)) // 1 = highest value
       .withColumn("segment",
         concat(col("r_q"), col("f_q"), col("m_q")))
     val tot = coded.agg(sum(col("m_micro")).as("t"))
@@ -2139,7 +2149,9 @@ object Advanced {
       .agg(count(lit(1)).as("n_users"),
         sum(col("m_micro")).as("value_micro"))
       .crossJoin(broadcast(tot))
-      .withColumn("value_share_ppm", expr("value_micro * 1000000 div t"))
+      // DECIMAL-routed: value_micro * 10^6 exceeds long at sf10
+      .withColumn("value_share_ppm", expr(
+        "CAST(CAST(value_micro AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)"))
       .select(col("segment"), col("n_users"), col("value_micro"),
         col("value_share_ppm"))
       .orderBy(col("segment"))
@@ -2162,8 +2174,8 @@ object Advanced {
       |t AS (SELECT CAST(SUM(m_micro) AS BIGINT) AS t FROM coded)
       |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
       |  CAST(SUM(m_micro) AS BIGINT) AS value_micro,
-      |  CAST(SUM(m_micro) AS BIGINT) * 1000000 // MAX(t.t)
-      |    AS value_share_ppm
+      |  CAST(CAST(SUM(m_micro) AS HUGEINT) * 1000000 // MAX(t.t)
+      |    AS BIGINT) AS value_share_ppm
       |FROM coded CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------- q182
@@ -2175,7 +2187,12 @@ object Advanced {
     * floor), and the residual is observed − baseline. Top 20 |residual|
     * hours with deterministic tie-breaks. The profile table is
     * alphabet-bounded (168 × types); everything else is one hourly
-    * aggregate. */
+    * aggregate. Scale note (recoded round 8, oracle unchanged): the
+    * top-20 runs as `orderBy(...).limit(20)` — Spark compiles that to
+    * TakeOrderedAndProject (per-partition top-20 + driver merge of 20×P
+    * rows), so the residual grid (linear in the time span) never funnels
+    * through one window task; the rank label is then a window over the
+    * 20 surviving rows only. */
   private def qSeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
     val hourly = load(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
@@ -2184,11 +2201,13 @@ object Advanced {
       .withColumn("hod", hour(col("hr")))
     val profile = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
       .agg(expr("sum(n) div count(1)").as("base"))
+    val ord = Seq(abs(col("resid")).desc, col("event_type").asc,
+      col("hr").asc)
     hourly.join(profile, Seq("event_type", "dow", "hod"))
       .withColumn("resid", col("n") - col("base"))
-      .withColumn("rk", row_number().over(Window.orderBy(
-        abs(col("resid")).desc, col("event_type"), col("hr"))))
-      .filter(col("rk") <= 20)
+      .orderBy(ord: _*)
+      .limit(20)
+      .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
       .select(col("rk"), col("event_type"), col("hr"), col("n"),
         col("base"), col("resid"))
       .orderBy(col("rk"))

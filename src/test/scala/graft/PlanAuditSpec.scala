@@ -187,6 +187,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  /** Queries whose UNPARTITIONED windows are audited bounded: the window
+    * input is a histogram / alphabet / limit-capped / partition-count
+    * table, never a table that grows linearly with the data. Every entry
+    * names its bound; anything newly flagged must either earn a row here
+    * or be recoded onto a scale-safe device (Ranks.globalRank for exact
+    * global ranking, orderBy().limit() for top-k — the q181/q182 round-8
+    * recodes). */
+  private val unpartitionedWindowBounded: Map[String, String] = Map(
+    "q62_lang_rebalance" -> "min over the per-language counts table (#languages rows)",
+    "q64_corpus_release" -> "same withQuotas language-alphabet min as q62",
+    "q79_source_mixture" -> "budget min over the 5-row ratio x counts table",
+    "q108_zipf_coverage" -> "rank over the limit(1000)-capped vocab head",
+    "q157_benford" -> "share window over the 9-row first-digit histogram",
+    "q170_quantile_normalize" -> "cumulative over the n_chars length histogram (max doc length)",
+    "q175_apportion" -> "largest-remainder rank over #languages rows",
+    "q181_rfm_segments" -> "Ranks.globalRank offsets table (#shuffle-partitions rows)",
+    "q182_seasonal_resid" -> "rank label over the 20 rows surviving orderBy().limit(20)",
+    "q195_vocab_growth" -> "cumulative over the fixed 20-bucket corpus grid",
+    "q198_concentration" -> "count-of-counts histogram (max per-user count)",
+    "q204_decile_lift" -> "cumulative over the 10-bin score histogram",
+    "q205_pr_curve" -> "total over the 10-bin score histogram",
+    "q214_nelson_aalen" -> "hazard windows over the 10-minute duration histogram (observation span)",
+    "q216_t_closeness" -> "global-distribution total over the 5-priority alphabet",
+    "q218_topk_churn" -> "rank over each window's limit(20)-capped top list")
+
+  test("no unpartitioned window runs over an unbounded input") {
+    // The q181 lesson (round-7 verdict): `ntile/row_number over
+    // Window.orderBy(...)` with no partition clause executes as ONE task
+    // sorting the entire input — correct at test SF, a scale killer at
+    // 100×. Mechanically: every logical Window node with an empty
+    // partitionSpec must belong to a query whose window input is proven
+    // bounded (allow-list above, bound named per entry).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val offenders = Registry.queries.toSeq
+      .filterNot { case (name, _) =>
+        skipBuild(name) || unpartitionedWindowBounded.contains(name) }
+      .flatMap { case (name, fn) =>
+        val n = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(s"$name: $n unpartitioned Window node(s)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the similarity battery joins only on bucket/cell equi-keys") {
     for (q <- Seq("q39_sim_ann_lsh", "q40_sim_cosine_neardup",
         "q43_dedup_simhash_hamming", "q35_dedup_minhash_lsh",
