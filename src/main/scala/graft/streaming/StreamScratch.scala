@@ -6,11 +6,30 @@ import org.apache.spark.sql.SparkSession
   * q77): stage inputs, run the stream, read the result back — and
   * delete the staged corpus + sink + checkpoint even when the stream
   * or the read-back THROWS, so a failed run never leaks a copy of the
-  * event log under /tmp. */
+  * event log under /tmp.
+  *
+  * CLUSTER-SAFE ROOT: `spark.graft.scratchDir` names a shared
+  * (DFS/object-store) base every executor can reach — each scope then
+  * gets a fresh unique subdirectory there, created and deleted through
+  * the Hadoop FileSystem for that scheme. Unset (the default), scopes
+  * live in a driver-local temp dir, which is only correct on
+  * `local[*]`; on a real cluster executors cannot reach the driver's
+  * /tmp, so deployments MUST set the conf (same pattern as
+  * [[graft.util.Pin.DirKey]]). ScratchDirContractSpec runs a full gate
+  * with both this root and [[GateOut]]'s on `mocks3://`. */
 object StreamScratch {
+  val ScratchKey = "spark.graft.scratchDir"
+
   def withScratch[T](prefix: String)(body: String => T)(
       implicit spark: SparkSession): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val tmp = spark.conf.getOption(ScratchKey) match {
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+      case Some(base) =>
+        val p = new org.apache.hadoop.fs.Path(base,
+          prefix + java.util.UUID.randomUUID().toString)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        p.toString
+    }
     try body(tmp)
     finally {
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -30,11 +49,23 @@ object StreamScratch {
   * once by the stream's own file sink (point the sink at [[dir]]) or
   * by one distributed write ([[persist]]), and the gate returns a lazy
   * reader — result bytes move executor→FS→executor, never through the
-  * driver. The area is deleted at JVM exit, not at gate exit. */
+  * driver. The area is deleted at JVM exit, not at gate exit.
+  *
+  * CLUSTER-SAFE ROOT: `spark.graft.gateDir` names a shared
+  * (DFS/object-store) base; this JVM's results then live in a unique
+  * subdirectory there, managed through that scheme's Hadoop FileSystem
+  * and still deleted at JVM exit. Unset (the default), the area is a
+  * driver-local temp dir — correct only on `local[*]`; cluster
+  * deployments MUST set the conf. */
 object GateOut {
   import org.apache.spark.sql.DataFrame
+  val DirKey = "spark.graft.gateDir"
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
-  private lazy val root: String = {
+  /** One managed per-JVM subroot per configured base (the conf can in
+    * principle differ between sessions sharing this JVM). */
+  private val managed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val localRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_gate_out_")
     sys.addShutdownHook {
       def del(f: java.io.File): Unit = {
@@ -44,16 +75,31 @@ object GateOut {
     }
     d.toString
   }
+  private def rootFor(s: SparkSession): String =
+    s.conf.getOption(DirKey) match {
+      case None => localRoot
+      case Some(base) => managed.computeIfAbsent(base, { b =>
+        val p = new org.apache.hadoop.fs.Path(b,
+          "gate_out_" + java.util.UUID.randomUUID().toString)
+        val hc = s.sparkContext.hadoopConfiguration
+        p.getFileSystem(hc).mkdirs(p)
+        sys.addShutdownHook {
+          p.getFileSystem(hc).delete(p, true); ()
+        }
+        p.toString
+      })
+    }
   /** A fresh, unique result directory (not yet created) — hand it to a
     * stream's parquet file sink as the output path while the checkpoint
     * stays in scratch; the sink's one write IS the materialization. */
-  def dir(): String = s"$root/r${counter.incrementAndGet()}"
+  def dir()(implicit s: SparkSession): String =
+    s"${rootFor(s)}/r${counter.incrementAndGet()}"
   /** One distributed write of `df` into a fresh result dir; returns the
     * lazy read-back. For results computed FROM scratch-resident state
     * (versioned-maintenance tables, per-batch pair logs) rather than
     * written directly by a sink. */
   def persist(df: DataFrame): DataFrame = {
-    val d = dir()
+    val d = dir()(df.sparkSession)
     df.write.mode("overwrite").parquet(d)
     df.sparkSession.read.parquet(d)
   }
