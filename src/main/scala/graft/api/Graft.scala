@@ -203,11 +203,45 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   // (`agent/namenode/HDFSSnapshotProcessor.java:234-286`). Here the
   // registry is a versioned parquet table next to the state table
   // (`replicas_v<N>`, the same `_SUCCESS`-gated delta protocol), and
-  // the callback is a driver-side single-file update: two bounded
-  // lookups plus a ONE-ROW delta version — never a registry rewrite,
-  // so a 100M-file registry absorbs callbacks at O(1) I/O each.
+  // the callback is a driver-side single-file update: two single-row
+  // lookups against MEMOIZED merged views (pinned once per committed
+  // version set — no per-call union/window recompute or parquet
+  // re-read) plus a ONE-ROW delta version — never a registry rewrite.
+  // Each lookup still filters the materialized registry (O(registry)
+  // scan at memory speed, amortized over AutoCompactAfter callbacks);
+  // a deployment needing strictly sub-linear callbacks would bucket
+  // the registry by path hash and prune to one bucket per lookup.
 
   @volatile private var snapshotService: Boolean = false
+
+  // Memoized merged views keyed by the committed-version list: the
+  // callback path filters a PINNED materialization instead of
+  // re-reading and re-windowing every version per call; any new
+  // committed version (delta write, compaction) invalidates by key.
+  @volatile private var stateCache: Option[(Seq[Long], DataFrame)] = None
+  @volatile private var replicaCache: Option[(Seq[Long], DataFrame)] = None
+
+  private def cachedStateTable(): DataFrame = synchronized {
+    val vs = committedVersions("files")
+    stateCache match {
+      case Some((`vs`, df)) => df
+      case _ =>
+        val pinned = graft.util.Pin(stateTable.toDF())
+        stateCache = Some((vs, pinned))
+        pinned
+    }
+  }
+
+  private def cachedReplicaTable(): DataFrame = synchronized {
+    val vs = committedVersions("replicas")
+    replicaCache match {
+      case Some((`vs`, df)) => df
+      case _ =>
+        val pinned = graft.util.Pin(replicaTable.toDF())
+        replicaCache = Some((vs, pinned))
+        pinned
+    }
+  }
 
   /** Whether /admin/snapshot/start has run in this facade's lifetime. */
   def snapshotStarted: Boolean = snapshotService
@@ -260,13 +294,14 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     * IllegalArgumentException (→ 400) on tx mismatch. */
   def snapshotDone(path: String, txId: Long): Graft.SnapshotDone =
     synchronized {
-      if (!snapshotService) throw new IllegalStateException(
+      if (!snapshotService) throw new Graft.Conflict(
         "snapshot service not started (POST /admin/snapshot/start)")
       // bounded lookups: one file-state row + one replica row (take(1))
-      val fileSt = stateTable.toDF().filter(col("path") === path)
+      // against the memoized pinned views
+      val fileSt = cachedStateTable().filter(col("path") === path)
         .as[FileState].take(1).headOption.getOrElse(
           throw new Graft.NotFound(s"HDFS file state not found. [path=$path]"))
-      val replica = replicaTable.toDF().filter(col("path") === path)
+      val replica = cachedReplicaTable().filter(col("path") === path)
         .as[ReplicaState].take(1).headOption.getOrElse(
           throw new Graft.NotFound(
             s"HDFS file replication record not found. [path=$path]"))
@@ -316,11 +351,11 @@ final class Graft(val spark: SparkSession, stateDir: String) {
 
   /** Start the edits-log processor: JSON-line change events under
     * `inDir` fold through the keyed FSM and land as parquet state
-    * updates under `outDir`. Throws IllegalStateException (→ 409) if
+    * updates under `outDir`. Throws [[Graft.Conflict]] (→ 409) if
     * already running. */
   def editslogStart(inDir: String, outDir: String,
       checkpoint: String): StreamingQuery = synchronized {
-    if (editsQuery.exists(_.isActive)) throw new IllegalStateException(
+    if (editsQuery.exists(_.isActive)) throw new Graft.Conflict(
       "edits-log processor already running")
     val q = ChangeStreamPipeline.startFiles(inDir, outDir, checkpoint)
     editsQuery = Some(q)
@@ -353,8 +388,24 @@ object Graft {
     * maps this to 404 (unknown path ≠ malformed request). */
   final class NotFound(msg: String) extends RuntimeException(msg)
 
+  /** Service-lifecycle conflict (started twice / used before start) —
+    * the REST layer maps this, and ONLY this, to 409. A dedicated type
+    * rather than IllegalStateException: Spark throws ISE for unrelated
+    * conditions (stopped SparkContext, dead StreamingQuery), and those
+    * are server errors (500), not client conflicts. */
+  final class Conflict(msg: String) extends RuntimeException(msg)
+
   /** Stable synthetic inode for a path (C10 id-synth parity — this
     * namespace has no real inode numbers). Companion-level so the
-    * closure shipped to executors does not capture a facade instance. */
-  private[api] def inodeOf(st: FileState): Long = st.path.hashCode.toLong
+    * closure shipped to executors does not capture a facade instance.
+    * 64-bit (first 8 bytes of MD5 over the path), NOT String.hashCode:
+    * a 32-bit hash makes distinct-path collisions near-certain at a
+    * 100M-file registry (birthday bound ~50% at 77k paths), and the
+    * inode keys replica-watermark joins — a collision would cross-wire
+    * two files' replication state. */
+  private[api] def inodeOf(st: FileState): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(st.path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
 }

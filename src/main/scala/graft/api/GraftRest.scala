@@ -158,7 +158,7 @@ final class GraftRest(graft: Graft, port: Int = 0) {
         respond(ex, 404, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
-      case e: IllegalStateException => // service lifecycle conflicts
+      case e: Graft.Conflict => // service lifecycle conflicts, and only those
         respond(ex, 409, s"""{"error":${JsonLite.quote(e.getMessage)}}""")
       case e: Throwable =>
         respond(ex, 500, s"""{"error":${JsonLite.quote(String.valueOf(e))}}""")

@@ -40,8 +40,11 @@ object Salting {
     * handful — so it always broadcasts. */
   def hotKeys(df: DataFrame, key: String, hotFactor: Int = 4): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("_n"))
-    // bounded collect: one scalar (the mean per-key row count)
-    val meanN = counts.agg(avg(col("_n"))).head().getDouble(0)
+    // bounded collect: one scalar (the mean per-key row count);
+    // avg() over an EMPTY probe is NULL — treat as "no hot keys"
+    // rather than NPE-crashing the caller's join on empty input
+    val meanN = Option(counts.agg(avg(col("_n"))).head()
+      .getAs[java.lang.Double](0)).fold(Double.MaxValue)(_.doubleValue)
     counts.filter(col("_n") > meanN * hotFactor).select(col(key))
   }
 
