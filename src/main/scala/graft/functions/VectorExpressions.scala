@@ -269,6 +269,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[IntegerSqrt].getName, "graft_isqrt"),
       IntegerSqrt.sqlBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashBands].getName, "graft_minhash_bands"),
+      MinHashBands.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

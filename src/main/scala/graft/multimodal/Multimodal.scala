@@ -9,13 +9,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-wise in `mapPartitions`
   * (the Scala analog of pandas-batch UDF plumbing).
   *
-  * IMPORTANT — STUBBED DECODERS: this container has no image/audio
-  * codecs, so `decodeStub` parses a tiny deterministic fake header
-  * instead of real JPEG/WAV/MP4 decoding; swap the marked block for a
-  * real codec (e.g. javax.imageio / ffmpeg bindings) on a real cluster.
-  * Everything around the stub — schema, batch iteration shape,
-  * partitioning, null handling — is the real production plumbing and is
-  * tested.
+  * IMAGE DECODE IS REAL (round 8): PNG / JPEG / BMP / GIF blobs are
+  * sniffed by magic bytes and decoded with the JDK's built-in
+  * `javax.imageio` — no external libraries — so metadata, resize, and
+  * pixel probes run a genuine codec path (ImagePlumbingSpec +
+  * q225/q226 pin the round-trip against closed-form oracles).
+  *
+  * AUDIO/VIDEO REMAIN STUBBED: ffmpeg-class codecs are genuinely
+  * absent in this sandbox, so those kinds parse the deterministic toy
+  * header (`decodeStub`); swap the marked block for real bindings on a
+  * cluster that has them. Everything around the stub — schema, batch
+  * iteration shape, partitioning, null handling — is the real
+  * production plumbing and is tested.
   *
   * Scale notes: decode is embarrassingly parallel → `repartition(n)` by
   * id hash balances skew from variable blob sizes; feature vectors are
@@ -33,8 +38,37 @@ object Multimodal {
     StructField("nFrames", IntegerType),
     StructField("sizeBytes", LongType)))
 
-  /** Deterministic fake "decode" — STUB for a real codec. Reads our toy
-    * 16-byte header: magic(4) kind(1) w(2) h(2) rate(3) frames(4). */
+  /** True for the real image containers the JDK can decode natively
+    * (PNG, JPEG, BMP, GIF magic bytes). */
+  private def isRealImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG SOI
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+
+  /** Real image decode via the JDK's `javax.imageio`; None when the
+    * blob is corrupt or no reader claims it. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Metadata decode: REAL `javax.imageio` for image containers, toy
+    * header for the stubbed kinds, `unknown` otherwise. */
+  private def decode(bytes: Array[Byte]): Row =
+    if (isRealImage(bytes))
+      decodeImage(bytes) match {
+        case Some(img) => Row("image", img.getWidth, img.getHeight,
+          null, null, bytes.length.toLong)
+        case None => Row("unknown", null, null, null, null,
+          bytes.length.toLong) // corrupt container
+      }
+    else decodeStub(bytes)
+
+  /** Deterministic fake decode — STUB for the codecs this sandbox
+    * genuinely lacks (audio/video). Reads our toy 16-byte header:
+    * magic(4) kind(1) w(2) h(2) rate(3) frames(4). */
   private def decodeStub(bytes: Array[Byte]): Row = {
     // >>> BEGIN STUB (replace with real codec calls) <<<
     if (bytes == null || bytes.length < 16 ||
@@ -51,6 +85,49 @@ object Multimodal {
     Row(kind, u16(5), u16(7), u24(9), u32(12), bytes.length.toLong)
     // >>> END STUB <<<
   }
+
+  /** Deterministic grayscale PNG encoder (JDK `javax.imageio`; the
+    * fixture generator for the real-decode queries/specs — a pure
+    * function of (w, h, gray), so both engines can recompute any pixel
+    * closed-form). */
+  def encodePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Raw raster sample for single-band (grayscale) images —
+    * `getRGB` would route TYPE_BYTE_GRAY through sRGB color
+    * management (gamma), destroying integer-exactness — and integer
+    * luminance for multi-band images. */
+  private def graySample(img: java.awt.image.BufferedImage,
+      x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+
+  /** Decoded gray value at (x, y), or -1 when the blob is not a
+    * decodable real image or the point is out of bounds.
+    * Executor-side probe for the real-decode queries. */
+  def grayAt(bytes: Array[Byte], x: Int, y: Int): Int =
+    if (!isRealImage(bytes)) -1
+    else decodeImage(bytes) match {
+      case Some(img) if x >= 0 && y >= 0 &&
+          x < img.getWidth && y < img.getHeight => graySample(img, x, y)
+      case _ => -1
+    }
 
   /** Encode the toy header (used by tests / synthetic data). */
   def encodeStubHeader(kind: String, w: Int, h: Int, rate: Int,
@@ -76,7 +153,7 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex("content")
     df.mapPartitions { it =>
       it.map { row =>
-        Row.fromSeq(row.toSeq :+ decodeStub(row.getAs[Array[Byte]](binIdx)))
+        Row.fromSeq(row.toSeq :+ decode(row.getAs[Array[Byte]](binIdx)))
       }
     }(enc)
   }
@@ -108,13 +185,16 @@ object Multimodal {
   }
 
   /** Resize for "image" blobs: nearest-neighbor raster resample to
-    * (targetW × targetH), header rewritten with the new dimensions —
-    * STUB for a real image scaler (javax.imageio / libvips on a real
-    * cluster), but the contract is production-real: binary in → binary
-    * out, output size = header + targetW·targetH bytes regardless of
-    * input size (the property that makes downstream batches
-    * fixed-width), deterministic, non-image/undecodable blobs pass
-    * through unchanged. */
+    * (targetW × targetH). REAL images (PNG/JPEG/BMP/GIF) take the real
+    * path: `javax.imageio` decode → integer nearest-neighbor sample
+    * (src = ⌊x·w0/W⌋ — our own loop, no Graphics2D filtering, so the
+    * result is bit-deterministic across platforms) → grayscale PNG
+    * re-encode. Toy-header images keep the raster stub. The contract
+    * either way is production-real: binary in → binary out, output
+    * raster exactly targetW·targetH regardless of input size (the
+    * property that makes downstream batches fixed-width),
+    * deterministic, non-image/undecodable blobs pass through
+    * unchanged. */
   def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("resized", BinaryType))
@@ -123,9 +203,20 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val meta = decodeStub(bytes)
+        lazy val real = decodeImage(bytes)
+        val meta = if (isRealImage(bytes)) null else decodeStub(bytes)
         val out =
-          if (meta.getString(0) != "image" || meta.isNullAt(1)) bytes
+          if (meta == null) real match {
+            case None => bytes // corrupt real container: pass through
+            case Some(img) =>
+              val (w0, h0) = (img.getWidth, img.getHeight)
+              encodePng(targetW, targetH, (x, y) => {
+                val sx = (x.toLong * w0 / targetW).toInt
+                val sy = (y.toLong * h0 / targetH).toInt
+                graySample(img, sx, sy)
+              })
+          }
+          else if (meta.getString(0) != "image" || meta.isNullAt(1)) bytes
           else {
             val (w0, h0) = (math.max(meta.getInt(1), 1),
               math.max(meta.getInt(2), 1))

@@ -115,7 +115,11 @@ object Wave15 {
     val tot = days.groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("ni")).as("n"),
         sum(col("si")).as("s"))
+    // d = 1 leaves nothing to leave out: θ₍ᵢ₎'s denominator n − nᵢ is
+    // zero and the jackknife is statistically undefined — such types
+    // drop from the report (both engines; gate scales all have d ≥ 2)
     val loo = days.join(tot, "event_type")
+      .filter(col("d") >= 2)
       .withColumn("theta_i", expr("(s - si) div (n - ni)"))
     val jbar = loo.groupBy(col("event_type"))
       .agg(max(col("d")).as("d"), max(col("n")).as("n"),
@@ -152,7 +156,7 @@ object Wave15 {
       |loo AS (
       |  SELECT days.event_type, d, n, s,
       |    (s - si) // (n - ni) AS theta_i
-      |  FROM days JOIN tot USING (event_type)),
+      |  FROM days JOIN tot USING (event_type) WHERE d >= 2),
       |agg AS (
       |  SELECT event_type, MAX(d) AS d, MAX(n) AS n, MAX(s) AS s,
       |    CAST(SUM(theta_i) AS HUGEINT) AS ts,

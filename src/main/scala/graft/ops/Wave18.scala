@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.load
+
+/** Eighteenth wave (round 8): REAL image decode through the JDK's
+  * built-in `javax.imageio` — the round-7 verdict's "the image half of
+  * the multimodal stub needs no external libraries" lead. Each query
+  * GENERATES real grayscale PNGs on the executors from a closed-form
+  * pixel function of the document row, pushes them through the
+  * production plumbing (`Multimodal.withMeta` / `Multimodal.resize`,
+  * both now running a genuine PNG codec for real containers), and
+  * reports decoded dimensions plus probed pixel values. The DuckDB
+  * oracle recomputes every reported number from the same closed form —
+  * so a green hash proves the real encode → decode → (resample →
+  * re-encode → decode) round-trip is bit-exact, not just shaped right.
+  *
+  * Scale shape: codec work is embarrassingly parallel per row (no
+  * shuffle added by the decode stages); outputs are one bounded row
+  * per document, ordered by key. Audio/video remain stubbed — those
+  * codecs genuinely don't exist in this sandbox. */
+object Wave18 {
+
+  // Shared generative geometry: w ∈ [4,64], h ∈ [4,48], pixel
+  // gray(x,y) = (7·doc_id + 31x + 17y) mod 256 — closed-form in both
+  // engines, non-degenerate in both axes.
+  private def geometry(s: SparkSession, dir: String) =
+    load(s, dir, "documents").select(col("doc_id"),
+      expr("CAST(n_chars % 61 + 4 AS INT)").as("w"),
+      expr("CAST(doc_id % 45 + 4 AS INT)").as("h"))
+
+  private def gray(id: Long)(x: Int, y: Int): Int =
+    ((id * 7 + x * 31 + y * 17) % 256).toInt
+
+  // ------------------------------------------------------------- q225
+
+  /** q225: REAL PNG DECODE — encode each document's generative raster
+    * as a genuine grayscale PNG (`ImageIO.write`), decode it back
+    * through `Multimodal.withMeta`'s real-image path (`ImageIO.read`),
+    * and probe three raster corners from the DECODED image using the
+    * DECODED dimensions. The oracle recomputes width, height, and all
+    * three gray values from the closed form — any header
+    * misinterpretation, stride bug, or color-management drift (the
+    * `getRGB` sRGB-gamma trap) flips the hash. */
+  private def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = geometry(s, dir).as[(Long, Int, Int)]
+      .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, gray(id))) }
+      .toDF("id", "content")
+    Multimodal.withMeta(blobs)
+      .select(col("id"), col("meta.kind").as("kind"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("content"))
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .map { case (id, kind, w, h, c) =>
+        (id, kind, w, h, Multimodal.grayAt(c, 0, 0),
+          Multimodal.grayAt(c, w / 2, h / 2),
+          Multimodal.grayAt(c, w - 1, h - 1))
+      }
+      .toDF("doc_id", "kind", "width", "height", "p00", "pmid", "pend")
+      .orderBy(col("doc_id"))
+  }
+
+  private val qPngDecodeSql =
+    """SELECT doc_id, 'image' AS kind,
+      |  CAST(n_chars % 61 + 4 AS INT) AS width,
+      |  CAST(doc_id % 45 + 4 AS INT) AS height,
+      |  CAST((doc_id * 7) % 256 AS INT) AS p00,
+      |  CAST((doc_id * 7 + ((n_chars % 61 + 4) // 2) * 31
+      |        + ((doc_id % 45 + 4) // 2) * 17) % 256 AS INT) AS pmid,
+      |  CAST((doc_id * 7 + (n_chars % 61 + 3) * 31
+      |        + (doc_id % 45 + 3) * 17) % 256 AS INT) AS pend
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q226
+
+  /** q226: REAL PNG RESIZE ROUND-TRIP — the same generated PNGs pushed
+    * through `Multimodal.resize(16, 12)`'s real path (decode →
+    * integer nearest-neighbor resample sx = ⌊x·w0/W⌋ → PNG re-encode),
+    * then DECODED AGAIN and probed. The oracle replays the resample
+    * arithmetic closed-form, so the gate pins the full
+    * decode→scale→encode→decode chain bit-exactly; the fixed 16×12
+    * output raster is the fixed-width contract downstream batches rely
+    * on. */
+  private def qPngResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = geometry(s, dir).as[(Long, Int, Int)]
+      .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, gray(id))) }
+      .toDF("id", "content")
+    Multimodal.resize(blobs, targetW = 16, targetH = 12)
+      .select(col("id"), col("resized"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, r) =>
+        (id, Multimodal.grayAt(r, 0, 0), Multimodal.grayAt(r, 8, 6),
+          Multimodal.grayAt(r, 15, 11))
+      }
+      .toDF("doc_id", "p00", "pmid", "pend")
+      .orderBy(col("doc_id"))
+  }
+
+  private val qPngResizeSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars % 61 + 4 AS w0, doc_id % 45 + 4 AS h0
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST((doc_id * 7) % 256 AS INT) AS p00,
+      |  CAST((doc_id * 7 + ((8 * w0) // 16) * 31
+      |        + ((6 * h0) // 12) * 17) % 256 AS INT) AS pmid,
+      |  CAST((doc_id * 7 + ((15 * w0) // 16) * 31
+      |        + ((11 * h0) // 12) * 17) % 256 AS INT) AS pend
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q225_png_decode" -> QueryDef(qPngDecode, Some(qPngDecodeSql),
+      "real javax.imageio PNG decode through the multimodal meta path"),
+    "q226_png_resize" -> QueryDef(qPngResize, Some(qPngResizeSql),
+      "real PNG decode->nearest-neighbor resample->re-encode round-trip"))
+}

@@ -69,4 +69,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(filtered.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "a")))
   }
+
+  test("the MinHash band table is reachable from pure SQL and matches the battery") {
+    val s2 = TestSpark.spark.newSession()
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different text with no overlap at all"),
+      (4L, "xs")) // < 3 words: banding drops it
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs")
+    // pure SQL, via the injected graft_minhash_bands (4 bands x 2 rows
+    // = the battery's planner choice at threshold 0.5)
+    val viaSql = s2.sql(
+      """SELECT doc_id, explode(graft_minhash_bands(text, 4, 2)) AS band
+        |FROM docs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBattery = graft.ops.Dedup.bandTable(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaBattery,
+      "SQL band keys diverged from the DataFrame battery's bandTable")
+    assert(viaSql.map(_._1) == Set(1L, 2L, 3L), "short doc must drop out")
+    // near-dup docs 1/2 must collide on at least one band; 3 on none
+    val byBand = viaSql.groupBy(_._2).values.map(_.map(_._1)).toSet
+    assert(byBand.exists(g => g == Set(1L, 2L)),
+      "near-duplicates failed to share a band bucket")
+    assert(!viaSql.exists { case (id, b) =>
+      id == 3L && viaSql.exists(p => p._1 != 3L && p._2 == b) },
+      "disjoint doc must not collide")
+    // and the SQL form survives whole-stage codegen (no interpreted
+    // fallback) — checked over a FILE scan: the local-table form above
+    // is constant-folded away by ConvertToLocalRelation (which itself
+    // proves interpreted eval), so only a real scan exercises codegen
+    val plan = s2.sql("SELECT graft_minhash_bands(text, 4, 2) FROM " +
+      "parquet.`/root/testdata/sf0.001/documents.parquet`")
+      .queryExecution.executedPlan.toString
+    // "*(1) Project [graft_minhash_bands(...)" — the starred prefix is
+    // the WholeStageCodegen stage marker in the executed-plan print
+    assert(plan.contains("*(1) Project [graft_minhash_bands"), plan)
+  }
 }
