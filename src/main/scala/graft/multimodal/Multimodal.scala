@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches — one temp file
+  // created and deleted per encode/decode, which at 24+ executor
+  // threads turns the codec path into disk-churn contention (measured:
+  // 1.2-1.35 scaling exponents on q225/q226 at sf10). Blobs here are
+  // small in-memory byte arrays; memory-cached streams are strictly
+  // right. JVM-global, set once on class load of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("kind", StringType), // image | audio | video | unknown
     StructField("width", IntegerType),
@@ -118,9 +126,26 @@ object Multimodal {
         (rgb & 0xff) * 114) / 1000
     }
 
+  /** ONE decode, many probes: decoded (width, height) plus the gray
+    * value at each point `pts(w, h)` yields (out-of-bounds → -1), or
+    * None for non-image/corrupt blobs. The per-row batch form of
+    * [[grayAt]] — a k-point probe costs one codec pass, not k
+    * (measured: the per-probe re-decode was the whole q225/q226 cost
+    * at sf10). */
+  def decodeProbe(bytes: Array[Byte],
+      pts: (Int, Int) => Seq[(Int, Int)]): Option[(Int, Int, Seq[Int])] =
+    if (!isRealImage(bytes)) None
+    else decodeImage(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      (w, h, pts(w, h).map { case (x, y) =>
+        if (x >= 0 && y >= 0 && x < w && y < h) graySample(img, x, y)
+        else -1 })
+    }
+
   /** Decoded gray value at (x, y), or -1 when the blob is not a
     * decodable real image or the point is out of bounds.
-    * Executor-side probe for the real-decode queries. */
+    * Executor-side probe for the real-decode queries/specs (one decode
+    * per call — batch probes should use [[decodeProbe]]). */
   def grayAt(bytes: Array[Byte], x: Int, y: Int): Int =
     if (!isRealImage(bytes)) -1
     else decodeImage(bytes) match {

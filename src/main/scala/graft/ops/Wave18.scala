@@ -51,14 +51,15 @@ object Wave18 {
       .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, gray(id))) }
       .toDF("id", "content")
     Multimodal.withMeta(blobs)
-      .select(col("id"), col("meta.kind").as("kind"),
-        col("meta.width").as("w"), col("meta.height").as("h"),
-        col("content"))
-      .as[(Long, String, Int, Int, Array[Byte])]
-      .map { case (id, kind, w, h, c) =>
-        (id, kind, w, h, Multimodal.grayAt(c, 0, 0),
-          Multimodal.grayAt(c, w / 2, h / 2),
-          Multimodal.grayAt(c, w - 1, h - 1))
+      .select(col("id"), col("meta.kind").as("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, c) =>
+        // one decode serves dims + all three probes (decodeProbe);
+        // the probe coords come from the DECODED dimensions
+        val (w, h, ps) = Multimodal.decodeProbe(c, (w, h) =>
+          Seq((0, 0), (w / 2, h / 2), (w - 1, h - 1)))
+          .getOrElse((-1, -1, Seq(-1, -1, -1)))
+        (id, kind, w, h, ps(0), ps(1), ps(2))
       }
       .toDF("doc_id", "kind", "width", "height", "p00", "pmid", "pend")
       .orderBy(col("doc_id"))
@@ -94,8 +95,10 @@ object Wave18 {
       .select(col("id"), col("resized"))
       .as[(Long, Array[Byte])]
       .map { case (id, r) =>
-        (id, Multimodal.grayAt(r, 0, 0), Multimodal.grayAt(r, 8, 6),
-          Multimodal.grayAt(r, 15, 11))
+        val ps = Multimodal.decodeProbe(r,
+          (_, _) => Seq((0, 0), (8, 6), (15, 11)))
+          .map(_._3).getOrElse(Seq(-1, -1, -1))
+        (id, ps(0), ps(1), ps(2))
       }
       .toDF("doc_id", "p00", "pmid", "pend")
       .orderBy(col("doc_id"))

@@ -55,6 +55,44 @@ object Ranks {
       .drop("_gr_pid", "_gr_off")
   }
 
+  /** Distributed PREFIX SUM under a total order within each group —
+    * the scale-safe replacement for `sum(v).over(Window.partitionBy(g)
+    * .orderBy(t))` when a group's row count grows with the data (a
+    * low-cardinality group column funnels the whole group through one
+    * window task; with no group column at all the whole TABLE does).
+    * Same device as [[globalRank]], generalized: range-repartition on
+    * (group, sort) keys, pin, aggregate per-(partition, group) sums
+    * (bounded by partitions + group-runs), turn them into broadcast
+    * per-group offsets, add each row's within-partition running sum to
+    * its offset. Exact when the sort key is unique per row within its
+    * group (pre-aggregate ties first — that also shrinks the shuffle).
+    * Empty `partCols` gives a global running sum. */
+  def prefixSum(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[Column], value: Column, outName: String): DataFrame = {
+    val parts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val rangeKeys = partCols.map(col) ++ sortCols
+    val ranged = Pin(df.repartitionByRange(parts, rangeKeys: _*)
+      .withColumn("_ps_pid", spark_partition_id())
+      .withColumn("_ps_v", value))
+    val offsets = ranged
+      .groupBy((col("_ps_pid") +: partCols.map(col)): _*)
+      .agg(sum(col("_ps_v")).as("_ps_sum"))
+      .withColumn("_ps_off", coalesce(
+        sum(col("_ps_sum")).over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("_ps_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((col("_ps_pid") +: partCols.map(col) :+ col("_ps_off")): _*)
+    ranged
+      .join(broadcast(offsets), "_ps_pid" +: partCols)
+      .withColumn(outName,
+        sum(col("_ps_v")).over(
+          Window.partitionBy((col("_ps_pid") +: partCols.map(col)): _*)
+            .orderBy(sortCols: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)) + col("_ps_off"))
+      .drop("_ps_pid", "_ps_v", "_ps_off")
+  }
+
   /** Exact `ntile(k)` bucket from a 1-based global rank column and a
     * total-count column (SQL ntile semantics: the first `n % k` buckets
     * hold `n div k + 1` rows, the rest `n div k`). Pair with

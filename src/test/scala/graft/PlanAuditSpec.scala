@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q213_ipw_ate", // 1-row ATE scalar broadcast onto the 4-row propensity table
     "q216_t_closeness", // 5-row priority-alphabet broadcast completes each group
     "q219_p_chart", // 1-row center-line scalar broadcast (q70 shape)
-    "q221_cuped") // 1-row pooled-theta scalar broadcast (q70 shape)
+    "q221_cuped", // 1-row pooled-theta scalar broadcast (q70 shape)
+    "q230_bm25_topk") // 1-row corpus-size scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -210,7 +211,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q205_pr_curve" -> "total over the 10-bin score histogram",
     "q214_nelson_aalen" -> "hazard windows over the 10-minute duration histogram (observation span)",
     "q216_t_closeness" -> "global-distribution total over the 5-priority alphabet",
-    "q218_topk_churn" -> "rank over each window's limit(20)-capped top list")
+    "q218_topk_churn" -> "rank over each window's limit(20)-capped top list",
+    "q227_typo_join" -> "rank label over the 20 rows surviving orderBy().limit(20)",
+    "q228_zorder_audit" -> "rank label over the 24 rows surviving orderBy().limit(24)",
+    "q230_bm25_topk" -> "rank label over the 20 rows surviving orderBy().limit(20)")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
