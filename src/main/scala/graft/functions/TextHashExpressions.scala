@@ -139,3 +139,82 @@ object MinHashBands {
       s"graft_minhash_bands expects exactly 3 arguments, got ${other.size}")
   }
 }
+
+/** Native predicate `edit_distance(a, b) <= 1` in ONE LINEAR PASS —
+  * the verify stage of deletion-1 blocking (q227) calls this on every
+  * candidate pair, where the general Levenshtein DP is O(len²) per
+  * pair and was measured as the whole query cost at sf0.1. Semantics
+  * match `levenshtein(a, b) <= 1` exactly (the oracle spells it that
+  * way): equal lengths → at most one mismatched position; lengths off
+  * by one → the longer equals the shorter with one char inserted;
+  * otherwise false. Character-level (not byte-level), so multibyte
+  * text agrees with Levenshtein too. */
+case class WithinEdit1(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_within_edit1 expects two STRING arguments")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WithinEdit1.check(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.WithinEdit1.check($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WithinEdit1 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_within_edit1"
+}
+
+object WithinEdit1 {
+  /** Interpreted/codegen shared path (public: codegen calls it). */
+  def check(ua: UTF8String, ub: UTF8String): Boolean = {
+    val a = ua.toString
+    val b = ub.toString
+    val (la, lb) = (a.length, b.length)
+    if (la == lb) {
+      var i = 0
+      var diff = 0
+      while (i < la && diff <= 1) {
+        if (a.charAt(i) != b.charAt(i)) diff += 1
+        i += 1
+      }
+      diff <= 1
+    } else {
+      val (s, l) = if (la < lb) (a, b) else (b, a)
+      if (l.length - s.length != 1) false
+      else {
+        var i = 0
+        var j = 0
+        var skipped = false
+        var ok = true
+        while (ok && i < s.length) {
+          if (s.charAt(i) == l.charAt(j)) { i += 1; j += 1 }
+          else if (skipped) ok = false
+          else { skipped = true; j += 1 }
+        }
+        ok
+      }
+    }
+  }
+
+  /** Column-API access (no session registration needed). */
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(WithinEdit1(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  private[functions] val sqlBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => WithinEdit1(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_within_edit1 expects exactly 2 arguments, got ${other.size}")
+  }
+}

@@ -274,6 +274,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashBands].getName, "graft_minhash_bands"),
       MinHashBands.sqlBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_within_edit1"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WithinEdit1].getName, "graft_within_edit1"),
+      WithinEdit1.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

@@ -59,12 +59,16 @@ object Wave19 {
         expr("transform(sequence(1, length(w)), " +
           "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))")))
       .as("v"))
+    // verify BEFORE distinct: graft_within_edit1 is a one-pass native
+    // predicate (the O(len^2) levenshtein DP on every candidate was
+    // measured as the whole query cost), and the distinct then
+    // deduplicates the smaller surviving set
     val pairs = variants.as("a")
       .join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.w") < col("b.w"))
       .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      .filter(graft.functions.WithinEdit1(col("wa"), col("wb")))
       .distinct()
-      .filter(levenshtein(col("wa"), col("wb")) <= 1)
     val neighbors = pairs.select(col("wa").as("w"))
       .unionByName(pairs.select(col("wb").as("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("n_neighbors"))

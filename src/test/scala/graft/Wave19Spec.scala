@@ -55,6 +55,21 @@ class Wave19Spec extends AnyFunSuite {
     assert(bfPairs.nonEmpty && bfCounts.values.max >= 2)
   }
 
+  test("graft_within_edit1 agrees with levenshtein <= 1 on an exhaustive small alphabet") {
+    // every pair of strings over {a,b} up to length 4 (1364^2 ordered
+    // pairs cover equal/off-by-one/off-by-many lengths, all edit shapes)
+    val alphabet = Seq("a", "b")
+    val strings = (0 to 4).flatMap(n =>
+      (0 until math.pow(2, n).toInt).map(i =>
+        (0 until n).map(j => alphabet((i >> j) & 1)).mkString))
+    import org.apache.spark.unsafe.types.UTF8String
+    for (a <- strings; b <- strings) {
+      val got = graft.functions.WithinEdit1.check(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got == (lev(a, b) <= 1), s"'$a' vs '$b': got $got, lev=${lev(a, b)}")
+    }
+  }
+
   test("q228's div/mod interleave equals the bit-twiddling Morton code") {
     def morton(a: Int, b: Int): Long = {
       var z = 0L
