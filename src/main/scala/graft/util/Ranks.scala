@@ -93,6 +93,40 @@ object Ranks {
       .drop("_ps_pid", "_ps_v", "_ps_off")
   }
 
+  /** Distributed RUNNING MAX — [[prefixSum]]'s device with max as the
+    * combiner: per-(partition, group) maxima (bounded table) become
+    * broadcast per-group "best of all earlier partitions" offsets, and
+    * each row takes `greatest(local running max, offset)`. Value must
+    * be LongType (the null-free identity is Long.MinValue). Exact
+    * under the same unique-sort-key-within-group contract. */
+  def prefixMax(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[Column], value: Column, outName: String): DataFrame = {
+    val parts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val rangeKeys = partCols.map(col) ++ sortCols
+    val ranged = Pin(df.repartitionByRange(parts, rangeKeys: _*)
+      .withColumn("_pm_pid", spark_partition_id())
+      .withColumn("_pm_v", value))
+    val offsets = ranged
+      .groupBy((col("_pm_pid") +: partCols.map(col)): _*)
+      .agg(max(col("_pm_v")).as("_pm_max"))
+      .withColumn("_pm_off", coalesce(
+        max(col("_pm_max")).over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("_pm_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(Long.MinValue)))
+      .select((col("_pm_pid") +: partCols.map(col) :+ col("_pm_off")): _*)
+    ranged
+      .join(broadcast(offsets), "_pm_pid" +: partCols)
+      .withColumn(outName, greatest(
+        max(col("_pm_v")).over(
+          Window.partitionBy((col("_pm_pid") +: partCols.map(col)): _*)
+            .orderBy(sortCols: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)),
+        col("_pm_off")))
+      .drop("_pm_pid", "_pm_v", "_pm_off")
+  }
+
   /** Exact `ntile(k)` bucket from a 1-based global rank column and a
     * total-count column (SQL ntile semantics: the first `n % k` buckets
     * hold `n div k + 1` rows, the rest `n div k`). Pair with

@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q216_t_closeness", // 5-row priority-alphabet broadcast completes each group
     "q219_p_chart", // 1-row center-line scalar broadcast (q70 shape)
     "q221_cuped", // 1-row pooled-theta scalar broadcast (q70 shape)
-    "q230_bm25_topk") // 1-row corpus-size scalar broadcast (q70 shape)
+    "q230_bm25_topk", // 1-row corpus-size scalar broadcast (q70 shape)
+    "q232_keywords_topk") // 1-row corpus-size scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
