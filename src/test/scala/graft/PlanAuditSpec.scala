@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q219_p_chart", // 1-row center-line scalar broadcast (q70 shape)
     "q221_cuped", // 1-row pooled-theta scalar broadcast (q70 shape)
     "q230_bm25_topk", // 1-row corpus-size scalar broadcast (q70 shape)
-    "q232_keywords_topk") // 1-row corpus-size scalar broadcast (q70 shape)
+    "q232_keywords_topk", // 1-row corpus-size scalar broadcast (q70 shape)
+    "q235_assoc_rules") // 1-row basket-count scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
