@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.load
+import graft.util.Pin
 
 /** Twentieth wave (round 8): journey, keyword, and data-quality
   * operators, each reusing a custom tier this engine already owns —
@@ -103,10 +104,12 @@ object Wave20 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 4)
     val nDocs = load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val df = words.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val scored = words.groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    // tf IS the distinct (doc, word) set — df comes from it for free,
+    // instead of a second full-width distinct shuffle over the corpus
+    val tf = Pin(words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf
       .join(df, "word")
       .crossJoin(broadcast(nDocs)) // 1-row corpus-size scalar
       .withColumn("score", expr(
