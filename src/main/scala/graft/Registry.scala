@@ -26,7 +26,8 @@ object Registry {
       ops.Wave10.defs ++ ops.Wave11.defs ++ ops.Wave12.defs ++
       ops.Wave13.defs ++ ops.Wave14.defs ++ ops.Wave15.defs ++
       ops.Wave16.defs ++ ops.Wave17.defs ++ ops.Wave18.defs ++
-      ops.Wave19.defs ++ ops.Wave20.defs ++ ops.Wave21.defs
+      ops.Wave19.defs ++ ops.Wave20.defs ++ ops.Wave21.defs ++
+      ops.Wave22.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap
