@@ -80,6 +80,9 @@ object Wave21 {
         sum(col("cents").cast(DecimalType(38, 0))).as("sy"),
         sum((col("wk") * col("wk")).cast(DecimalType(38, 0))).as("sxx"),
         sum((col("wk") * col("cents")).cast(DecimalType(38, 0))).as("sxy"))
+      // one week -> zero x-variance denominator; those nations have no
+      // Theil median either (zero pairs), so drop them symmetrically
+      .filter(col("n_weeks") >= 2)
       .select(col("nation"), col("n_weeks"),
         expr("CAST((n_weeks * sxy - sx * sy) div (n_weeks * sxx - sx * sx)" +
           " AS BIGINT)").as("ols_cpw"))
@@ -121,7 +124,7 @@ object Wave21 {
       |      // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(wk AS HUGEINT) * wk)
       |        - SUM(CAST(wk AS HUGEINT)) * SUM(CAST(wk AS HUGEINT)))
       |      AS BIGINT) AS ols_cpw
-      |  FROM w GROUP BY 1)
+      |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2)
       |SELECT ts.nation, n_weeks, n_pairs, theil_cpw, ols_cpw
       |FROM ts JOIN o ON o.nation = ts.nation
       |ORDER BY ts.nation""".stripMargin
