@@ -50,7 +50,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q221_cuped", // 1-row pooled-theta scalar broadcast (q70 shape)
     "q230_bm25_topk", // 1-row corpus-size scalar broadcast (q70 shape)
     "q232_keywords_topk", // 1-row corpus-size scalar broadcast (q70 shape)
-    "q235_assoc_rules") // 1-row basket-count scalar broadcast (q70 shape)
+    "q235_assoc_rules", // 1-row basket-count scalar broadcast (q70 shape)
+    "q241_kmv_intersect", // 1-row exact-stats scalar broadcast beside the sketch row
+    "q243_k_core") // 1-row core-totals scalar broadcast onto the limit(20) members
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -216,7 +218,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q218_topk_churn" -> "rank over each window's limit(20)-capped top list",
     "q227_typo_join" -> "rank label over the 20 rows surviving orderBy().limit(20)",
     "q228_zorder_audit" -> "rank label over the 24 rows surviving orderBy().limit(24)",
-    "q230_bm25_topk" -> "rank label over the 20 rows surviving orderBy().limit(20)")
+    "q230_bm25_topk" -> "rank label over the 20 rows surviving orderBy().limit(20)",
+    "q240_stratified_folds" -> "global total over the per-language counts table (#languages rows)",
+    "q241_kmv_intersect" -> "rank over the ≤2k=128-row union of two limit(64) KMV sketches",
+    "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
