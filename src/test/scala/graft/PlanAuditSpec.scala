@@ -52,7 +52,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q232_keywords_topk", // 1-row corpus-size scalar broadcast (q70 shape)
     "q235_assoc_rules", // 1-row basket-count scalar broadcast (q70 shape)
     "q241_kmv_intersect", // 1-row exact-stats scalar broadcast beside the sketch row
-    "q243_k_core") // 1-row core-totals scalar broadcast onto the limit(20) members
+    "q243_k_core", // 1-row core-totals scalar broadcast onto the limit(20) members
+    "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
+    "q249_generalization_ladder") // 1-row best-level scalar onto the 4-row ladder
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
