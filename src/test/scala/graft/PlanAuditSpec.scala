@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q241_kmv_intersect", // 1-row exact-stats scalar broadcast beside the sketch row
     "q243_k_core", // 1-row core-totals scalar broadcast onto the limit(20) members
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
-    "q249_generalization_ladder") // 1-row best-level scalar onto the 4-row ladder
+    "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
+    "q251_range_splits") // 1-row total-rows scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -223,7 +224,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q230_bm25_topk" -> "rank label over the 20 rows surviving orderBy().limit(20)",
     "q240_stratified_folds" -> "global total over the per-language counts table (#languages rows)",
     "q241_kmv_intersect" -> "rank over the ≤2k=128-row union of two limit(64) KMV sketches",
-    "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)")
+    "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)",
+    "q251_range_splits" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
