@@ -275,6 +275,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[MinHashBands].getName, "graft_minhash_bands"),
       MinHashBands.sqlBuilder))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvSketch].getName, "graft_kmv"),
+      KmvSketch.sqlBuilder))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_within_edit1"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WithinEdit1].getName, "graft_within_edit1"),

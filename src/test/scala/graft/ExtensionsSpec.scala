@@ -37,6 +37,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(vs == Seq(3L, 30L), s"vecsum=$vs")
 
+    // SQL-callable KMV sketch aggregate: 3 smallest distinct values
+    val kmv = s2.sql(
+      "SELECT graft_kmv(h, 3) AS sk FROM VALUES (9L), (5L), (5L), " +
+        "(1L), (7L), (3L) t(h)")
+      .collect()(0).getSeq[Long](0)
+    assert(kmv == Seq(1L, 3L, 5L), s"kmv=$kmv")
+
     // SQL-callable exact integer sqrt (q162's stddev device)
     val iq = s2.sql(
       "SELECT graft_isqrt(x) AS s FROM VALUES (0L), (15L), (16L), " +
