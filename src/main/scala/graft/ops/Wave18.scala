@@ -116,9 +116,73 @@ object Wave18 {
       |        + ((11 * h0) // 12) * 17) % 256 AS INT) AS pend
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q253
+
+  /** q253: IMAGE-CORPUS DECODE-HEALTH audit (round 8, wave 29) — the
+    * ingestion-time report a multimodal pipeline runs before training:
+    * per source, how many blobs decode at all, and the brightness
+    * profile of the ones that do. A deterministic seventh of the blobs
+    * is CORRUPTED (container magic intact, IHDR truncated), so the
+    * gate exercises the real `ImageIO` failure path — corrupt blobs
+    * must land in `n_corrupt` via `decodeProbe`'s None, never crash an
+    * executor, never contribute to the brightness sum. The oracle
+    * recomputes the corruption rule and every valid mid-pixel closed
+    * form. Decode stays embarrassingly parallel; the report is one
+    * per-source groupBy. */
+  private def qImageHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = load(s, dir, "documents").select(col("doc_id"),
+      col("source"),
+      expr("CAST(n_chars % 61 + 4 AS INT)").as("w"),
+      expr("CAST(doc_id % 45 + 4 AS INT)").as("h"))
+    val probed = src.as[(Long, String, Int, Int)]
+      .map { case (id, source, w, h) =>
+        val png = Multimodal.encodePng(w, h, gray(id))
+        // deterministic corruption: magic survives, header does not
+        val blob = if (id % 7 == 0) png.take(12) else png
+        Multimodal.decodeProbe(blob, (dw, dh) => Seq((dw / 2, dh / 2)))
+        match {
+          case Some((_, _, ps)) => (source, 0L, ps.head.toLong)
+          case None => (source, 1L, 0L)
+        }
+      }
+      .toDF("source", "corrupt", "pmid")
+    probed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("corrupt")).as("n_corrupt"),
+        sum(col("pmid")).as("sum_mid"))
+      .select(col("source"), col("n_images"), col("n_corrupt"),
+        expr("n_corrupt * 1000000 div n_images").as("corrupt_ppm"),
+        expr("CASE WHEN n_images = n_corrupt THEN 0 ELSE " +
+          "sum_mid * 1000000 div (n_images - n_corrupt) END")
+          .as("mean_mid_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val qImageHealthSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars % 61 + 4 AS w, doc_id % 45 + 4 AS h,
+      |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, corrupt,
+      |    CASE WHEN corrupt = 1 THEN 0
+      |      ELSE (doc_id * 7 + (w // 2) * 31 + (h // 2) * 17) % 256
+      |      END AS pmid
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+      |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(corrupt) * 1000000 // COUNT(*) AS BIGINT) AS corrupt_ppm,
+      |  CAST(CASE WHEN COUNT(*) = SUM(corrupt) THEN 0 ELSE
+      |    SUM(pmid) * 1000000 // (COUNT(*) - SUM(corrupt)) END AS BIGINT)
+      |    AS mean_mid_micro
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q225_png_decode" -> QueryDef(qPngDecode, Some(qPngDecodeSql),
       "real javax.imageio PNG decode through the multimodal meta path"),
     "q226_png_resize" -> QueryDef(qPngResize, Some(qPngResizeSql),
-      "real PNG decode->nearest-neighbor resample->re-encode round-trip"))
+      "real PNG decode->nearest-neighbor resample->re-encode round-trip"),
+    "q253_image_health" -> QueryDef(qImageHealth, Some(qImageHealthSql),
+      "per-source decode-health + brightness audit over corrupted blobs"))
 }

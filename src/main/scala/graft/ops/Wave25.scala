@@ -98,11 +98,11 @@ object Wave25 {
     * scale, and the busiest-user cap keeps the report bounded while
     * the windows stay entity-partitioned and linear. */
   private def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
-    val daily = load(s, dir, "events")
+    val daily = graft.util.Pin(load(s, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
-          .as("cents"))
+          .as("cents"))) // consumed twice: top-user pick + feature join
     val top = daily.groupBy(col("user_id"))
       .agg(sum(col("n")).as("total"))
       .orderBy(col("total").desc, col("user_id")).limit(5)

@@ -91,4 +91,39 @@ class ImagePlumbingSpec extends AnyFunSuite {
         r.getAs[Array[Byte]](1).toSeq)).toMap
     assert(out(1L) == audio.toSeq && out(2L) == garbage.toSeq)
   }
+
+  test("q253 health audit: corruption counted, brightness from valid only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imgh_").toString
+    // ids 0..13, one source: ids 0 and 7 corrupt (id % 7 == 0)
+    val docs = (0L until 14L).map(i => (i, "srcX", 40L + i))
+    docs.toDF("doc_id", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Registry.queries("q253_image_health")(spark, tmp)
+      .collect().head
+    assert(r.getString(0) == "srcX")
+    assert(r.getAs[Long]("n_images") == 14L)
+    assert(r.getAs[Long]("n_corrupt") == 2L)
+    assert(r.getAs[Long]("corrupt_ppm") == 2L * 1000000L / 14L)
+    // valid mid-pixel sum from the closed form gray(id)(w/2, h/2)
+    val sum = (0L until 14L).filter(_ % 7 != 0).map { id =>
+      val w = ((40 + id) % 61 + 4).toInt; val h = (id % 45 + 4).toInt
+      (id * 7 + (w / 2) * 31 + (h / 2) * 17) % 256
+    }.sum
+    assert(r.getAs[Long]("mean_mid_micro") == sum * 1000000L / 12L)
+  }
+
+  test("q253 all-corrupt source reports zero brightness, no crash") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imgh_").toString
+    // single doc with id 0 -> corrupt -> n_valid = 0 branch
+    Seq((0L, "srcY", 50L)).toDF("doc_id", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = Registry.queries("q253_image_health")(spark, tmp)
+      .collect().head
+    assert(r.getAs[Long]("n_corrupt") == 1L)
+    assert(r.getAs[Long]("corrupt_ppm") == 1000000L)
+    assert(r.getAs[Long]("mean_mid_micro") == 0L)
+  }
 }
