@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q243_k_core", // 1-row core-totals scalar broadcast onto the limit(20) members
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
     "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
-    "q251_range_splits") // 1-row total-rows scalar broadcast (q70 shape)
+    "q251_range_splits", // 1-row total-rows scalar broadcast (q70 shape)
+    "q255_dispersion_index") // span-days × 5-type-alphabet spine completion (both sides bounded)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already

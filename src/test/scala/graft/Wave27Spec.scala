@@ -61,4 +61,19 @@ class Wave27Spec extends AnyFunSuite {
     val megaBucket = g2.find(_._2 == 5L).get
     assert(megaBucket._3 >= 30L) // key 5's 30 rows are unsplit
   }
+
+  test("q250/q251 are empty-input-safe") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w27_").toString
+    Seq.empty[(String, Long, Long)].toDF("source", "doc_id", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    Seq.empty[(Long, Long)].toDF("l_partkey", "l_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/lineitem.parquet")
+    assert(Registry.queries("q250_minmax_pruning")(spark, tmp)
+      .collect().isEmpty) // no bins -> no thresholds survive the join
+    assert(Registry.queries("q251_range_splits")(spark, tmp)
+      .collect().isEmpty) // no keys -> no buckets
+  }
 }
