@@ -14,8 +14,14 @@ class KmvSketchAggSpec extends AnyFunSuite {
     val values = Seq.fill(5000)(rng.nextInt(800).toLong)
     // 8 input partitions force partial buffers + a real merge path
     val df = values.toDF("h").repartition(8)
-    val got = df.agg(graft.functions.KmvSketch.kmv(col("h"), 32)
-      .as("sk")).collect()(0).getSeq[Long](0)
+    val agg = df.agg(graft.functions.KmvSketch.kmv(col("h"), 32)
+      .as("sk"))
+    // plan pin: a TypedImperativeAggregate must plan as partial+final
+    // ObjectHashAggregate — the mergeable-sketch shuffle contract
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate, plan:\n$plan")
+    val got = agg.collect()(0).getSeq[Long](0)
     val want = values.distinct.sorted.take(32)
     assert(got == want)
   }

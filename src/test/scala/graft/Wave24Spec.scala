@@ -29,7 +29,12 @@ class Wave24Spec extends AnyFunSuite {
       g.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex.map {
         case ((_, w, c), i) => (p, ptotal(p), i + 1L, w, c) }
     }.sortBy(t => (-t._2, t._1, t._3)).toList
-    val got = Registry.queries("q242_autocomplete")(spark, tmp)
+    val df = Registry.queries("q242_autocomplete")(spark, tmp)
+    // plan pin: the completions must run through the custom operator,
+    // not a row_number-then-filter rewrite
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"), "q242 lost its TopKPerGroupExec")
+    val got = df
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4))).toList
     assert(got == expected, s"got=$got\nexp=$expected")
