@@ -114,12 +114,22 @@ object KmvSketch {
     GraftBridge.column(
       KmvSketch(GraftBridge.expression(hashed), k).toAggregateExpression())
 
-  /** SQL builder: `graft_kmv(hashed, <int literal> k)`. */
+  /** Make `graft_kmv` SQL-callable on an existing session (idempotent;
+    * the per-session analog of the GraftExtensions injection). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "graft_kmv", sqlBuilder)
+
+  /** SQL builder: `graft_kmv(hashed, <integer literal> k)` — accepts
+    * INT or BIGINT literals for k (SQL integer literals parse as
+    * either depending on context), range-checked to [1, 65536]. */
   private[functions] val sqlBuilder: Seq[Expression] => Expression = {
     case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
       KmvSketch(h, n).toAggregateExpression()
+    case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _))
+        if n >= 1L && n <= 65536L =>
+      KmvSketch(h, n.toInt).toAggregateExpression()
     case other => throw new IllegalArgumentException(
-      "graft_kmv expects (hashed, <int literal> k), got " +
-        other.mkString(", "))
+      "graft_kmv expects (hashed LONG column, k integer literal in " +
+        "[1, 65536]), got " + other.mkString(", "))
   }
 }

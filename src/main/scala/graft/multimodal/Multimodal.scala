@@ -15,8 +15,15 @@ import org.apache.spark.sql.types._
   * pixel probes run a genuine codec path (ImagePlumbingSpec +
   * q225/q226 pin the round-trip against closed-form oracles).
   *
-  * AUDIO/VIDEO REMAIN STUBBED: ffmpeg-class codecs are genuinely
-  * absent in this sandbox, so those kinds parse the deterministic toy
+  * AUDIO DECODE IS REAL (round 9): WAV / AIFF / AU containers are
+  * sniffed by magic bytes and decoded with the JDK's built-in
+  * `javax.sound.sampled.AudioSystem` — again no external libraries —
+  * so sample-rate/frame-count metadata and PCM sample probes run a
+  * genuine audio codec path (AudioPlumbingSpec + q256/q257 pin the
+  * encode→decode round-trip against closed-form sample oracles).
+  *
+  * VIDEO REMAINS STUBBED: ffmpeg-class video codecs are genuinely
+  * absent in this sandbox, so that kind parses the deterministic toy
   * header (`decodeStub`); swap the marked block for real bindings on a
   * cluster that has them. Everything around the stub — schema, batch
   * iteration shape, partitioning, null handling — is the real
@@ -62,13 +69,47 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
 
-  /** Metadata decode: REAL `javax.imageio` for image containers, toy
-    * header for the stubbed kinds, `unknown` otherwise. */
+  /** True for the real audio containers the JDK can decode natively:
+    * WAV (RIFF…WAVE), AIFF (FORM…AIFF/AIFC), AU (.snd). */
+  private def isRealAudio(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+  /** Real audio decode via `javax.sound.sampled`; None when the blob
+    * is corrupt or no provider claims it. */
+  private def decodeAudio(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] =
+    try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Metadata decode: REAL `javax.imageio` for image containers, REAL
+    * `javax.sound.sampled` for audio containers, toy header for the
+    * stubbed kind (video), `unknown` otherwise. */
   private def decode(bytes: Array[Byte]): Row =
     if (isRealImage(bytes))
       decodeImage(bytes) match {
         case Some(img) => Row("image", img.getWidth, img.getHeight,
           null, null, bytes.length.toLong)
+        case None => Row("unknown", null, null, null, null,
+          bytes.length.toLong) // corrupt container
+      }
+    else if (isRealAudio(bytes))
+      decodeAudio(bytes) match {
+        case Some(ais) =>
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          ais.close()
+          Row("audio", null, null, math.round(f.getSampleRate),
+            if (frames >= 0 && frames <= Int.MaxValue) frames.toInt else null,
+            bytes.length.toLong)
         case None => Row("unknown", null, null, null, null,
           bytes.length.toLong) // corrupt container
       }
@@ -112,6 +153,61 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Deterministic mono 16-bit PCM WAV encoder (JDK
+    * `javax.sound.sampled`; the fixture generator for the real-decode
+    * audio queries/specs — a pure function of (rate, n, sample), so
+    * both engines can recompute any sample closed-form). `sample(i)`
+    * is masked to a signed 16-bit value. */
+  def encodeWav(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = sample(i).toShort
+      pcm(2 * i) = (v & 0xff).toByte // little-endian per the format below
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** ONE audio decode, many probes: decoded (sampleRate, nFrames) plus
+    * the channel-0 PCM16 sample at each frame index `pts(rate, n)`
+    * yields (out-of-bounds → -65536, outside the signed-16 range), or
+    * None for non-audio/corrupt blobs. Mirrors [[decodeProbe]]: a
+    * k-point probe costs one codec pass. Handles both endiannesses and
+    * 8/16-bit PCM (8-bit is widened to the 16-bit scale). */
+  def audioProbe(bytes: Array[Byte],
+      pts: (Int, Int) => Seq[Int]): Option[(Int, Int, Seq[Int])] =
+    if (!isRealAudio(bytes)) None
+    else decodeAudio(bytes).map { ais =>
+      val f = ais.getFormat
+      val rate = math.round(f.getSampleRate)
+      val frameSize = f.getFrameSize
+      val declaredFrames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      ais.close()
+      val n = if (frameSize > 0) data.length / frameSize
+        else declaredFrames.toInt
+      def sampleAt(i: Int): Int =
+        if (i < 0 || i >= n) -65536
+        else if (f.getSampleSizeInBits == 16) {
+          val o = i * frameSize // channel 0 = first sample of the frame
+          if (f.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+          else (data(o + 1) << 8) | (data(o) & 0xff)
+        } else { // 8-bit: unsigned by WAV convention; center + widen
+          val v = data(i * frameSize) & 0xff
+          (v - 128) << 8
+        }
+      (rate, n, pts(rate, n).map(sampleAt))
+    }
 
   /** Raw raster sample for single-band (grayscale) images —
     * `getRGB` would route TYPE_BYTE_GRAY through sRGB color

@@ -23,6 +23,48 @@ import Tables.load
   */
 object Graphs {
 
+  // ------------------------------------- shared co-purchase edge device
+
+  /** Cache of pinned strong-edge tables keyed by (session, directory,
+    * support floor): q206 (link prediction), q217 (BFS), and q243
+    * (k-core) all consume the SAME sparsified co-purchase graph, and
+    * its construction — the order-key pair self-join + support-floor
+    * aggregate — is the battery's widest repeated shuffle (110 s of
+    * q243's sf10 time was spent rebuilding what q206 had already
+    * built). The pinned result is thousands of rows at any SF (the
+    * support floor is what makes the graph usable at all), so holding
+    * it for the session costs KBs while saving the third and fourth
+    * rebuild of a ~10⁸-row pair stream. Keyed reuse also avoids the
+    * round-7 persist leak: repeated invocations share ONE pinned
+    * table instead of accumulating new ones. */
+  private val strongEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long),
+      DataFrame]()
+
+  /** Strong co-purchase edges (a < b): part pairs co-ordered in
+    * ≥ `minSupport` distinct orders. Pair generation is an order-key
+    * self-join (fan-out ≤ order width², never corpus²); the support
+    * floor (q164's measured-stable 2) sparsifies BEFORE anything
+    * quadratic downstream. Pinned once per (session, dir, support)
+    * and shared across the graph battery. */
+  def strongEdges(s: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame =
+    strongEdgeCache.computeIfAbsent((s, dir, minSupport), _ => {
+      val op = load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      graft.util.Pin(op.as("x").join(op.as("y"), Seq("o"))
+        .filter(col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= minSupport)
+        .select(col("a"), col("b")))
+    })
+
+  /** Symmetric closure of a directed (a < b) edge table. */
+  def symmetricEdges(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+
   // ------------------------------------------------------------- q137
 
   /** PageRank with INTEGER-EXACT arithmetic so the fixpoint is

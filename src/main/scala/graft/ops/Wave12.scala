@@ -40,20 +40,14 @@ object Wave12 {
     * u/v degrees for Jaccard stay uncapped. Top-20 by (cn, ra) with
     * a total (u,v) tie-break — a TakeOrdered, never a global sort. */
   private def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val op = load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // measured asymmetry: packing the pair into one BIGINT (a·2³² + b)
-    // SLOWS Spark's codegen hash-agg here (119s vs 71s min-of-3 at the
-    // 100× directory) while the same packing is what makes the DuckDB
-    // oracle feasible — each engine gets its own formulation
-    val edges = op.as("x").join(op.as("y"), Seq("o"))
-      .filter(col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2)
-      .select(col("a"), col("b"))
-    val sym = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b")))
+    // measured asymmetry (in the shared device): packing the pair into
+    // one BIGINT (a·2³² + b) SLOWS Spark's codegen hash-agg here (119s
+    // vs 71s min-of-3 at the 100× directory) while the same packing is
+    // what makes the DuckDB oracle feasible — each engine gets its own
+    // formulation. The edge table itself is the battery-shared pinned
+    // device (q206/q217/q243 consume the identical graph).
+    val edges = Graphs.strongEdges(s, dir)
+    val sym = Graphs.symmetricEdges(edges)
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
     val nCapped = deg.filter(col("deg") > 64)

@@ -220,20 +220,11 @@ object Wave14 {
     * family where DuckDB natively expresses iteration, which makes the
     * loop itself gateable, not just one unrolling. */
   private def qBfsDistances(s: SparkSession, dir: String): DataFrame = {
-    val op = load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = op.as("x").join(op.as("y"), Seq("o"))
-      .filter(col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2)
-      .select(col("a"), col("b"))
-    // Pin (materialize + cut lineage) instead of persist: the loop and
-    // the final report then never re-derive the pair pipeline, and no
-    // cached RDD outlives the call (a persist here leaked across
-    // repeated invocations — measured as a 57s-then-1.2s rep pair)
-    val sym = graft.util.Pin(edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b"))))
+    // battery-shared pinned edge device (q206/q217/q243 — one build per
+    // session+dir); the symmetric closure is re-pinned here because the
+    // loop consumes it once per round
+    val edges = Graphs.strongEdges(s, dir)
+    val sym = graft.util.Pin(Graphs.symmetricEdges(edges))
     val nodes = graft.util.Pin(sym.select(col("a").as("node")).distinct())
     val src = nodes.agg(min(col("node")).as("node"))
     var dist = graft.util.Pin(src.withColumn("d", lit(0L)))

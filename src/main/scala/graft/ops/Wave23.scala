@@ -71,10 +71,12 @@ object Wave23 {
   // ------------------------------------------------------------- q240
 
   /** Deterministic fold hash: an LCG over the id folded into [0, 2^31),
-    * with the id first reduced mod a prime so the multiply can never
-    * overflow a 64-bit long even on key-shifted scale-ladder ids. The
-    * fold takes the HIGH three bits (div 2^28), not the low ones — LCG
-    * low bits cycle. */
+    * with the id first reduced mod the prime 1,000,000,007 so the
+    * multiply can never overflow a 64-bit long even on key-shifted
+    * scale-ladder ids ((p−1)·1103515245 ≈ 1.1e18 < 2^63). The prime
+    * exceeds every key cardinality through sf100, so the reduction is
+    * collision-free at all specified scales. The fold takes the HIGH
+    * three bits (div 2^28), not the low ones — LCG low bits cycle. */
   private val FoldK = 8L
 
   /** q240: STRATIFIED K-FOLD audit. Every doc gets a deterministic fold
@@ -86,7 +88,7 @@ object Wave23 {
   private def qStratifiedFolds(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("fold",
-        expr("((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 div 268435456"))
+        expr("((doc_id % 1000000007) * 1103515245 + 12345) % 2147483648 div 268435456"))
     val grid = docs.groupBy(col("fold"), col("lang"))
       .agg(count(lit(1)).as("n"))
     val globalLang = docs.groupBy(col("lang"))
@@ -110,7 +112,7 @@ object Wave23 {
   private val qStratifiedFoldsSql =
     """WITH d AS (
       |  SELECT lang,
-      |    ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648
+      |    ((doc_id % 1000000007) * 1103515245 + 12345) % 2147483648
       |      // 268435456 AS fold
       |  FROM documents),
       |grid AS (
@@ -158,7 +160,7 @@ object Wave23 {
           .as("fa"),
         max(when(col("l_returnflag") === "A", 1L).otherwise(0L))
           .as("fb"))
-      .withColumn("h", expr("((x % 1000003) * 2654435761) % 2147483648"))
+      .withColumn("h", expr("((x % 1000000007) * 2654435761) % 2147483648"))
     val pinned = graft.util.Pin(flags) // consumed 3×: two sketches + exact
     def sketchOf(flag: String, inA: Long) =
       pinned.filter(col(flag) === 1L).select(col("h")).distinct()
@@ -203,11 +205,11 @@ object Wave23 {
 
   private val qKmvIntersectSql =
     s"""WITH a AS (
-       |  SELECT DISTINCT ((l_partkey % 1000003) * 2654435761)
+       |  SELECT DISTINCT ((l_partkey % 1000000007) * 2654435761)
        |    % 2147483648 AS h
        |  FROM lineitem WHERE l_returnflag = 'R'),
        |b AS (
-       |  SELECT DISTINCT ((l_partkey % 1000003) * 2654435761)
+       |  SELECT DISTINCT ((l_partkey % 1000000007) * 2654435761)
        |    % 2147483648 AS h
        |  FROM lineitem WHERE l_returnflag = 'A'),
        |sa AS (SELECT h FROM a ORDER BY h LIMIT $KmvK),

@@ -100,17 +100,9 @@ object Wave24 {
     * collect). Output: the 20 highest-degree core members beside the
     * core's node/edge totals. */
   private def qKCore(s: SparkSession, dir: String): DataFrame = {
-    val op = load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e = op.as("x").join(op.as("y"), Seq("o"))
-      .filter(col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2)
-      .select(col("a"), col("b"))
-    var edges = graft.util.Pin(
-      e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
+    // battery-shared pinned edge device (q206/q217/q243)
+    val e = Graphs.strongEdges(s, dir)
+    var edges = graft.util.Pin(Graphs.symmetricEdges(e))
     var nEdges = edges.count()
     var round = 0
     var stable = nEdges == 0L

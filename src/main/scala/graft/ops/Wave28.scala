@@ -15,8 +15,20 @@ import Tables.load
   *    per (partition, group), the same mergeable-sketch contract as
   *    HLL but with an exactly-specified result the DuckDB oracle
   *    emulates verbatim (`(array_agg(DISTINCT h ORDER BY h))[1:k]`).
-  *    The full sketch array ships in the output so the oracle gates
-  *    every element, not just the derived estimate.
+  *    Every sketch element is still oracle-gated, but as a '|'-joined
+  *    STRING — the driver's comparer lexsorts result cells through
+  *    pandas, which cannot hash a raw ARRAY cell (the one red row of
+  *    round 8), so gated outputs must be atomic-typed (enforced
+  *    repo-wide by AtomicOutputSchemaSpec).
+  *
+  * Hash note: ids are reduced mod the prime 1,000,000,007 before the
+  * Knuth multiply so the product stays under 2^63 for any key the
+  * scale ladder can produce ((p−1)·2654435761 ≈ 2.65e18 < 2^63). The
+  * prime exceeds every table's key cardinality through sf100
+  * (lineitem partkeys at sf100 ≈ 2e8), so the reduction is
+  * collision-free at all scales this engine is specified for — unlike
+  * the earlier 1,000,003 modulus which collided pairwise from sf10's
+  * 2M part keys up.
   */
 object Wave28 {
 
@@ -28,7 +40,7 @@ object Wave28 {
   private def qKmvNative(s: SparkSession, dir: String): DataFrame = {
     val h = load(s, dir, "lineitem").select(
       col("l_returnflag").as("flag"),
-      expr("((l_partkey % 1000003) * 2654435761) % 2147483648").as("h"),
+      expr("((l_partkey % 1000000007) * 2654435761) % 2147483648").as("h"),
       col("l_partkey"))
     h.groupBy(col("flag"))
       .agg(graft.functions.KmvSketch.kmv(col("h"), K.toInt).as("sketch"),
@@ -39,14 +51,16 @@ object Wave28 {
         expr(s"CASE WHEN size(sketch) < $K THEN CAST(size(sketch) AS " +
           s"BIGINT) ELSE (${K - 1} * ${M}L) div element_at(sketch, " +
           "size(sketch)) END").as("est_distinct"),
-        col("exact_distinct"), col("sketch"))
+        col("exact_distinct"),
+        array_join(expr("CAST(sketch AS ARRAY<STRING>)"), "|")
+          .as("sketch_str"))
       .orderBy(col("flag"))
   }
 
   private val qKmvNativeSql =
     s"""WITH h AS (
        |  SELECT l_returnflag AS flag,
-       |    ((l_partkey % 1000003) * 2654435761) % 2147483648 AS hh,
+       |    ((l_partkey % 1000000007) * 2654435761) % 2147483648 AS hh,
        |    l_partkey
        |  FROM lineitem),
        |g AS (
@@ -59,7 +73,7 @@ object Wave28 {
        |  CAST(CASE WHEN len(sketch) < $K THEN len(sketch)
        |    ELSE (${K - 1} * $M) // sketch[len(sketch)] END AS BIGINT)
        |    AS est_distinct,
-       |  exact_distinct, sketch
+       |  exact_distinct, array_to_string(sketch, '|') AS sketch_str
        |FROM g ORDER BY flag""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(

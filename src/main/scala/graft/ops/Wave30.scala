@@ -138,9 +138,13 @@ object Wave30 {
       .select(col("event_type"), col("n_days"), col("total"),
         expr("CASE WHEN n_days = 0 THEN 0 ELSE total * 1000000 div " +
           "n_days END").as("mean_micro"),
-        expr("CASE WHEN total = 0 THEN 0 ELSE " +
-          "(n_days * sum_sq - total * total) * 1000000 div " +
-          "(n_days * total) END").as("dispersion_ppm"))
+        // n·Σx²·1e6 passes 2^63 for a high-variance type at large SF —
+        // route through DECIMAL(38,0) like q254's cents sums
+        expr("CASE WHEN total = 0 THEN 0L ELSE " +
+          "(CAST(n_days AS DECIMAL(38,0)) * sum_sq - " +
+          "CAST(total AS DECIMAL(38,0)) * total) * 1000000 div " +
+          "(CAST(n_days AS DECIMAL(38,0)) * total) END")
+          .as("dispersion_ppm"))
       .withColumn("overdispersed", col("dispersion_ppm") > 1000000L)
       .orderBy(col("event_type"))
   }
@@ -168,11 +172,13 @@ object Wave30 {
       |SELECT event_type, n_days, total,
       |  CASE WHEN n_days = 0 THEN 0
       |    ELSE total * 1000000 // n_days END AS mean_micro,
-      |  CASE WHEN total = 0 THEN 0 ELSE
-      |    (n_days * sum_sq - total * total) * 1000000 // (n_days * total)
-      |    END AS dispersion_ppm,
+      |  CAST(CASE WHEN total = 0 THEN 0 ELSE
+      |    (CAST(n_days AS HUGEINT) * sum_sq - CAST(total AS HUGEINT)
+      |     * total) * 1000000 // (CAST(n_days AS HUGEINT) * total)
+      |    END AS BIGINT) AS dispersion_ppm,
       |  CASE WHEN total = 0 THEN FALSE ELSE
-      |    (n_days * sum_sq - total * total) * 1000000 // (n_days * total)
+      |    (CAST(n_days AS HUGEINT) * sum_sq - CAST(total AS HUGEINT)
+      |     * total) * 1000000 // (CAST(n_days AS HUGEINT) * total)
       |    > 1000000 END AS overdispersed
       |FROM m ORDER BY event_type""".stripMargin
 

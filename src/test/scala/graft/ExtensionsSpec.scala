@@ -77,6 +77,38 @@ class ExtensionsSpec extends AnyFunSuite {
       == Seq((1L, "a")))
   }
 
+  test("graft_kmv composes in a join: two sketch branches meet on a key") {
+    val s2 = TestSpark.spark.newSession()
+    import s2.implicits._
+    // two keyed corpora; group g=1 has overlap {10,11}, g=2 none
+    val items = Seq(
+      (1L, "L", 10L), (1L, "L", 11L), (1L, "L", 12L),
+      (1L, "R", 10L), (1L, "R", 11L), (1L, "R", 13L),
+      (2L, "L", 20L), (2L, "R", 21L))
+      .toDF("g", "side", "h")
+    items.createOrReplaceTempView("kmv_join_items")
+    // BIGINT literal k exercises the Long-literal builder arm
+    val got = s2.sql(
+      """SELECT l.g AS g, l.sk AS lsk, r.sk AS rsk,
+        |  size(array_intersect(l.sk, r.sk)) AS n_common
+        |FROM (SELECT g, graft_kmv(h, 4L) AS sk FROM kmv_join_items
+        |      WHERE side = 'L' GROUP BY g) l
+        |JOIN (SELECT g, graft_kmv(h, 4L) AS sk FROM kmv_join_items
+        |      WHERE side = 'R' GROUP BY g) r ON l.g = r.g
+        |ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getSeq[Long](2), r.getInt(3))).toList
+    assert(got == List(
+      (1L, Seq(10L, 11L, 12L), Seq(10L, 11L, 13L), 2),
+      (2L, Seq(20L), Seq(21L), 0)), s"got=$got")
+    // a non-literal k must fail with the named-function error, not NPE
+    val err = intercept[Exception] {
+      s2.sql("SELECT graft_kmv(h, g) FROM kmv_join_items GROUP BY g")
+        .collect()
+    }
+    assert(err.getMessage.contains("graft_kmv"), err.getMessage)
+  }
+
   test("the MinHash band table is reachable from pure SQL and matches the battery") {
     val s2 = TestSpark.spark.newSession()
     import s2.implicits._

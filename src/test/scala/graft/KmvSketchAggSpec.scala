@@ -54,13 +54,14 @@ class KmvSketchAggSpec extends AnyFunSuite {
     rows.toDF("l_partkey", "l_returnflag").coalesce(3)
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     val M = 2147483648L
-    def h(x: Long) = ((x % 1000003L) * 2654435761L) % M
+    def h(x: Long) = ((x % 1000000007L) * 2654435761L) % M
     val got = Registry.queries("q252_kmv_native")(spark, tmp).collect()
     assert(got.map(_.getString(0)).toList == List("A", "N", "R"))
     for (r <- got) {
       val parts = rows.filter(_._2 == r.getString(0)).map(_._1)
       val sketch = parts.map(h).distinct.sorted.take(64)
-      assert(r.getSeq[Long](5) == sketch, s"flag ${r.getString(0)}")
+      // gate output ships the sketch '|'-joined (atomic-schema contract)
+      assert(r.getString(5) == sketch.mkString("|"), s"flag ${r.getString(0)}")
       assert(r.getLong(1) == sketch.size.toLong)
       assert(r.getLong(2) == sketch.last)
       val est = if (sketch.size < 64) sketch.size.toLong

@@ -33,7 +33,7 @@ class Wave23Spec extends AnyFunSuite {
     docs.toDF("doc_id", "lang").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     def fold(id: Long): Long =
-      ((id % 1000003L) * 1103515245L + 12345L) % 2147483648L / 268435456L
+      ((id % 1000000007L) * 1103515245L + 12345L) % 2147483648L / 268435456L
     val grid = docs.groupBy(d => (fold(d._1), d._2))
       .map { case (k, v) => k -> v.size.toLong }
     val foldN = grid.groupBy(_._1._1).map { case (f, m) =>
@@ -61,7 +61,7 @@ class Wave23Spec extends AnyFunSuite {
   private def kmvReferee(aParts: Set[Long], bParts: Set[Long])
       : (Long, Long, Long, Long, Long) = {
     val K = 64; val M = 2147483648L
-    def h(x: Long) = ((x % 1000003L) * 2654435761L) % M
+    def h(x: Long) = ((x % 1000000007L) * 2654435761L) % M
     val hA = aParts.map(h).toSeq.sorted.take(K)
     val hB = bParts.map(h).toSeq.sorted.take(K)
     val pool = (hA.map((_, 1L, 0L)) ++ hB.map((_, 0L, 1L)))

@@ -14,7 +14,7 @@ class Wave23to26PropertySpec extends AnyFunSuite {
   private def kmvReferee(aParts: Set[Long], bParts: Set[Long])
       : (Long, Long, Long, Long) = {
     val K = 64; val M = 2147483648L
-    def h(x: Long) = ((x % 1000003L) * 2654435761L) % M
+    def h(x: Long) = ((x % 1000000007L) * 2654435761L) % M
     val hA = aParts.map(h).toSeq.sorted.take(K)
     val hB = bParts.map(h).toSeq.sorted.take(K)
     val pool = (hA.map((_, 1L, 0L)) ++ hB.map((_, 0L, 1L)))

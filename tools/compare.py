@@ -37,6 +37,18 @@ for name, sql in sorted(oracle.items()):
     if len(o) != len(s_):
         print(f"FAIL {name}: rows oracle={len(o)} spark={len(s_)}"); fails += 1
         continue
+    # The driver's comparer lexsorts rows through pandas BEFORE any
+    # stringification; a non-atomic cell (numpy array / list / dict)
+    # throws there. Replicate that failure mode so a nested gate
+    # column can never pass locally and fail at the driver (round-8
+    # q252 shipped ARRAY<BIGINT> and only the driver caught it).
+    import numpy as _np
+    nested = [c for df in (o, s_) for c in df.columns
+              if len(df) and isinstance(df[c].iloc[0], (_np.ndarray, list, dict))]
+    if nested:
+        print(f"FAIL {name}: non-atomic cell type in columns {sorted(set(nested))} "
+              "(driver comparer cannot sort these)")
+        fails += 1; continue
     ovals = o.astype(str).values.tolist()
     svals = s_.astype(str).values.tolist()
     if ovals != svals:
