@@ -25,7 +25,8 @@ class AtomicOutputSchemaSpec extends AnyFunSuite {
     * atomic-renderable cells. Any NEW streaming gate must keep its
     * read-back schema atomic (enforced by the driver row going red,
     * and by this list being append-reviewed). */
-  private val streamingBuilds = Set("q27_cdc_stream_fsm",
+  private val streamingBuilds = Set("q262_stream_wav_health",
+    "q27_cdc_stream_fsm",
     "q63_stream_dedup", "q72_stream_lsh_index", "q77_stream_topk",
     "q80_stream_agg_maintain", "q109_stream_sessionize",
     "q112_stream_rate_anomaly", "q124_stream_sessions_tws",

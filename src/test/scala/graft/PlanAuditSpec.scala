@@ -56,13 +56,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
     "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
     "q251_range_splits", // 1-row total-rows scalar broadcast (q70 shape)
-    "q255_dispersion_index") // span-days × 5-type-alphabet spine completion (both sides bounded)
+    "q255_dispersion_index", // span-days × 5-type-alphabet spine completion (both sides bounded)
+    "q259_setsim_join", // two 1-row stats scalar broadcasts (q70 shape)
+    "q260_isotonic_calibration") // interval self-joins on the ≤50-row quantity-alphabet bin table
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
     * audited via their batch twins (q26 for q27; q26+cogroup for
     * q28/q44; the batch DISTINCT oracle for q63). */
-  private val skipBuild = Set("q27_cdc_stream_fsm", "q63_stream_dedup",
+  private val skipBuild = Set("q262_stream_wav_health",
+    "q261_mmr_rerank", // bounded-pool greedy runs jobs at build time
+    "q27_cdc_stream_fsm", "q63_stream_dedup",
     "q72_stream_lsh_index", "q77_stream_topk", "q80_stream_agg_maintain",
     "q109_stream_sessionize", "q112_stream_rate_anomaly",
     "q124_stream_sessions_tws", "q129_stream_cdc_merge",
@@ -226,7 +230,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q240_stratified_folds" -> "global total over the per-language counts table (#languages rows)",
     "q241_kmv_intersect" -> "rank over the ≤2k=128-row union of two limit(64) KMV sketches",
     "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)",
-    "q251_range_splits" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)")
+    "q251_range_splits" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)",
+    "q260_isotonic_calibration" -> "prefix sums + monotone lag over the ≤50-row quantity-alphabet bin table")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force twins for wave 33: exact set-similarity join (recall
+  * 1.0 against the all-pairs referee) and isotonic calibration (the
+  * classic stack PAV on exact rationals). */
+class Wave33Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q259 finds exactly the all-pairs shingle-Jaccard >= 3/5 set") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w33a_").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shingles: abc bcd cde
+      (2L, "alpha beta gamma delta zeta"), // shares 2 of its 3
+      (3L, "alpha beta xx yy zz"), // shares 0 (only a 2-word overlap)
+      (4L, "alpha beta gamma delta epsilon"), // identical, J = 1
+      (5L, "solo pair"), // < 3 words: no shingles, excluded
+      (6L, "qq ww ee"), (7L, "qq ww ee"), // single-shingle dup, J = 1
+      (8L, "alpha beta gamma delta epsilon eta theta"), // superset
+      (9L, ""))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // referee: brute-force all pairs over the same shingling
+    def set(t: String) = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty[String]
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val m = docs.map(d => d._1 -> set(d._2)).toMap
+    val want = (for {
+      a <- m.keys; b <- m.keys if a < b
+      sa = m(a); sb = m(b) if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+
+    val got = Registry.queries("q259_setsim_join")(spark, tmp).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(gotPairs == want, s"got=$gotPairs want=$want")
+    assert(got.forall(_.getAs[Long]("n_verified") == want.size.toLong))
+    assert(got.forall(r =>
+      r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_verified")))
+    // jacc_ppm is exact integer micro of inter/uni
+    for (r <- got)
+      assert(r.getAs[Long]("jacc_ppm") ==
+        r.getAs[Long]("inter") * 1000000L / r.getAs[Long]("uni"))
+  }
+
+  test("q260 equals the stack PAV on exact rationals, then truncated") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w33b_").toString
+    // a deliberately non-monotone raw rate curve over 6 quantity bins
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      q <- 1 to 6
+      i <- 1 to 40 + q * 3
+    } yield {
+      val rate = Seq(0.1, 0.5, 0.3, 0.3, 0.9, 0.2)(q - 1)
+      (q.toLong, if (rng.nextDouble() < rate) "R" else "N")
+    }
+    rows.toDF("l_quantity", "l_returnflag").coalesce(2)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+
+    // referee: classic pool-adjacent-violators on exact (num, den)
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, g) =>
+      (q, g.size.toLong, g.count(_._2 == "R").toLong)
+    }
+    case class Block(num: Long, den: Long, n: Int)
+    val stack = scala.collection.mutable.Stack[Block]()
+    for ((_, w, sy) <- bins) {
+      var b = Block(sy, w, 1)
+      // pool while the previous block's average exceeds this one's
+      while (stack.nonEmpty &&
+          stack.top.num * b.den >= b.num * stack.top.den) {
+        val p = stack.pop()
+        b = Block(p.num + b.num, p.den + b.den, p.n + b.n)
+      }
+      stack.push(b)
+    }
+    val fit = stack.toSeq.reverse.flatMap(b =>
+      Seq.fill(b.n)(b.num * 1000000L / b.den))
+
+    val got = Registry.queries("q260_isotonic_calibration")(spark, tmp)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == bins.map(_._1))
+    assert(got.map(_.getAs[Long]("iso_fit_micro")).toSeq == fit,
+      s"minimax fit diverged from stack PAV:\n" +
+        s" got=${got.map(_.getAs[Long]("iso_fit_micro")).toSeq}\n want=$fit")
+    assert(got.forall(_.getAs[Boolean]("monotone_ok")))
+    // the fit really is monotone
+    val f = got.map(_.getAs[Long]("iso_fit_micro"))
+    assert(f.zip(f.tail).forall { case (a, b) => a <= b })
+  }
+}
