@@ -252,6 +252,36 @@ object Multimodal {
       (rate, n, pts(rate, n).map(sampleAt))
     }
 
+  /** Resample for "audio" blobs: integer DECIMATION by `factor` —
+    * keep every factor-th PCM16 channel-0 sample (the audio analog of
+    * [[resize]]'s nearest-neighbor raster rule: our own loop, no
+    * interpolation filter, so the result is bit-deterministic and
+    * closed-form recomputable) and re-encode as mono WAV at
+    * rate div factor. REAL containers take the real decode path;
+    * non-audio / corrupt blobs pass through unchanged (the [[resize]]
+    * contract). */
+  def resampleAudio(df: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resampled", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out =
+          if (!isRealAudio(bytes)) bytes
+          else audioProbe(bytes, (_, n) => 0 until n by factor) match {
+            case None => bytes // corrupt real container: pass through
+            case Some((rate, _, kept)) =>
+              encodeWav(math.max(rate / factor, 1), kept.length,
+                i => kept(i))
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Raw raster sample for single-band (grayscale) images —
     * `getRGB` would route TYPE_BYTE_GRAY through sRGB color
     * management (gamma), destroying integer-exactness — and integer
