@@ -22,12 +22,19 @@ import org.apache.spark.sql.types._
   * genuine audio codec path (AudioPlumbingSpec + q256/q257 pin the
   * encode→decode round-trip against closed-form sample oracles).
   *
-  * VIDEO REMAINS STUBBED: ffmpeg-class video codecs are genuinely
-  * absent in this sandbox, so that kind parses the deterministic toy
-  * header (`decodeStub`); swap the marked block for real bindings on a
-  * cluster that has them. Everything around the stub — schema, batch
-  * iteration shape, partitioning, null handling — is the real
-  * production plumbing and is tested.
+  * VIDEO DECODE IS REAL FOR THE MJPEG/MPNG CLASS (round 9): RIFF/AVI
+  * containers are demuxed by a spec-correct chunk walk ([[demuxAvi]]:
+  * hdrl/avih/strf headers, LIST movi '00dc' frame payloads, word
+  * alignment), and the per-frame payloads decode through the REAL
+  * `javax.imageio` codec — Motion-PNG frames make the whole
+  * container→frame→pixel chain lossless and closed-form-gateable
+  * (q265/q266 + VideoPlumbingSpec). H.264-class inter-frame codecs
+  * genuinely need ffmpeg-class libraries this sandbox lacks — THAT
+  * remaining branch keeps the deterministic toy header
+  * (`decodeStub`); swap it for real bindings on a cluster that has
+  * them. Everything around it — schema, batch iteration shape,
+  * partitioning, null handling — is the real production plumbing and
+  * is tested.
   *
   * Scale notes: decode is embarrassingly parallel → `repartition(n)` by
   * id hash balances skew from variable blob sizes; feature vectors are
@@ -141,6 +148,13 @@ object Multimodal {
         case None => Row("unknown", null, null, null, null,
           bytes.length.toLong) // corrupt container
       }
+    else if (isRealVideo(bytes))
+      demuxAvi(bytes) match {
+        case Some((w, h, declared, _)) =>
+          Row("video", w, h, null, declared, bytes.length.toLong)
+        case None => Row("unknown", null, null, null, null,
+          bytes.length.toLong) // corrupt container
+      }
     else decodeStub(bytes)
 
   /** Deterministic fake decode — STUB for the codecs this sandbox
@@ -251,6 +265,103 @@ object Multimodal {
         }
       (rate, n, pts(rate, n).map(sampleAt))
     }
+
+  /** True for RIFF/AVI video containers. */
+  private def isRealVideo(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Minimal but SPEC-CORRECT AVI container writer (RIFF 'AVI ' →
+    * LIST hdrl {avih, LIST strl {strh 'vids', strf
+    * BITMAPINFOHEADER}} → LIST movi {'00dc' frame chunks,
+    * word-aligned}) carrying Motion-PNG frames — 'MPNG' is a
+    * registered AVI video codec whose frames are whole PNG images, so
+    * the demux side exercises a REAL container walk and a REAL
+    * (lossless → closed-form-gateable) frame codec. The fixture
+    * generator for the video queries/specs. */
+  def encodeAviMpng(w: Int, h: Int,
+      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      cc(id) ++ u32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ u32(body.length + 4) ++ cc(kind) ++ body
+    val pngs = frames.map(f => encodePng(w, h, f))
+    val maxBuf = if (pngs.isEmpty) 0 else pngs.map(_.length).max
+    val avih = u32(100000) ++ u32(0) ++ u32(0) ++ u32(0) ++ // usec/frame…
+      u32(frames.length) ++ u32(0) ++ u32(1) ++ u32(maxBuf) ++
+      u32(w) ++ u32(h) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val strh = cc("vids") ++ cc("MPNG") ++ u32(0) ++ u16(0) ++ u16(0) ++
+      u32(0) ++ u32(1) ++ u32(10) ++ u32(0) ++ // scale 1, rate 10 fps
+      u32(frames.length) ++ u32(maxBuf) ++ u32(0xffffffff.toInt) ++
+      u32(0) ++ u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
+    val strf = u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(24) ++
+      cc("MPNG") ++ u32(w * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      pngs.map(p => chunk("00dc", p)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(u32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Real AVI demux: walk the RIFF chunk tree (sizes little-endian,
+    * odd chunks padded to word boundaries), read the declared geometry
+    * from the strf BITMAPINFOHEADER and the frame count from avih, and
+    * collect the '00dc'/'00db' frame payloads from LIST movi. Returns
+    * (width, height, declaredFrames, frames) or None when the
+    * container is corrupt/truncated. Frame payloads decode through
+    * [[decodeImage]] (real PNG/JPEG codec) downstream — this pair is
+    * the Motion-PNG/MJPEG-class video path; H.264-class streams still
+    * need ffmpeg-class libraries this sandbox lacks. */
+  def demuxAvi(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Seq[Array[Byte]])] = {
+    if (!isRealVideo(bytes)) return None
+    def u32(o: Int): Int =
+      if (o + 4 > bytes.length) -1
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def cc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, "US-ASCII")
+    val riffEnd = math.min(8L + u32(4), bytes.length.toLong).toInt
+    if (riffEnd < 12) return None
+    var w = -1; var h = -1; var declared = -1
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Boolean = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = cc(o); val sz = u32(o + 4)
+        if (sz < 0 || o + 8 + sz > to) return false // truncated chunk
+        id match {
+          case "LIST" =>
+            if (sz < 4) return false
+            if (!walk(o + 12, o + 8 + sz)) return false
+          case "avih" => if (sz >= 40) declared = u32(o + 8 + 16)
+          case "strf" => if (sz >= 12) { w = u32(o + 8 + 4); h = u32(o + 8 + 8) }
+          case "00dc" | "00db" =>
+            frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+          case _ => ()
+        }
+        o += 8 + sz + (sz & 1) // word alignment
+      }
+      true
+    }
+    if (!walk(12, riffEnd)) None
+    else if (w < 0 || declared < 0) None // headers missing
+    else Some((w, h, declared, frames.result()))
+  }
 
   /** Resample for "audio" blobs: integer DECIMATION by `factor` —
     * keep every factor-th PCM16 channel-0 sample (the audio analog of
@@ -440,9 +551,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling for "video" blobs: every `stride`-th fixed-size
-    * chunk of the payload becomes one frame row (id, frameIdx, frame).
-    * Real video decode replaces chunking with keyframe extraction. */
+  /** Frame sampling for "video" blobs: every `stride`-th frame becomes
+    * one row (id, frameIdx, frame). REAL AVI containers take the real
+    * path — [[demuxAvi]] walks the RIFF chunk tree and emits the
+    * '00dc' payloads (PNG/JPEG images, decodable by [[decodeImage]]);
+    * corrupt AVIs emit nothing. Toy-header blobs keep the fixed-size
+    * chunking stub (`frameBytes` applies only there). */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
@@ -455,7 +569,15 @@ object Multimodal {
       it.flatMap { row =>
         val id = row.getLong(idIdx)
         val bytes = row.getAs[Array[Byte]](binIdx)
-        if (bytes == null || bytes.length <= 16) Iterator.empty
+        if (isRealVideo(bytes))
+          demuxAvi(bytes) match {
+            case Some((_, _, _, frames)) =>
+              (0 until frames.length by stride).iterator.map { f =>
+                Row(id, f, frames(f))
+              }
+            case None => Iterator.empty // corrupt container
+          }
+        else if (bytes == null || bytes.length <= 16) Iterator.empty
         else {
           val payload = bytes.drop(16)
           val nFrames = payload.length / frameBytes
