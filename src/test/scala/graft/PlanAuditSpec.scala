@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q255_dispersion_index", // span-days × 5-type-alphabet spine completion (both sides bounded)
     "q259_setsim_join", // two 1-row stats scalar broadcasts (q70 shape)
     "q267_ri_audit", // per-edge 1-row orphan-stats scalar broadcast (q70 shape)
+    "q269_merkle_digest", // 1-row range-bound max() scalar broadcast (q70 shape)
     "q260_isotonic_calibration") // interval self-joins on the ≤50-row quantity-alphabet bin table
 
   /** Streaming/stateful queries run side effects when built — their
