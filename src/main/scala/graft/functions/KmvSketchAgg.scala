@@ -123,11 +123,16 @@ object KmvSketch {
     * INT or BIGINT literals for k (SQL integer literals parse as
     * either depending on context), range-checked to [1, 65536]. */
   private[functions] val sqlBuilder: Seq[Expression] => Expression = {
-    case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+    case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _))
+        if n >= 1 && n <= 65536 =>
       KmvSketch(h, n).toAggregateExpression()
     case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _))
         if n >= 1L && n <= 65536L =>
       KmvSketch(h, n.toInt).toAggregateExpression()
+    case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(n, _))
+        if n.isInstanceOf[Int] || n.isInstanceOf[Long] =>
+      throw new IllegalArgumentException(
+        s"graft_kmv k out of range: $n not in [1, 65536]")
     case other => throw new IllegalArgumentException(
       "graft_kmv expects (hashed LONG column, k integer literal in " +
         "[1, 65536]), got " + other.mkString(", "))

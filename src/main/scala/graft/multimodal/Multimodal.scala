@@ -244,26 +244,39 @@ object Multimodal {
   def audioProbe(bytes: Array[Byte],
       pts: (Int, Int) => Seq[Int]): Option[(Int, Int, Seq[Int])] =
     if (!isRealAudio(bytes)) None
-    else decodeAudio(bytes).map { ais =>
+    else decodeAudio(bytes).flatMap { ais =>
       val f = ais.getFormat
-      val rate = math.round(f.getSampleRate)
-      val frameSize = f.getFrameSize
-      val declaredFrames = ais.getFrameLength
-      val data = ais.readAllBytes()
-      ais.close()
-      val n = if (frameSize > 0) data.length / frameSize
-        else declaredFrames.toInt
-      def sampleAt(i: Int): Int =
-        if (i < 0 || i >= n) -65536
-        else if (f.getSampleSizeInBits == 16) {
-          val o = i * frameSize // channel 0 = first sample of the frame
-          if (f.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
-          else (data(o + 1) << 8) | (data(o) & 0xff)
-        } else { // 8-bit: unsigned by WAV convention; center + widen
-          val v = data(i * frameSize) & 0xff
-          (v - 128) << 8
-        }
-      (rate, n, pts(rate, n).map(sampleAt))
+      // Only integer-PCM layouts this probe can interpret: signed
+      // 16-bit or unsigned 8-bit. Anything else a container may carry
+      // (24/32-bit, float, mu-law AU) would silently take the wrong
+      // arithmetic path — reject it as non-probe-able instead.
+      val enc = f.getEncoding
+      val supported =
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16) ||
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+          f.getSampleSizeInBits == 8)
+      if (!supported) { ais.close(); None }
+      else {
+        val rate = math.round(f.getSampleRate)
+        val frameSize = f.getFrameSize
+        val declaredFrames = ais.getFrameLength
+        val data = ais.readAllBytes()
+        ais.close()
+        val n = if (frameSize > 0) data.length / frameSize
+          else declaredFrames.toInt
+        def sampleAt(i: Int): Int =
+          if (i < 0 || i >= n) -65536
+          else if (f.getSampleSizeInBits == 16) {
+            val o = i * frameSize // channel 0 = first sample of the frame
+            if (f.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+            else (data(o + 1) << 8) | (data(o) & 0xff)
+          } else { // 8-bit: unsigned by WAV convention; center + widen
+            val v = data(i * frameSize) & 0xff
+            (v - 128) << 8
+          }
+        Some((rate, n, pts(rate, n).map(sampleAt)))
+      }
     }
 
   /** True for RIFF/AVI video containers. */

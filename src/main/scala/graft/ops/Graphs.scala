@@ -36,10 +36,30 @@ object Graphs {
     * it for the session costs KBs while saving the third and fourth
     * rebuild of a ~10⁸-row pair stream. Keyed reuse also avoids the
     * round-7 persist leak: repeated invocations share ONE pinned
-    * table instead of accumulating new ones. */
+    * table instead of accumulating new ones.
+    *
+    * ASSUMPTION: the keyed directory is immutable for the lifetime of
+    * the session (true for the driver's read-only sf dirs). A spec
+    * that rewrites parquet under a reused tmp dir must call
+    * [[invalidateStrongEdges]] first, or it will read the stale pin.
+    * Entries also retain localCheckpoint blocks and the SparkSession
+    * reference until invalidated or the JVM exits. */
   private val strongEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long),
       DataFrame]()
+
+  /** Test/lifecycle hook: drop every cached strong-edge pin (all
+    * sessions, all dirs) and unpersist their blocks. Use when a spec
+    * rewrites data under a directory it already queried, or to release
+    * checkpoint storage in a long-lived session. */
+  def invalidateStrongEdges(): Unit = {
+    val it = strongEdgeCache.values().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be closed
+    }
+    strongEdgeCache.clear()
+  }
 
   /** Strong co-purchase edges (a < b): part pairs co-ordered in
     * ≥ `minSupport` distinct orders. Pair generation is an order-key

@@ -115,7 +115,9 @@ object Wave36 {
       .agg(count(lit(1)).as("n_videos"),
         sum(col("corrupt")).as("n_corrupt"),
         sum(col("n_frames")).as("total_frames"),
-        sum(col("pmid")).as("sum_mid"))
+        // DECIMAL(38,0) matches DuckDB's HUGEINT SUM(int) — no 64-bit
+        // overflow at corpus scale (q257's sum_abs_mid device).
+        sum(col("pmid").cast("decimal(38,0)")).as("sum_mid"))
       .select(col("source"), col("n_videos"), col("n_corrupt"),
         expr("n_corrupt * 1000000 div n_videos").as("corrupt_ppm"),
         col("total_frames"),

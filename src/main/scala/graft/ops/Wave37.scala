@@ -34,8 +34,13 @@ object Wave37 {
   private def qRiAudit(s: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(ck).as("k")).distinct()
-        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      // NULL FK is conventionally not an RI violation, and NULL parent
+      // keys never satisfy a reference — filter both sides explicitly
+      // so anti-join (Spark) and NOT IN (oracle) agree on dirty data.
+      val orphans = child.select(col(ck).as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .join(parent.select(col(pk).as("k")).filter(col("k").isNotNull),
+          Seq("k"), "left_anti")
       val stats = child.agg(count(lit(1)).as("n_child"),
         countDistinct(col(ck)).as("n_child_keys"))
       val os = orphans.agg(
@@ -79,7 +84,8 @@ object Wave37 {
          |    FROM $child) AS BIGINT) AS orphan_key_ppm,
          |  CAST(COALESCE(MIN(k), -1) AS BIGINT) AS first_orphan
          |FROM (SELECT DISTINCT $ck AS k FROM $child
-         |      WHERE $ck NOT IN (SELECT $pk FROM $parent)) t""".stripMargin
+         |      WHERE $ck IS NOT NULL AND $ck NOT IN
+         |        (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) t""".stripMargin
     Seq(
       edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
         "orders", "o_orderkey"),

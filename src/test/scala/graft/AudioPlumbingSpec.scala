@@ -62,6 +62,21 @@ class AudioPlumbingSpec extends AnyFunSuite {
     assert(Multimodal.audioProbe(truncated, (_, _) => Seq(0)).isEmpty)
   }
 
+  test("mu-law AU containers are rejected, not mis-probed as PCM8") {
+    // Minimal valid AU: '.snd' magic, data offset 24, encoding 1 =
+    // 8-bit mu-law, 8 kHz mono — a layout isRealAudio admits and the
+    // JDK AU reader parses, but whose samples are NOT linear PCM. The
+    // probe must return None rather than run (v-128)<<8 on mu-law.
+    def be32(v: Int): Array[Byte] = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val body = Array.tabulate[Byte](64)(i => ((i * 7) & 0xff).toByte)
+    val au = ".snd".getBytes("US-ASCII") ++ be32(24) ++
+      be32(body.length) ++ be32(1) ++ be32(8000) ++ be32(1) ++ body
+    assert(Multimodal.audioProbe(au, (_, _) => Seq(0)).isEmpty,
+      "mu-law must not take the 8-bit unsigned-PCM arithmetic path")
+  }
+
   test("toy video headers still decode through the stub") {
     import spark.implicits._
     val blobs = Seq((1L, Multimodal.encodeStubHeader("video", 320, 240,

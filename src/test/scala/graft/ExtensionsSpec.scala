@@ -107,6 +107,17 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(err.getMessage.contains("graft_kmv"), err.getMessage)
+    // out-of-range integer literals (either width) get the dedicated
+    // range error, not the constructor's bare `requirement failed`
+    // and not the misleading type-mismatch message
+    for (bad <- Seq("0", "65537", "0L", "99999999999L")) {
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT graft_kmv(h, $bad) FROM kmv_join_items GROUP BY g")
+          .collect()
+      }
+      assert(e.getMessage.contains("out of range"),
+        s"k=$bad: ${e.getMessage}")
+    }
   }
 
   test("the MinHash band table is reachable from pure SQL and matches the battery") {

@@ -9,6 +9,16 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Oracle-side conf for sf1+ runs (harmless at small SF): without an
+# explicit memory ceiling + spill directory DuckDB thrashes for hours
+# on the heavy graph CTE unrolls at 6M-row lineitem (round-9 note,
+# BASELINE.md). Do NOT set preserve_insertion_order=false here: it
+# makes DuckDB drop even the final ORDER BY on fetch (measured —
+# q217's ordered result came back permuted), which breaks this
+# row-by-row compare.
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET memory_limit='80GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
