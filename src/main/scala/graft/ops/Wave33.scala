@@ -51,6 +51,30 @@ object Wave33 {
     * while 3-shingles give 27k+ elements with max df 25. The same
     * choice production near-dup joins make, for the same reason. */
   private def qSetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val st = setSimStages(s, dir)
+    val nCands = st.cands.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_candidates"))
+    val nPairs = st.pairs.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_verified"))
+    st.pairs
+      .orderBy(col("jacc_ppm").desc, col("a"), col("b")).limit(20)
+      .crossJoin(broadcast(nCands)) // one-row stats frames
+      .crossJoin(broadcast(nPairs))
+      .select(col("a"), col("b"), col("sza"), col("szb"), col("inter"),
+        col("uni"), col("jacc_ppm"), col("n_candidates"),
+        col("n_verified"))
+      .orderBy(col("jacc_ppm").desc, col("a"), col("b"))
+  }
+
+  /** The q259 pipeline's stage frames, exposed for the candidate-cut
+    * probe ([[graft.SetSimProbe]]) and the suffix-bound spec:
+    * `cands` = survivors of prefix+length+positional filtering,
+    * `verifyIn` = survivors of the histogram suffix bound,
+    * `pairs` = exact-verified result pairs. */
+  private[graft] final case class SetSimStages(
+      cands: DataFrame, verifyIn: DataFrame, pairs: DataFrame)
+
+  private[graft] def setSimStages(s: SparkSession, dir: String): SetSimStages = {
     // Pin: the shingle table feeds FOUR consumers (df counts, prefix
     // ranking, and both sides of the verify join) — one parse+explode
     // instead of four (the q241 shared-frame lesson)
@@ -76,7 +100,9 @@ object Wave33 {
       col("sz").as("sza"), col("pos").as("pa"))
     val py = pre.select(col("doc_id").as("b"), col("w"),
       col("sz").as("szb"), col("pos").as("pb"))
-    val cands = px.join(py, "w")
+    // Pinned: the candidate table feeds both the n_candidates stat and
+    // the suffix-bound join — one prefix self-join instead of two
+    val cands = graft.util.Pin(px.join(py, "w")
       .filter(col("a") < col("b"))
       .filter(expr("3 * greatest(sza, szb) <= 5 * least(sza, szb)"))
       // PPJoin positional filter (exact): a shared prefix token at
@@ -86,29 +112,50 @@ object Wave33 {
       .filter(expr("1 + least(sza - pa, szb - pb) >= " +
         "(3 * (sza + szb) + 7) div 8"))
       .select(col("a"), col("sza"), col("b"), col("szb"))
-      .distinct()
+      .distinct())
+    // Suffix-style pre-verify cut (PPJoin+'s idea — Xiao et al.,
+    // WWW'08 §4 — realized as a HISTOGRAM-PARTITION bound, the
+    // shuffle-friendly variant: partition the token space into 64
+    // hash buckets once per doc; for any pair the achievable overlap
+    // is ≤ Σᵢ min(hA[i], hB[i]), which must reach the same
+    // α = ⌈3(sza+szb)/8⌉ the positional filter targets. The bound is
+    // EXACT (a true pair can never be cut — Wave33Spec pins the
+    // subset property), so the gate output — including n_candidates,
+    // deliberately counted BEFORE this cut, PPJoin's own accounting
+    // convention — is unchanged; only the verify join's input
+    // shrinks: measured cut 99.6% at sf1 (687k → 2 561 candidates,
+    // 2 560 true) and 99.1% at sf10 (8.15M → 75 218, 75 208 true) —
+    // the bound is within a handful of pairs of the verify itself.
+    // 64 buckets beat 8 (14% cut) and 32 (98.0%) on this corpus;
+    // per-doc cost is 64 small ints, and the recursive per-pair
+    // probe of the paper is replaced by two equi-joins on doc id.
+    val SuffixBuckets = 64
+    val histCols = (0 until SuffixBuckets).map(i =>
+      sum(when(pmod(hash(col("w")), lit(SuffixBuckets)) === i, 1L).otherwise(0L))
+        .as(s"h$i"))
+    val hist = graft.util.Pin(toks.groupBy(col("doc_id"))
+      .agg(histCols.head, histCols.tail: _*))
+    val histA = hist.select(col("doc_id").as("a") +:
+      (0 until SuffixBuckets).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val histB = hist.select(col("doc_id").as("b") +:
+      (0 until SuffixBuckets).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val suffixBound = (0 until SuffixBuckets)
+      .map(i => least(col(s"ha$i"), col(s"hb$i")))
+      .reduce(_ + _)
+    val verifyIn = cands.join(histA, "a").join(histB, "b")
+      .filter(suffixBound >= expr("(3 * (sza + szb) + 7) div 8"))
+      .select(col("a"), col("sza"), col("b"), col("szb"))
     val ta = toks.select(col("doc_id").as("a"), col("w"))
     val tb = toks.select(col("doc_id").as("b"), col("w"))
     // candidate-scoped exact verify (q35's device): only candidate
     // pairs ever materialize an intersection count
-    val pairs = cands.join(ta, "a").join(tb, Seq("b", "w"))
+    val pairs = verifyIn.join(ta, "a").join(tb, Seq("b", "w"))
       .groupBy(col("a"), col("b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 3) // exact t = 3/5
       .withColumn("jacc_ppm", expr("inter * 1000000 div uni"))
-    val nCands = cands.agg(
-      coalesce(count(lit(1)), lit(0L)).as("n_candidates"))
-    val nPairs = pairs.agg(
-      coalesce(count(lit(1)), lit(0L)).as("n_verified"))
-    pairs
-      .orderBy(col("jacc_ppm").desc, col("a"), col("b")).limit(20)
-      .crossJoin(broadcast(nCands)) // one-row stats frames
-      .crossJoin(broadcast(nPairs))
-      .select(col("a"), col("b"), col("sza"), col("szb"), col("inter"),
-        col("uni"), col("jacc_ppm"), col("n_candidates"),
-        col("n_verified"))
-      .orderBy(col("jacc_ppm").desc, col("a"), col("b"))
+    SetSimStages(cands, verifyIn, pairs)
   }
 
   private val qSetSimJoinSql =

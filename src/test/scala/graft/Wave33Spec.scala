@@ -51,6 +51,31 @@ class Wave33Spec extends AnyFunSuite {
         r.getAs[Long]("inter") * 1000000L / r.getAs[Long]("uni"))
   }
 
+  test("q259 suffix bound is exact: cuts candidates, never a true pair") {
+    // On the real sf0.001 corpus: every exact-verified pair must
+    // survive the histogram suffix bound (the bound over-approximates
+    // |A∩B|, so pruning a true pair would be a soundness bug), and the
+    // bound must actually prune (candidates > survivors) — the whole
+    // point of the PPJoin+-style cut.
+    val st = ops.Wave33.setSimStages(spark, "/root/testdata/sf0.001")
+    val survivors = st.verifyIn.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = st.pairs.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(survivors),
+      s"suffix bound cut true pairs: ${truePairs -- survivors}")
+    // at sf0.001/sf0.01 every candidate is genuine (the prefix +
+    // positional filters are already perfect there — nothing left to
+    // prune), so the prunes-something property is asserted at sf0.1,
+    // where the measured cut is 99.6% (BASELINE.md round-10 ladder)
+    val st01 = ops.Wave33.setSimStages(spark, "/root/testdata/sf0.1")
+    val nCands = st01.cands.count()
+    val nSurv = st01.verifyIn.count()
+    assert(nCands > nSurv,
+      s"suffix bound pruned nothing at sf0.1 (cands=$nCands, " +
+        s"survivors=$nSurv)")
+  }
+
   test("q260 equals the stack PAV on exact rationals, then truncated") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_w33b_").toString
