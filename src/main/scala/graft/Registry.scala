@@ -30,7 +30,9 @@ object Registry {
       ops.Wave22.defs ++ ops.Wave23.defs ++ ops.Wave24.defs ++
       ops.Wave25.defs ++ ops.Wave26.defs ++ ops.Wave27.defs ++
       ops.Wave28.defs ++ ops.Wave30.defs ++ ops.Wave31.defs ++
-      ops.Wave32.defs ++ ops.Wave33.defs ++ ops.Wave34.defs ++ ops.Wave35.defs ++ ops.Wave36.defs ++ ops.Wave37.defs ++ ops.Wave38.defs
+      ops.Wave32.defs ++ ops.Wave33.defs ++ ops.Wave34.defs ++
+      ops.Wave35.defs ++ ops.Wave36.defs ++ ops.Wave37.defs ++
+      ops.Wave38.defs ++ ops.Wave39.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

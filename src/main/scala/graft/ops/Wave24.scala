@@ -114,6 +114,9 @@ object Wave24 {
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
       val n = next.count()
+      // next is eagerly materialized — drop the superseded pin (q270's
+      // sf10 lesson: generations of pinned edge tables accumulate)
+      edges.unpersist(blocking = false)
       stable = n == nEdges
       edges = next
       nEdges = n

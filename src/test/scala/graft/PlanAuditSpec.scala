@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q235_assoc_rules", // 1-row basket-count scalar broadcast (q70 shape)
     "q241_kmv_intersect", // 1-row exact-stats scalar broadcast beside the sketch row
     "q243_k_core", // 1-row core-totals scalar broadcast onto the limit(20) members
+    "q270_k_core_adaptive", // 1-row core-totals scalar broadcast (q243's shape)
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
     "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
     "q251_range_splits", // 1-row total-rows scalar broadcast (q70 shape)
@@ -74,7 +75,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q124_stream_sessions_tws", "q129_stream_cdc_merge",
     "q130_stream_interval_join", "q134_stream_static_join",
     "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm",
-    "q158_stream_outer_join", "q172_stream_complete_agg")
+    "q158_stream_outer_join", "q172_stream_complete_agg",
+    "q272_stream_profile") // batch twin q263 carries the audited plan
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
