@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q241_kmv_intersect", // 1-row exact-stats scalar broadcast beside the sketch row
     "q243_k_core", // 1-row core-totals scalar broadcast onto the limit(20) members
     "q270_k_core_adaptive", // 1-row core-totals scalar broadcast (q243's shape)
+    "q273_image_dhash_dedup", // 1-row pair-totals scalar broadcast (q70 shape)
+    "q276_bloom_audit", // 3-row (bits/key, k) plan-table broadcast
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
     "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
     "q251_range_splits", // 1-row total-rows scalar broadcast (q70 shape)
