@@ -86,10 +86,18 @@ object Wave35 {
        |  SELECT col_name, v,
        |    CAST(('0x' || substring(md5(v), 1, 12)) AS BIGINT) AS hv
        |  FROM melt),
+       |-- top-$ProfK per column via row_number, NOT
+       |-- array_agg(DISTINCT .. ORDER BY ..)[1:k]: the array form
+       |-- materializes a fully sorted multi-million-element list per
+       |-- group and ground for ~30+ min on the 30M-row sf1 melt; the
+       |-- windowed form is one sort + an early cut (same result)
+       |hd AS (SELECT DISTINCT col_name, hv FROM h
+       |       WHERE hv IS NOT NULL),
+       |hr AS (SELECT col_name, hv, row_number() OVER
+       |         (PARTITION BY col_name ORDER BY hv) AS rn FROM hd),
        |sk AS (
-       |  SELECT col_name,
-       |    (array_agg(DISTINCT hv ORDER BY hv))[1:$ProfK] AS sk
-       |  FROM h WHERE hv IS NOT NULL GROUP BY 1)
+       |  SELECT col_name, array_agg(hv ORDER BY hv) AS sk
+       |  FROM hr WHERE rn <= $ProfK GROUP BY 1)
        |SELECT m.col_name,
        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  CAST(COUNT(*) - COUNT(m.v) AS BIGINT) AS n_null,
