@@ -32,7 +32,8 @@ object Registry {
       ops.Wave28.defs ++ ops.Wave30.defs ++ ops.Wave31.defs ++
       ops.Wave32.defs ++ ops.Wave33.defs ++ ops.Wave34.defs ++
       ops.Wave35.defs ++ ops.Wave36.defs ++ ops.Wave37.defs ++
-      ops.Wave38.defs ++ ops.Wave39.defs ++ ops.Wave40.defs
+      ops.Wave38.defs ++ ops.Wave39.defs ++ ops.Wave40.defs ++
+      ops.Wave41.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

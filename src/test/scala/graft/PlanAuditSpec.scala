@@ -56,6 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q270_k_core_adaptive", // 1-row core-totals scalar broadcast (q243's shape)
     "q273_image_dhash_dedup", // 1-row pair-totals scalar broadcast (q70 shape)
     "q276_bloom_audit", // 3-row (bits/key, k) plan-table broadcast
+    "q277_hash_ring", // 1-row moved-totals scalar broadcast (q70 shape)
+    "q278_neyman_allocation", // 1-row weight/base-total scalar broadcasts
+    "q279_watermark_planner", // 6-row delay plan table + 1-row min-ok scalar
     "q248_shapley_attribution", // 4-channel × 16-subset broadcast lattice joins
     "q249_generalization_ladder", // 1-row best-level scalar onto the 4-row ladder
     "q251_range_splits", // 1-row total-rows scalar broadcast (q70 shape)
@@ -237,7 +240,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q241_kmv_intersect" -> "rank over the ≤2k=128-row union of two limit(64) KMV sketches",
     "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)",
     "q251_range_splits" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)",
-    "q260_isotonic_calibration" -> "prefix sums + monotone lag over the ≤50-row quantity-alphabet bin table")
+    "q260_isotonic_calibration" -> "prefix sums + monotone lag over the ≤50-row quantity-alphabet bin table",
+    "q278_neyman_allocation" -> "largest-remainder rank over the 5-row o_orderpriority stratum table")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
