@@ -66,7 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q259_setsim_join", // two 1-row stats scalar broadcasts (q70 shape)
     "q267_ri_audit", // per-edge 1-row orphan-stats scalar broadcast (q70 shape)
     "q269_merkle_digest", // 1-row range-bound max() scalar broadcast (q70 shape)
-    "q260_isotonic_calibration") // interval self-joins on the ≤50-row quantity-alphabet bin table
+    "q260_isotonic_calibration", // interval self-joins on the ≤50-row quantity-alphabet bin table
+    "q282_changepoint", // three 1-row scalar broadcasts (totals, argmax, best-k)
+    "q283_survival_table", // two 1-row scalar broadcasts (corpus end date, cohort size)
+    "q284_hilbert_audit") // per-scheme 1-row totals scalar broadcast (q70 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -241,7 +244,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q247_forecast_backtest" -> "lags over the daily spine (one row per day of observation span)",
     "q251_range_splits" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)",
     "q260_isotonic_calibration" -> "prefix sums + monotone lag over the ≤50-row quantity-alphabet bin table",
-    "q278_neyman_allocation" -> "largest-remainder rank over the 5-row o_orderpriority stratum table")
+    "q278_neyman_allocation" -> "largest-remainder rank over the 5-row o_orderpriority stratum table",
+    "q281_skyline" -> "Ranks.prefixMax + globalRank offsets tables (#shuffle-partitions rows each)",
+    "q282_changepoint" -> "Ranks.globalRank + prefixSum offsets tables (#shuffle-partitions rows each)",
+    "q283_survival_table" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)",
+    "q284_hilbert_audit" -> "Ranks.globalRank offsets tables (#shuffle-partitions rows, one per scheme)",
+    "q285_cms_audit" -> "rank over the 20 rows surviving orderBy().limit(20)")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
