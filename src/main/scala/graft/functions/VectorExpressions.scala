@@ -284,6 +284,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WithinEdit1].getName, "graft_within_edit1"),
       WithinEdit1.sqlBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hilbert2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HilbertIndex2].getName, "graft_hilbert2"),
+      HilbertIndex2.sqlBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

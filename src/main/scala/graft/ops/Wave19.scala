@@ -111,7 +111,7 @@ object Wave19 {
     * 16 bits of two keys) spelled with integer div/mod — the one token
     * the engines spell differently (`div` vs `//`) is a parameter, the
     * arithmetic is otherwise the same string on both. */
-  private def zExpr(a: String, b: String, idiv: String): String =
+  private[ops] def zExpr(a: String, b: String, idiv: String): String =
     (0 until 16).map { i =>
       s"((($a) $idiv ${1L << i}) % 2) * ${1L << (2 * i)}" +
         s" + ((($b) $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
