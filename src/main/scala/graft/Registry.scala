@@ -33,7 +33,8 @@ object Registry {
       ops.Wave32.defs ++ ops.Wave33.defs ++ ops.Wave34.defs ++
       ops.Wave35.defs ++ ops.Wave36.defs ++ ops.Wave37.defs ++
       ops.Wave38.defs ++ ops.Wave39.defs ++ ops.Wave40.defs ++
-      ops.Wave41.defs ++ ops.Wave42.defs ++ ops.Wave43.defs
+      ops.Wave41.defs ++ ops.Wave42.defs ++ ops.Wave43.defs ++
+      ops.Wave44.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

@@ -255,7 +255,7 @@ object Wave39 {
 
   /** 48-bit md5-prefix hash, JVM-side: must equal the SQL device
     * `conv(substring(md5(v), 1, 12), 16, 10)` used by q263's oracle. */
-  private def md5Prefix48(v: String): Long = {
+  private[ops] def md5Prefix48(v: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes("UTF-8"))
     // first 6 bytes = first 12 hex chars

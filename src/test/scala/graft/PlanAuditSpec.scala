@@ -84,7 +84,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q130_stream_interval_join", "q134_stream_static_join",
     "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm",
     "q158_stream_outer_join", "q172_stream_complete_agg",
-    "q272_stream_profile") // batch twin q263 carries the audited plan
+    "q272_stream_profile", // batch twin q263 carries the audited plan
+    "q286_stream_cms") // batch twin q285 carries the audited plan
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
