@@ -50,7 +50,7 @@ object Wave43 {
 
   // ------------------------------------------------------------- q284
 
-  private val NumFiles = 64 // equal-row-count file cuts per scheme
+  private[ops] val NumFiles = 64 // equal-row-count file cuts per scheme
 
   /** The q228 Morton interleave over the pre-scaled grid coordinates. */
   private def zKey(idiv: String): String =
@@ -60,7 +60,7 @@ object Wave43 {
     * [[HilbertIndex2]]): each step consumes bit plane s of the
     * current (x, y), accumulates s²·((3·rx)⊕ry) with the ⊕ spelled
     * arithmetically, and applies the reflect+swap rotation. */
-  private def hilbertSqlChain(firstCte: String): String = {
+  private[ops] def hilbertSqlChain(firstCte: String): String = {
     val steps = (15 to 0 by -1).zipWithIndex.map { case (bit, idx) =>
       val sv = 1L << bit
       val prev = if (idx == 0) firstCte else s"hst${idx - 1}"
@@ -80,18 +80,38 @@ object Wave43 {
     steps.mkString(",\n")
   }
 
-  private def qHilbertAudit(s: SparkSession, dir: String): DataFrame = {
+  /** (l_partkey, l_suppkey) scaled onto the full 2^16 grid (monotone,
+    * exact integer arithmetic) — raw keys occupy a corner of the grid
+    * otherwise and every row lands in file 0, making layouts vacuous.
+    * Shared with q287's range-scan demo. */
+  private[ops] def scaledBase(s: SparkSession, dir: String): DataFrame = {
     val raw = load(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
-    // scale both keys onto the full 2^16 grid (monotone, exact integer
-    // arithmetic) — raw keys occupy a corner of the grid otherwise and
-    // every row lands in bucket 0, making the audit vacuous
     val maxes = raw.agg(max(col("l_partkey")).as("pk_mx"),
       max(col("l_suppkey")).as("sk_mx"))
-    val base = raw.crossJoin(broadcast(maxes)) // one-row scaling scalar
+    raw.crossJoin(broadcast(maxes)) // one-row scaling scalar
       .withColumn("x", expr("l_partkey * 65536 div (pk_mx + 1)"))
       .withColumn("y", expr("l_suppkey * 65536 div (sk_mx + 1)"))
-    val nTot = raw.agg(count(lit(1)).as("n_total"))
+  }
+
+  /** Assign each row of [[scaledBase]] to one of [[NumFiles]]
+    * equal-row-count files along `key` order (ties beyond
+    * (key, pk, sk) are interchangeable — equal tuples contribute
+    * identical values to whichever file they land in). */
+  private[ops] def rankedFiles(base: DataFrame, key: Column): DataFrame = {
+    val nTot = base.agg(count(lit(1)).as("n_total"))
+    Ranks.globalRank(base.withColumn("hk", key),
+        "rnk", col("hk"), col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(nTot)) // one-row count scalar
+      .withColumn("file", expr(s"(rnk - 1) * $NumFiles div n_total"))
+  }
+
+  /** The Hilbert key over the scaled grid (shared with q287). */
+  private[ops] def hilbertKey: Column =
+    HilbertIndex2(expr("CAST(x AS BIGINT)"), expr("CAST(y AS BIGINT)"))
+
+  private def qHilbertAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = scaledBase(s, dir)
     // equal-row-count cuts (what a layout writer does: sort by the
     // curve key, cut into 64 files) — NOT top-bit buckets: at
     // power-of-two bucket boundaries Hilbert and Morton induce the
@@ -99,13 +119,7 @@ object Wave43 {
     // the curves differ exactly when a file straddles a quadrant
     // boundary, where Morton's diagonal jump inflates the bounding box
     def audit(scheme: String, key: Column): DataFrame = {
-      // ties beyond (hk, pk, sk) are interchangeable: equal tuples
-      // contribute identical values to whichever file they land in,
-      // so file stats are deterministic without a unique row id
-      val ranked = Ranks.globalRank(base.withColumn("hk", key),
-        "rnk", col("hk"), col("l_partkey"), col("l_suppkey"))
-      val files = ranked.crossJoin(broadcast(nTot)) // one-row count
-        .withColumn("file", expr(s"(rnk - 1) * $NumFiles div n_total"))
+      val files = rankedFiles(base, key)
         .groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_partkey")).as("pk_min"),
@@ -124,8 +138,7 @@ object Wave43 {
           col("pk_extent"), col("sk_extent"), col("area"),
           col("total_area"), col("max_file_rows"))
     }
-    val hil = audit("hilbert",
-      HilbertIndex2(expr("CAST(x AS BIGINT)"), expr("CAST(y AS BIGINT)")))
+    val hil = audit("hilbert", hilbertKey)
     val zor = audit("zorder", expr(zKey("div")))
     hil.unionByName(zor).orderBy(col("scheme"), col("file"))
   }

@@ -69,7 +69,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q260_isotonic_calibration", // interval self-joins on the ≤50-row quantity-alphabet bin table
     "q282_changepoint", // three 1-row scalar broadcasts (totals, argmax, best-k)
     "q283_survival_table", // two 1-row scalar broadcasts (corpus end date, cohort size)
-    "q284_hilbert_audit") // per-scheme 1-row totals scalar broadcast (q70 shape)
+    "q284_hilbert_audit", // per-scheme 1-row totals scalar broadcast (q70 shape)
+    "q287_hilbert_range_scan") // 1-row scaling/count/totals scalar broadcasts
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -250,7 +251,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q282_changepoint" -> "Ranks.globalRank + prefixSum offsets tables (#shuffle-partitions rows each)",
     "q283_survival_table" -> "Ranks.prefixSum offsets table (#shuffle-partitions rows)",
     "q284_hilbert_audit" -> "Ranks.globalRank offsets tables (#shuffle-partitions rows, one per scheme)",
-    "q285_cms_audit" -> "rank over the 20 rows surviving orderBy().limit(20)")
+    "q285_cms_audit" -> "rank over the 20 rows surviving orderBy().limit(20)",
+    "q287_hilbert_range_scan" -> "Ranks.globalRank offsets table (#shuffle-partitions rows)")
 
   test("no unpartitioned window runs over an unbounded input") {
     // The q181 lesson (round-7 verdict): `ntile/row_number over
