@@ -89,9 +89,11 @@ object Wave43 {
       .select(col("l_partkey"), col("l_suppkey"))
     val maxes = raw.agg(max(col("l_partkey")).as("pk_mx"),
       max(col("l_suppkey")).as("sk_mx"))
-    raw.crossJoin(broadcast(maxes)) // one-row scaling scalar
+    // pinned: q284 ranks this frame twice (once per scheme) and q287
+    // once more — one scan instead of re-reading the parquet per rank
+    graft.util.Pin(raw.crossJoin(broadcast(maxes)) // one-row scalar
       .withColumn("x", expr("l_partkey * 65536 div (pk_mx + 1)"))
-      .withColumn("y", expr("l_suppkey * 65536 div (sk_mx + 1)"))
+      .withColumn("y", expr("l_suppkey * 65536 div (sk_mx + 1)")))
   }
 
   /** Assign each row of [[scaledBase]] to one of [[NumFiles]]
