@@ -70,7 +70,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q282_changepoint", // three 1-row scalar broadcasts (totals, argmax, best-k)
     "q283_survival_table", // two 1-row scalar broadcasts (corpus end date, cohort size)
     "q284_hilbert_audit", // per-scheme 1-row totals scalar broadcast (q70 shape)
-    "q287_hilbert_range_scan") // 1-row scaling/count/totals scalar broadcasts
+    "q287_hilbert_range_scan", // 1-row scaling/count/totals scalar broadcasts
+    "q289_join_cardinality", // two 1-row stats scalar broadcasts (q70 shape)
+    "q290_fk_discovery") // per-edge 1-row distinct-stats scalar broadcasts (q267 shape)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
