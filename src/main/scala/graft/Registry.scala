@@ -34,7 +34,8 @@ object Registry {
       ops.Wave35.defs ++ ops.Wave36.defs ++ ops.Wave37.defs ++
       ops.Wave38.defs ++ ops.Wave39.defs ++ ops.Wave40.defs ++
       ops.Wave41.defs ++ ops.Wave42.defs ++ ops.Wave43.defs ++
-      ops.Wave44.defs ++ ops.Wave45.defs ++ ops.Wave46.defs
+      ops.Wave44.defs ++ ops.Wave45.defs ++ ops.Wave46.defs ++
+      ops.Wave47.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

@@ -64,6 +64,31 @@ object Wave42 {
       "THEN c_name ELSE concat(substring(c_name, 1, i - 1), " +
       "substring(c_name, i + 1)) END)"
 
+  /** Verified DISTINCT-name fuzzy pairs per nation: (c_nationkey,
+    * name1 ≤ name2, dist ≤ 1); self-pairs (name1 == name2) mark
+    * exact-duplicate groups. Shared by q280 (key expansion) and
+    * q291's entity-resolution clustering. */
+  private[ops] def fuzzyNamePairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val dn = graft.util.Pin(
+      load(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_name"))
+        .agg(count(lit(1)).as("cnt")))
+    def side(tag: String): DataFrame =
+      dn.select(col("c_nationkey"), col("c_name"),
+          explode(expr(DeletionVariants)).as("v"))
+        .withColumnRenamed("c_name", s"name$tag")
+    // name1 == name2 keeps the self-pair (exact-duplicate groups);
+    // name1 < name2 orients distinct-name pairs once
+    side("1").join(side("2"), Seq("c_nationkey", "v"))
+      .filter(col("name1") <= col("name2"))
+      .select(col("c_nationkey"), col("name1"), col("name2"))
+      .distinct() // a pair can share several deletion variants
+      .withColumn("dist", levenshtein(col("name1"), col("name2"))
+        .cast(LongType))
+      .filter(col("dist") <= 1) // blocking is complete for d=1; verify
+  }
+
   private def qFuzzyNameJoin(s: SparkSession, dir: String): DataFrame = {
     val c = load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
@@ -74,22 +99,7 @@ object Wave42 {
     // join |group|²× wider for pairs that need no verify at all. The
     // name-level join is the verify stage; keys re-enter only in the
     // final output expansion, which is sized by the TRUE result.
-    val dn = graft.util.Pin(
-      c.groupBy(col("c_nationkey"), col("c_name"))
-        .agg(count(lit(1)).as("cnt")))
-    def side(tag: String): DataFrame =
-      dn.select(col("c_nationkey"), col("c_name"),
-          explode(expr(DeletionVariants)).as("v"))
-        .withColumnRenamed("c_name", s"name$tag")
-    // name1 == name2 keeps the self-pair (exact-duplicate groups);
-    // name1 < name2 orients distinct-name pairs once
-    val cand = side("1").join(side("2"), Seq("c_nationkey", "v"))
-      .filter(col("name1") <= col("name2"))
-      .select(col("c_nationkey"), col("name1"), col("name2"))
-      .distinct() // a pair can share several deletion variants
-      .withColumn("dist", levenshtein(col("name1"), col("name2"))
-        .cast(LongType))
-      .filter(col("dist") <= 1) // blocking is complete for d=1; verify
+    val cand = fuzzyNamePairs(s, dir)
     // expand verified NAME pairs back to key pairs (output-sized)
     def keys(tag: String): DataFrame =
       c.select(col("c_nationkey"), col("c_name").as(s"name$tag"),
