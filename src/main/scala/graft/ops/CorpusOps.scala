@@ -395,10 +395,10 @@ object CorpusOps {
     implicit val spark: SparkSession = s
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
-    // transformWithState requires the RocksDB state store provider
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sessions = graft.streaming.StreamScratch.withScratch("graft_tws_") { tmp =>
+    // transformWithState requires the RocksDB state store provider —
+    // scoped to this gate (restored on exit, see StreamScratch)
+    val sessions = graft.streaming.StreamScratch.withRocksDb(s) {
+      graft.streaming.StreamScratch.withScratch("graft_tws_") { tmp =>
       stageSessionInput(s, dir, tmp)
       val out = graft.streaming.GateOut.dir()
       val q = sessionStream(s, tmp)
@@ -412,6 +412,7 @@ object CorpusOps {
         .option("path", out)
         .start()
       finishSessions(s, out, q)
+      }
     }
     sessionsToDF(sessions)
   }

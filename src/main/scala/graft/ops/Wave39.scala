@@ -311,12 +311,11 @@ object Wave39 {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.types.{StringType, StructType}
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val schema = new StructType()
       .add("pk", StringType).add("sk", StringType).add("q", StringType)
       .add("rf", StringType).add("sd", StringType)
-    val result = graft.streaming.StreamScratch.withScratch("graft_sprof_") {
+    val result = graft.streaming.StreamScratch.withRocksDb(s) {
+      graft.streaming.StreamScratch.withScratch("graft_sprof_") {
       tmp =>
         // Stage RAW rows (one json line per lineitem row), 8
         // time-ordered micro-batches; the 5-way melt happens INSIDE
@@ -358,6 +357,7 @@ object Wave39 {
           .start()
         q.awaitTermination()
         s.read.parquet(out)
+      }
     }
     // each micro-batch emitted a running snapshot; the final profile
     // per column is the row with the largest cumulative n_rows

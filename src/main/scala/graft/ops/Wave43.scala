@@ -194,10 +194,12 @@ object Wave43 {
 
   // ------------------------------------------------------------- q285
 
-  private val CmsW = 256
-  private val CmsA = Seq(31L, 131L, 313L, 1009L)
-  private val CmsB = Seq(7L, 911L, 4507L, 8191L)
-  private val CmsP = 2147483647L // 2^31 - 1
+  // private[ops]: Wave44's streaming twin (q286) reads these — the two
+  // gates MUST hash into the same sketch, so there is one authority
+  private[ops] val CmsW = 256
+  private[ops] val CmsA = Seq(31L, 131L, 313L, 1009L)
+  private[ops] val CmsB = Seq(7L, 911L, 4507L, 8191L)
+  private[ops] val CmsP = 2147483647L // 2^31 - 1
   private val TopProbes = 20
 
   private def qCmsAudit(s: SparkSession, dir: String): DataFrame = {

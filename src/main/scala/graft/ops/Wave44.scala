@@ -30,12 +30,13 @@ object Wave44 {
 
   // ------------------------------------------------------------- q286
 
-  // q285's sketch constants, restated (kept private per wave so each
-  // file reads standalone; Wave43 is the authority, spec-pinned equal)
-  private val CmsW = 256L
-  private val CmsA = Seq(31L, 131L, 313L, 1009L)
-  private val CmsB = Seq(7L, 911L, 4507L, 8191L)
-  private val CmsP = 2147483647L
+  // q285's sketch constants — referenced from Wave43 (the single
+  // authority) so editing the batch sketch can never silently decouple
+  // the streaming twin from the audits
+  private val CmsW = Wave43.CmsW
+  private val CmsA = Wave43.CmsA
+  private val CmsB = Wave43.CmsB
+  private val CmsP = Wave43.CmsP
 
   final case class CellIn(cell: String, inc: Long)
   final case class CellOut(cell: String, cnt: Long)
@@ -70,9 +71,8 @@ object Wave44 {
     implicit val spark: SparkSession = s
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val result = graft.streaming.StreamScratch.withScratch("graft_scms_") {
+    val result = graft.streaming.StreamScratch.withRocksDb(s) {
+      graft.streaming.StreamScratch.withScratch("graft_scms_") {
       tmp =>
         val raw = load(s, dir, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
@@ -85,7 +85,10 @@ object Wave44 {
           .text(in)
           .as[String]
           .flatMap { text =>
-            val ws = text.split(" ")
+            // limit -1 keeps trailing empty tokens — matches Spark
+            // split() / DuckDB string_split semantics exactly, so a
+            // trailing/double space shingles identically to the oracle
+            val ws = text.split(" ", -1)
             for {
               i <- 0 to ws.length - 3
               sh = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"
@@ -105,6 +108,7 @@ object Wave44 {
           .start()
         q.awaitTermination()
         s.read.parquet(out)
+      }
     }
     // counts are monotone across snapshots: final value = max per cell
     result.groupBy(col("cell")).agg(max(col("cnt")).as("cnt"))

@@ -37,6 +37,24 @@ object StreamScratch {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
   }
+
+  /** Scope the RocksDB state-store provider (required by
+    * `transformWithState`) to one query on a SHARED session: the
+    * previous provider — including "unset" — is restored on exit, so a
+    * gate can never silently re-provider every later streaming query in
+    * the same bench/verify session (the Materialize.scala contract,
+    * factored out so every transformWithState gate uses it). */
+  def withRocksDb[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 }
 
 /** Caller-owned RESULT area for the streaming gates. A gate's final

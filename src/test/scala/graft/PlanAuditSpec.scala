@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q284_hilbert_audit", // per-scheme 1-row totals scalar broadcast (q70 shape)
     "q287_hilbert_range_scan", // 1-row scaling/count/totals scalar broadcasts
     "q289_join_cardinality", // two 1-row stats scalar broadcasts (q70 shape)
-    "q290_fk_discovery") // per-edge 1-row distinct-stats scalar broadcasts (q267 shape)
+    "q290_fk_discovery", // per-edge 1-row distinct-stats scalar broadcasts (q267 shape)
+    "q304_tpch_q11_important_parts", // 1-row nation-total scalar broadcast (Q11's scalar subquery)
+    "q308_tpch_q15_top_supplier", // 1-row max-revenue scalar broadcast (Q15's correlated MAX)
+    "q313_tpch_q22_sales_opportunity") // 1-row avg-balance scalar broadcast (Q22's scalar subquery)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
