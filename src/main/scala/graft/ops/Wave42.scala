@@ -74,10 +74,13 @@ object Wave42 {
       load(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_name"))
         .agg(count(lit(1)).as("cnt")))
-    def side(tag: String): DataFrame =
+    // explode the deletion-variant posting list ONCE and pin — both
+    // sides of the blocking self-join read the same table
+    val variants = graft.util.Pin(
       dn.select(col("c_nationkey"), col("c_name"),
-          explode(expr(DeletionVariants)).as("v"))
-        .withColumnRenamed("c_name", s"name$tag")
+        explode(expr(DeletionVariants)).as("v")))
+    def side(tag: String): DataFrame =
+      variants.withColumnRenamed("c_name", s"name$tag")
     // name1 == name2 keeps the self-pair (exact-duplicate groups);
     // name1 < name2 orients distinct-name pairs once
     side("1").join(side("2"), Seq("c_nationkey", "v"))

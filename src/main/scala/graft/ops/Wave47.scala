@@ -50,7 +50,9 @@ object Wave47 {
       .join(nk("1"), Seq("c_nationkey", "name1"))
       .join(nk("2"), Seq("c_nationkey", "name2"))
       .select(col("nid1").as("a"), col("nid2").as("b"))
-    val comp = Components.connectedComponents(edges)
+    // the edit-distance name graph is chain-prone by construction
+    // (name_k ~ name_k+1 chains) — go straight to star contraction
+    val comp = Components.connectedComponents(edges, preferStar = true)
     // isolated name nodes keep their own id as the cluster id
     val labeled = nodes
       .join(comp.select(col("id").as("nid"), col("component")),

@@ -34,13 +34,38 @@ object Pin {
     val s = df.sparkSession
     val reliable =
       s.conf.getOption(FlagKey).exists(_.trim.equalsIgnoreCase("true"))
-    if (!reliable) df.localCheckpoint(eager = true)
+    val ck =
+      if (!reliable) df.localCheckpoint(eager = true)
+      else {
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(s.conf.getOption(DirKey).getOrElse(
+            java.nio.file.Files.createTempDirectory("graft_chk_").toString))
+        df.checkpoint(eager = true)
+      }
+    capStats(ck)
+  }
+
+  /** Checkpointing preserves the child plan's size-in-bytes ESTIMATE.
+    * Inside an iterative join loop that estimate compounds — Catalyst's
+    * size-only join stat is the BigInt PRODUCT of the children, so a
+    * pinned-self-join round SQUARES it; the digit count doubles per
+    * round and planning time explodes exponentially (measured: the q291
+    * pointer-jump loop hit 10-million-digit estimates and 40 s/round of
+    * pure driver-side BigInteger.multiply by round 20, on constant-size
+    * data). A materialized pin whose inherited estimate no longer fits
+    * a Long is always garbage — re-wrap the SAME checkpointed
+    * RDD[InternalRow] (zero copy) as a fresh leaf with default stats.
+    * Honest small estimates (broadcast decisions downstream) pass
+    * through untouched. */
+  private def capStats[T](ck: Dataset[T]): Dataset[T] = {
+    val sz = ck.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz.isValidLong) ck
     else {
-      val sc = s.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(s.conf.getOption(DirKey).getOrElse(
-          java.nio.file.Files.createTempDirectory("graft_chk_").toString))
-      df.checkpoint(eager = true)
+      val fresh = org.apache.spark.sql.GraftSqlInternal
+        .dataFrameFromInternalRdd(ck.sparkSession,
+          ck.queryExecution.toRdd, ck.schema)
+      fresh.as[T](ck.encoder)
     }
   }
 }
