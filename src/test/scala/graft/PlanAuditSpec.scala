@@ -75,7 +75,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q290_fk_discovery", // per-edge 1-row distinct-stats scalar broadcasts (q267 shape)
     "q304_tpch_q11_important_parts", // 1-row nation-total scalar broadcast (Q11's scalar subquery)
     "q308_tpch_q15_top_supplier", // 1-row max-revenue scalar broadcast (Q15's correlated MAX)
-    "q313_tpch_q22_sales_opportunity") // 1-row avg-balance scalar broadcast (Q22's scalar subquery)
+    "q313_tpch_q22_sales_opportunity", // 1-row avg-balance scalar broadcast (Q22's scalar subquery)
+    "q314_cbo_planning_audit") // 1-row catalog-stat scalar broadcasts (n/min/max/hist/mcv/exact)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -242,6 +243,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q205_pr_curve" -> "total over the 10-bin score histogram",
     "q214_nelson_aalen" -> "hazard windows over the 10-minute duration histogram (observation span)",
     "q216_t_closeness" -> "global-distribution total over the 5-priority alphabet",
+    "q314_cbo_planning_audit" -> "Ranks.globalRank offsets table (#shuffle-partitions rows) x1 + cumulative over the 32-bucket histogram x2",
     "q218_topk_churn" -> "rank over each window's limit(20)-capped top list",
     "q227_typo_join" -> "rank label over the 20 rows surviving orderBy().limit(20)",
     "q228_zorder_audit" -> "rank label over the 24 rows surviving orderBy().limit(24)",
