@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-sized gate for the soak harness (the 15-minute record lives in
+  * SOAK_r11.json / BASELINE.md; this proves the harness end to end on
+  * every test run): a short ProcessingTime window with live injection
+  * must drain completely and the streamed end-state must converge to
+  * the batch replay of the injected log with ZERO mismatches. */
+class SoakSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("short soak: ProcessingTime pipeline drains and converges to batch") {
+    val report = Soak.run(spark, durationSec = 20, ratePerSec = 500,
+      keys = 500, trigger = "1 second")
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(report).get.group(1).toLong
+    assert(long("events_injected") > 0, report)
+    assert(long("events_processed") == long("events_injected"), report)
+    assert(long("convergence_mismatches") == 0L, report)
+    assert(long("streamed_keys") == 500L, report)
+    assert(long("n_batches") > 1, report) // genuinely incremental
+  }
+}
