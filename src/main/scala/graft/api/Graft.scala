@@ -447,7 +447,9 @@ object Graft {
   def hilbertRectangleScan(spark: SparkSession, outDir: String,
       dimX: String, xLo: Long, xHi: Long, dimY: String, yLo: Long,
       yHi: Long): (DataFrame, Int, Int) = {
-    val zm = spark.read.parquet(s"$outDir/zonemap").collect() // ≤ files rows
+    // bounded collect: the zone-map manifest has one row per data file,
+    // capped by the `files` count chosen at write time (default 64)
+    val zm = spark.read.parquet(s"$outDir/zonemap").collect()
     val hit = zm.filter { r =>
       r.getAs[Long]("xmax") >= xLo && r.getAs[Long]("xmin") <= xHi &&
       r.getAs[Long]("ymax") >= yLo && r.getAs[Long]("ymin") <= yHi
