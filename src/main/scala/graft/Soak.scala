@@ -69,38 +69,87 @@ object Soak {
     else xs.sorted.apply(math.min(xs.size - 1, (q * xs.size).toInt))
 
   /** Run one soak; returns the report JSON string. Factored so
-    * SoakSpec can run a short window in-process. */
+    * SoakSpec can run a short window in-process.
+    *
+    * @param crashAfterBatches when > 0, CRASH-RECOVERY MODE (the T6
+    *   "exactly-once-ish" leg graceful-stop tests can't reach, ref
+    *   ack-after-process `core/messaging/HCDCKafkaReceiver.java:201-215`):
+    *   the Nth sink batch writes HALF its rows to the sink and then
+    *   throws — the query dies mid-batch with its offsets WAL'd but the
+    *   batch uncommitted (no commit-log entry, no state-store version
+    *   bump), exactly a driver kill between write and ack. The injector
+    *   keeps injecting, detects the dead query, and restarts it from
+    *   the SAME checkpoint; Structured Streaming must re-run the failed
+    *   batch from the recovered state version, and the end state must
+    *   still converge to the batch replay with zero mismatches (the
+    *   duplicate half-write is absorbed by the latest-state-per-key
+    *   convergence read, the same idempotence the real sink relies on). */
   def run(spark: SparkSession, durationSec: Int, ratePerSec: Int,
-      keys: Int, trigger: String = "2 seconds"): String = {
+      keys: Int, trigger: String = "2 seconds",
+      crashAfterBatches: Int = 0): String = {
     implicit val s: SparkSession = spark
     val tmp = Files.createTempDirectory("graft_soak_")
     val in = tmp.resolve("in"); Files.createDirectories(in)
     val chk = tmp.resolve("chk"); val out = tmp.resolve("out")
     val listener = new streaming.MetricsListener(maxRows = 100000)
     spark.streams.addListener(listener)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var recoveries = 0
+    // every cleanup on EVERY exit path (drain-timeout require included):
+    // stop the query, drop the listener, delete the scratch dir — a
+    // failed run must not leak state into later tests on the shared
+    // session (round-11 advice).
+    try {
+
+    val sinkBatchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashPlanted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def sinkBatch(batch: DataFrame, id: Long): Unit = {
+      val n = sinkBatchNo.incrementAndGet()
+      if (crashAfterBatches > 0 && n == crashAfterBatches &&
+          crashPlanted.compareAndSet(false, true)) {
+        val half = (batch.count() / 2).toInt
+        batch.limit(half).write.mode("append").parquet(out.toString)
+        throw new RuntimeException("graft.Soak planted mid-batch crash")
+      }
+      batch.write.mode("append").parquet(out.toString)
+    }
 
     // the q27 pipeline shape, ProcessingTime instead of AvailableNow;
     // state partitions sized to the keyspace (see startFiles scaladoc)
-    val spKey = "spark.sql.shuffle.partitions"
-    val spSaved = spark.conf.get(spKey)
-    spark.conf.set(spKey, "8")
-    val q = try {
-      val raw = spark.readStream
-        .schema(StructType(Seq(StructField("value", StringType))))
-        .option("maxFilesPerTrigger", 64)
-        .text(in.toString)
-      streaming.ChangeStreamPipeline
-        .stateStream(streaming.ChangeStreamPipeline.decode(raw)).toDF()
-        .writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out.toString)
-        }
-        .option("checkpointLocation", chk.toString)
-        .trigger(Trigger.ProcessingTime(trigger))
-        .queryName("soak")
-        .start()
-    } finally spark.conf.set(spKey, spSaved)
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val spKey = "spark.sql.shuffle.partitions"
+      val spSaved = spark.conf.get(spKey)
+      spark.conf.set(spKey, "8")
+      try {
+        val raw = spark.readStream
+          .schema(StructType(Seq(StructField("value", StringType))))
+          .option("maxFilesPerTrigger", 64)
+          .text(in.toString)
+        streaming.ChangeStreamPipeline
+          .stateStream(streaming.ChangeStreamPipeline.decode(raw)).toDF()
+          .writeStream
+          .outputMode("update")
+          .foreachBatch(sinkBatch _)
+          .option("checkpointLocation", chk.toString)
+          .trigger(Trigger.ProcessingTime(trigger))
+          .queryName("soak")
+          .start()
+      } finally spark.conf.set(spKey, spSaved)
+    }
+    // restart-from-checkpoint on a dead query; returns true if it recovered
+    def recoverIfDead(): Boolean = {
+      if (q.isActive) false
+      else {
+        val cause = scala.util.Try(q.awaitTermination()).failed
+          .map(_.getMessage).getOrElse("(clean stop?)")
+        require(recoveries < 3,
+          s"soak query keeps dying (${recoveries}x): $cause")
+        recoveries += 1
+        q = startQuery()
+        true
+      }
+    }
+    q = startQuery()
 
     // injector: one file per second, ratePerSec events each
     val gen = new EventGen(keys, seed = 0x5eed5eedL)
@@ -119,6 +168,7 @@ object Soak {
       Files.move(stage, f,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       fileNo += 1
+      recoverIfDead()
       val elapsed = (System.nanoTime() - t0) / 1e9
       if (elapsed - lastSample >= 15) {
         lastSample = elapsed.toLong
@@ -138,14 +188,18 @@ object Soak {
     val deadline = System.nanoTime() + 600L * 1000000000L
     def processedRows(): Long = listener.beats
       .filter(_.event == "progress").map(_.numInputRows).sum
-    while (processedRows() < injected && System.nanoTime() < deadline)
+    while (processedRows() < injected && System.nanoTime() < deadline) {
+      recoverIfDead()
       Thread.sleep(2000)
+    }
     require(processedRows() >= injected,
       s"soak drain timed out: processed ${processedRows()} of $injected")
     q.stop(); q.awaitTermination()
+    require(crashAfterBatches == 0 || recoveries >= 1,
+      s"crash mode requested (batch $crashAfterBatches) but no crash fired " +
+      s"— window too short to reach that batch?")
     samples += (((System.nanoTime() - t0) / 1e9.toLong / 1L,
       dirBytes(chk.resolve("state")), dirBytes(out)))
-    spark.streams.removeListener(listener)
 
     // ---- convergence: streamed end-state == batch replay of the log
     import spark.implicits._
@@ -201,20 +255,26 @@ object Soak {
       s""""state_growth_ratio":${f"$growth%.3f"},""" +
       s""""state_samples":$sampleJson,""" +
       s""""streamed_keys":$streamedKeys,""" +
+      s""""crash_after_batches":$crashAfterBatches,""" +
+      s""""forced_recoveries":$recoveries,""" +
       s""""convergence_mismatches":$mismatches}"""
-
-    // scratch cleanup (keep nothing large behind)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(tmp.toString), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
     report
+    } finally {
+      if (q != null && q.isActive) scala.util.Try { q.stop(); q.awaitTermination() }
+      spark.streams.removeListener(listener)
+      // scratch cleanup (keep nothing large behind)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tmp.toString), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val durationSec = args.lift(0).map(_.toInt).getOrElse(900)
     val ratePerSec = args.lift(1).map(_.toInt).getOrElse(2000)
     val keys = args.lift(2).map(_.toInt).getOrElse(10000)
-    val reportPath = args.lift(3).getOrElse("SOAK_r11.json")
+    val reportPath = args.lift(3).getOrElse("SOAK.json")
+    val crashAfterBatches = args.lift(4).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -225,7 +285,8 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val report = run(spark, durationSec, ratePerSec, keys)
+    val report = run(spark, durationSec, ratePerSec, keys,
+      crashAfterBatches = crashAfterBatches)
     Files.writeString(Paths.get(reportPath), report + "\n")
     println(report)
     spark.stop()

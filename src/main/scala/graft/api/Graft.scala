@@ -438,6 +438,21 @@ object Graft {
       .write.mode("overwrite").parquet(s"$outDir/zonemap")
   }
 
+  /** Stats-driven join (round-11 verdict ask #4 — the q295/q314 CBO
+    * loop APPLIED): ANALYZE the fact column into an equi-depth
+    * histogram, estimate the filtered cardinality, and pick the
+    * physical strategy — broadcast the filtered fact side when the
+    * estimate fits the `1/broadcastDiv` budget, else pin the shuffle
+    * path. Returns (joined, estimatedRows, "broadcast"|"shuffle");
+    * AnalyzedJoinSpec gates that the EXECUTED plan matches the
+    * decision and the decision matches optimal-from-exact. See
+    * [[graft.ops.StatsPlanner]] for the distributed ANALYZE shape. */
+  def analyzedJoin(fact: DataFrame, valueCol: String, gt: Long,
+      dim: DataFrame, joinCond: org.apache.spark.sql.Column,
+      broadcastDiv: Long = 20L): (DataFrame, Long, String) =
+    graft.ops.StatsPlanner.analyzedJoin(fact, valueCol, gt, dim,
+      joinCond, broadcastDiv)
+
   /** Rectangle scan over a [[writeHilbertLayout]] table: consult the
     * zone-map manifest, read ONLY the files whose bounds intersect the
     * rectangle, and apply the exact predicate on top. Returns the
@@ -450,9 +465,13 @@ object Graft {
     // bounded collect: the zone-map manifest has one row per data file,
     // capped by the `files` count chosen at write time (default 64)
     val zm = spark.read.parquet(s"$outDir/zonemap").collect()
+    // bounds columns inherit the DATA's dim type (IntegerType dims are
+    // accepted by writeHilbertLayout) — read via Number, not a Long cast
+    def nl(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue()
     val hit = zm.filter { r =>
-      r.getAs[Long]("xmax") >= xLo && r.getAs[Long]("xmin") <= xHi &&
-      r.getAs[Long]("ymax") >= yLo && r.getAs[Long]("ymin") <= yHi
+      nl(r, "xmax") >= xLo && nl(r, "xmin") <= xHi &&
+      nl(r, "ymax") >= yLo && nl(r, "ymin") <= yHi
     }.map(_.getAs[String]("file"))
     val result =
       if (hit.isEmpty) spark.read.parquet(s"$outDir/data").limit(0)

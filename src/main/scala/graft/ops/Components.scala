@@ -76,30 +76,51 @@ object Components {
         .transform(graft.util.Pin.apply)
       var round = 0
       var converged = false
+      var prevChanges = Long.MaxValue
       while (!converged && round < maxRounds) {
         val incoming = both.join(labels, col("eSrc") === col("id"))
           .groupBy(col("eDst")).agg(min(col("component")).as("viaEdge"))
-        // neighbor propagation: m = min(own label, labels seen on edges)
+        // neighbor propagation: m = min(own label, labels seen on edges).
+        // Pinned BEFORE any jump so the self-join below consumes a
+        // materialized leaf, never re-evaluates the join+aggregate
+        // subtree (the re-evaluation pathology the starLabels comment
+        // documents as measured-worse).
         val prop = labels.withColumnRenamed("component", "prev")
           .join(incoming, col("id") === col("eDst"), "left")
           .select(col("id"), col("prev"),
             least(col("prev"), coalesce(col("viaEdge"), col("prev")))
               .as("m"))
-        // pointer jumping: follow the label one hop — L(v) ← L(L(v)).
-        // Every label value is itself a node id (labels are min-folds of
-        // node ids), so the self-join always hits; shortcutting collapses
-        // label chains as they form and cuts rounds on moderately deep
-        // graphs (the round-10 q291 name graph burned the entire 30-round
-        // budget without it, then paid the star fallback too). One Pin
-        // covers propagation + jump; convergence is a filter over the
-        // just-checkpointed result.
-        val next = prop
-          .join(prop.select(col("id").as("jid"), col("m").as("jm")),
-            col("m") === col("jid"))
-          .select(col("id"), col("prev"), col("jm").as("component"))
           .transform(graft.util.Pin.apply)
-        converged = next.filter(col("component") < col("prev")).isEmpty
-        labels = next.select(col("id"), col("component"))
+        val changes = prop.filter(col("m") < col("prev")).count()
+        converged = changes == 0
+        // changes == 0 means no node can lower its label from a
+        // neighbor — the propagation fixpoint, which is exactly
+        // "every node carries its component minimum" (labels only
+        // decrease, start at own id, and the min node keeps its own).
+        if (converged) {
+          labels = prop.select(col("id"), col("m").as("component"))
+        } else {
+          // ADAPTIVE pointer jumping: follow the label one hop —
+          // L(v) ← L(L(v)). Every label value is itself a node id (labels
+          // are min-folds of node ids) so the self-join always hits, and
+          // shortcutting collapses label chains as they form — on the
+          // round-10 q291 name graph the loop burned the whole 30-round
+          // budget without it. But the jump self-join costs a full extra
+          // shuffle+pin per round, pure overhead on dense near-dup graphs
+          // that converge in 2–3 rounds (q52 regressed 1.6× when it ran
+          // unconditionally). Engage it only when the change frontier is
+          // NOT collapsing: chains decay by ~1 node/round (changes stays
+          // near the previous round's), dense clusters fall off a cliff.
+          val jump = round >= 1 && changes * 2 > prevChanges
+          labels =
+            if (!jump) prop.select(col("id"), col("m").as("component"))
+            else prop
+              .join(prop.select(col("id").as("jid"), col("m").as("jm")),
+                col("m") === col("jid"))
+              .select(col("id"), col("jm").as("component"))
+              .transform(graft.util.Pin.apply)
+        }
+        prevChanges = changes
         round += 1
       }
       if (converged) labels

@@ -86,8 +86,11 @@ object Wave53 {
     // ---- one row carrying every stat (all one-row broadcasts)
     val row = base.crossJoin(broadcast(histEst))
       .crossJoin(broadcast(mcv)).crossJoin(broadcast(exact))
+      // greatest(..., 1) denominator guard: a constant-valued events
+      // table makes maxc = minc, where Spark `div` yields NULL silently
+      // but DuckDB's `//` errors — divergent gate failure modes
       .withColumn("est_uni1", expr(
-        s"greatest(0, least(n, n * (maxc - $Tc) div (maxc - minc)))"))
+        s"greatest(0, least(n, n * (maxc - $Tc) div greatest(maxc - minc, 1)))"))
       // the fact side joins a PK dim: |sel ⋈ cust| = |sel| (containment,
       // ndv(c_custkey) >= ndv(user_id)) — both estimators propagate
       .withColumn("est_uni2", col("est_uni1"))
@@ -176,7 +179,7 @@ object Wave53 {
        |     WHERE event_type = 'purchase') AS exact3),
        |r AS (
        |  SELECT *,
-       |    greatest(0, least(n, n * (maxc - $Tc) // (maxc - minc)))
+       |    greatest(0, least(n, n * (maxc - $Tc) // greatest(maxc - minc, 1)))
        |      AS est_uni1,
        |    n // $BcastDiv AS thr
        |  FROM base, hist, mcv, exact),

@@ -38,6 +38,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("a 200-node chain (slow-decay frontier) converges exactly under the adaptive jump") {
+    // changes decay ~1 node/round on a chain, so the adaptive rule
+    // engages pointer jumping from round 1 and the 30-round budget
+    // suffices (plain propagation would need ~200 rounds)
+    val n = 200L
+    val got = cc((0L until (n - 1)).map(i => (i, i + 1)))
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("a 10k-node path (diameter >> round budget) converges via star contraction") {
     // label propagation alone needs ~10k rounds here; the solver must
     // fall back to large-star/small-star and still return exact labels

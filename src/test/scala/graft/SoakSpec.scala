@@ -21,4 +21,23 @@ class SoakSpec extends AnyFunSuite {
     assert(long("streamed_keys") == 500L, report)
     assert(long("n_batches") > 1, report) // genuinely incremental
   }
+
+  test("crash soak: planted mid-batch kill, restart from checkpoint, converge") {
+    // batch 2 writes HALF its rows then dies (offsets WAL'd, batch
+    // uncommitted); the harness restarts from the same checkpoint while
+    // injection continues. The gate: the recovered stream reprocesses
+    // the failed batch from the recovered state version and the final
+    // per-key FSM state still equals the batch replay — zero mismatches
+    // despite the orphan half-write. This is the kill-not-stop leg of
+    // T6 that StreamResumeSpec's graceful stop can't exercise.
+    val report = Soak.run(spark, durationSec = 15, ratePerSec = 500,
+      keys = 400, trigger = "1 second", crashAfterBatches = 2)
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(report).get.group(1).toLong
+    assert(long("forced_recoveries") >= 1L, report)
+    assert(long("events_injected") > 0, report)
+    assert(long("events_processed") == long("events_injected"), report)
+    assert(long("convergence_mismatches") == 0L, report)
+    assert(long("streamed_keys") == 400L, report)
+  }
 }
