@@ -411,29 +411,67 @@ object Graft {
     * — the standard CLUSTER BY cost; the manifest build is one
     * aggregate over the written files. */
   def writeHilbertLayout(df: DataFrame, dimX: String, dimY: String,
+      outDir: String, files: Int = 64): Unit =
+    writeClusteredLayout(df, Seq(dimX, dimY), outDir, files)
+
+  /** N-dimensional generalization of [[writeHilbertLayout]] (round-11
+    * verdict ask #7): cluster `df` along a space-filling curve over
+    * `dims` integer columns — the 2-D Hilbert expression for N = 2
+    * (tightest boxes), bit-interleave (Morton) for N > 2 at
+    * `min(16, 62/N)` bits per dim (a 64-bit key holds up to N = 31
+    * dims; beyond ~4 dims per-dim resolution, not curve choice,
+    * dominates skipping quality). The per-file zone-map manifest
+    * stores `<dim>_min`/`<dim>_max` for EVERY dim, so [[hilbertScan]]
+    * prunes on any SUBSET of the dims — including a single-dim
+    * predicate. Same scale shape as the 2-D form: one stats pass
+    * (one-row broadcast), one range shuffle on the curve key, a
+    * per-partition sort, one aggregate over the written files. */
+  def writeClusteredLayout(df: DataFrame, dims: Seq[String],
       outDir: String, files: Int = 64): Unit = {
+    require(dims.size >= 2, s"need >= 2 dims, got ${dims.mkString(",")}")
     val spark = df.sparkSession
     val mm = df.agg(
-      min(col(dimX)).as("_mnx"), max(col(dimX)).as("_mxx"),
-      min(col(dimY)).as("_mny"), max(col(dimY)).as("_mxy"))
-    val side = graft.functions.HilbertIndex2.Side
+      min(col(dims.head)).cast("long").as(s"_mn0"),
+      (max(col(dims.head)).cast("long").as(s"_mx0") +:
+        dims.zipWithIndex.tail.flatMap { case (d, i) => Seq(
+          min(col(d)).cast("long").as(s"_mn$i"),
+          max(col(d)).cast("long").as(s"_mx$i")) }): _*)
+    val bits =
+      if (dims.size == 2) 16 else math.min(16, 62 / dims.size)
+    val side = 1L << bits
     val scaled = df.crossJoin(broadcast(mm)) // one-row bounds scalar
-      .withColumn("_hx", expr(
-        s"($dimX - _mnx) * ${side - 1} div greatest(_mxx - _mnx, 1)"))
-      .withColumn("_hy", expr(
-        s"($dimY - _mny) * ${side - 1} div greatest(_mxy - _mny, 1)"))
+      .transform { base =>
+        dims.zipWithIndex.foldLeft(base) { case (acc, (d, i)) =>
+          acc.withColumn(s"_h$i", expr(
+            s"(CAST($d AS BIGINT) - _mn$i) * ${side - 1} " +
+              s"div greatest(_mx$i - _mn$i, 1)"))
+        }
+      }
       .withColumn("_hk",
-        graft.functions.HilbertIndex2(col("_hx"), col("_hy")))
+        if (dims.size == 2)
+          graft.functions.HilbertIndex2(col("_h0"), col("_h1"))
+        else {
+          // Morton bit-interleave: bit b of dim i lands at b*N + i.
+          // Unrolled at plan-build time — stays in whole-stage codegen.
+          val n = dims.size
+          (for { i <- 0 until n; b <- 0 until bits } yield
+            shiftleft(shiftright(col(s"_h$i"), b).bitwiseAND(lit(1L)),
+              b * n + i)).reduce(_ bitwiseOR _)
+        })
+    val helper = Seq("_hk") ++ dims.indices.map(i => s"_h$i") ++
+      dims.indices.flatMap(i => Seq(s"_mn$i", s"_mx$i"))
     scaled.repartitionByRange(files, col("_hk"))
       .sortWithinPartitions(col("_hk"))
-      .drop("_mnx", "_mxx", "_mny", "_mxy", "_hx", "_hy", "_hk")
+      .drop(helper: _*)
       .write.mode("overwrite").parquet(s"$outDir/data")
     // zone map from the files ON DISK, not the plan — what a lakehouse
     // reader would get from its stats manifest
     spark.read.parquet(s"$outDir/data")
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(dimX)).as("xmin"), max(col(dimX)).as("xmax"),
-        min(col(dimY)).as("ymin"), max(col(dimY)).as("ymax"))
+      .agg(min(col(dims.head)).as(s"${dims.head}_min"),
+        (max(col(dims.head)).as(s"${dims.head}_max") +:
+          dims.tail.flatMap(d => Seq(min(col(d)).as(s"${d}_min"),
+            max(col(d)).as(s"${d}_max")))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/zonemap")
   }
@@ -461,23 +499,37 @@ object Graft {
     * the file count chosen at write time. */
   def hilbertRectangleScan(spark: SparkSession, outDir: String,
       dimX: String, xLo: Long, xHi: Long, dimY: String, yLo: Long,
-      yHi: Long): (DataFrame, Int, Int) = {
+      yHi: Long): (DataFrame, Int, Int) =
+    hilbertScan(spark, outDir, Seq((dimX, xLo, xHi), (dimY, yLo, yHi)))
+
+  /** Zone-map-pruned scan over a [[writeClusteredLayout]] table for a
+    * conjunction of per-dim range predicates over ANY SUBSET of the
+    * layout dims — a single-dim probe prunes on that dim's manifest
+    * bounds alone (the curve keeps each file's per-dim spans narrow,
+    * so 1-D predicates still skip; HilbertGraftApiSpec measures it).
+    * Reads ONLY the files whose bounds intersect every predicate, then
+    * applies the exact predicate on top. Returns (result, filesRead,
+    * filesTotal). */
+  def hilbertScan(spark: SparkSession, outDir: String,
+      preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "need at least one (dim, lo, hi) predicate")
     // bounded collect: the zone-map manifest has one row per data file,
     // capped by the `files` count chosen at write time (default 64)
     val zm = spark.read.parquet(s"$outDir/zonemap").collect()
     // bounds columns inherit the DATA's dim type (IntegerType dims are
-    // accepted by writeHilbertLayout) — read via Number, not a Long cast
+    // accepted by writeClusteredLayout) — read via Number, not a Long cast
     def nl(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue()
     val hit = zm.filter { r =>
-      nl(r, "xmax") >= xLo && nl(r, "xmin") <= xHi &&
-      nl(r, "ymax") >= yLo && nl(r, "ymin") <= yHi
+      preds.forall { case (d, lo, hi) =>
+        nl(r, s"${d}_max") >= lo && nl(r, s"${d}_min") <= hi }
     }.map(_.getAs[String]("file"))
     val result =
       if (hit.isEmpty) spark.read.parquet(s"$outDir/data").limit(0)
       else spark.read.parquet(hit.toIndexedSeq: _*)
-    (result.filter(col(dimX).between(xLo, xHi) &&
-      col(dimY).between(yLo, yHi)), hit.length, zm.length)
+    val exact = preds.map { case (d, lo, hi) => col(d).between(lo, hi) }
+      .reduce(_ && _)
+    (result.filter(exact), hit.length, zm.length)
   }
 
   /** Stable synthetic inode for a path (C10 id-synth parity — this

@@ -52,7 +52,10 @@ object StatsPlanner {
     * onto the B equal cuts). One keyed aggregate + one range shuffle;
     * the only driver transfer is the B-row histogram. */
   def analyze(df: DataFrame, c: String, numBuckets: Int = 32): ColStats = {
-    val byVal = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    // pinned: consumed by BOTH the prefix-scan and the total — one
+    // fact scan, not two
+    val byVal = graft.util.Pin(
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt")))
     val ranked = Ranks.prefixSum(byVal, Seq.empty, Seq(col("v")),
       col("cnt"), "cum")
     val nDf = byVal.agg(sum(col("cnt")).as("n"))

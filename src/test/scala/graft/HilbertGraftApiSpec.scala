@@ -49,12 +49,58 @@ class HilbertGraftApiSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/control/data")
     spark.read.parquet(s"$tmp/control/data")
       .groupBy(input_file_name().as("file"))
-      .agg(min(col("pk")).as("xmin"), max(col("pk")).as("xmax"),
-        min(col("sk")).as("ymin"), max(col("sk")).as("ymax"))
+      .agg(min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/control/zonemap")
     val (_, readCtl, totalCtl) = api.Graft.hilbertRectangleScan(
       spark, s"$tmp/control", "pk", xLo, xHi, "sk", yLo, yHi)
     assert(readCtl > totalCtl * 9 / 10,
       s"control layout should hit ~all files, hit $readCtl of $totalCtl")
+
+    // single-dim probe on the SAME 2-D layout (round-11 ask #7): the
+    // manifest stores per-dim bounds, so a 1-D predicate prunes too —
+    // a 5%-of-domain pk band must skip a clear majority of files
+    val (res1d, read1d, total1d) = api.Graft.hilbertScan(
+      spark, s"$tmp/layout", Seq(("pk", 400L, 500L)))
+    val exp1d = df.filter(col("pk").between(400L, 500L))
+    assert(res1d.count() == exp1d.count())
+    assert(total1d == 64)
+    assert(read1d <= total1d / 2,
+      s"1-D probe should skip most files, read $read1d of $total1d")
+  }
+
+  test("3-D clustered layout: subset-dim probes prune and results stay exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_h3d_").toString
+    val rng = new scala.util.Random(43)
+    val rows = (1 to 60000).map { i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong,
+        rng.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    api.Graft.writeClusteredLayout(df, Seq("a", "b", "c"),
+      s"$tmp/layout", files = 64)
+
+    // full 3-D box: 20% of each dim -> 0.8% of the volume
+    val (res3, read3, total3) = api.Graft.hilbertScan(spark,
+      s"$tmp/layout",
+      Seq(("a", 100L, 299L), ("b", 400L, 599L), ("c", 700L, 899L)))
+    val exp3 = df.filter(col("a").between(100L, 299L) &&
+      col("b").between(400L, 599L) && col("c").between(700L, 899L))
+    assert(res3.count() == exp3.count())
+    assert(res3.select("id").except(exp3.select("id")).isEmpty &&
+      exp3.select("id").except(res3.select("id")).isEmpty)
+    assert(total3 == 64, s"expected 64 data files, found $total3")
+    assert(read3 <= total3 / 3,
+      s"3-D box should skip >= 2/3 of files, read $read3 of $total3")
+
+    // 2-of-3-dim probe (the subset path): exact and still pruning
+    val (res2, read2, _) = api.Graft.hilbertScan(spark, s"$tmp/layout",
+      Seq(("a", 100L, 299L), ("c", 700L, 899L)))
+    val exp2 = df.filter(col("a").between(100L, 299L) &&
+      col("c").between(700L, 899L))
+    assert(res2.count() == exp2.count())
+    assert(read2 <= 64 / 2,
+      s"2-of-3 probe should skip half the files, read $read2 of 64")
   }
 }

@@ -52,6 +52,13 @@ class RegistryManifestSpec extends AnyFunSuite {
         bare.mkString(", "))
   }
 
+  test("QUERIES.md is current (regenerate: sbt \"runMain graft.QueriesIndex\")") {
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("QUERIES.md"))
+    assert(committed == QueriesIndex.render(),
+      "QUERIES.md is stale — run: sbt \"runMain graft.QueriesIndex\"")
+  }
+
   test("every registered query carries a non-empty doc line") {
     val undocumented = Registry.all.collect {
       case (n, d) if d.doc.trim.isEmpty => n

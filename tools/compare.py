@@ -24,9 +24,13 @@ con = duckdb.connect()
 # makes DuckDB drop even the final ORDER BY on fetch (measured —
 # q217's ordered result came back permuted), which breaks this
 # row-by-row compare.
-os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-con.execute("SET memory_limit='80GB'")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# Overridable for big-SF runs in a quiet window (e.g. the sf10 record:
+# nothing else on the host, so the ceiling can take most of RAM and
+# the spill dir all free disk).
+spill = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+os.makedirs(spill, exist_ok=True)
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '80GB')}'")
+con.execute(f"SET temp_directory='{spill}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
