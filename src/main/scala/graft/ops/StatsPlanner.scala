@@ -83,18 +83,25 @@ object StatsPlanner {
 
   /** Join `fact.filter(valueCol > gt)` to `dim`, with the physical
     * strategy CHOSEN FROM THE HISTOGRAM: broadcast the filtered fact
-    * when its estimate is within `n / broadcastDiv` (q314's 5%
-    * threshold at the default), else pin a sort-merge shuffle join.
-    * Returns (joined frame, estimated rows, "broadcast"|"shuffle") so
-    * callers — and the plan gate in AnalyzedJoinSpec — can check the
-    * EXECUTED plan against the decision. */
+    * when its estimate is within `min(n / broadcastDiv,
+    * maxBroadcastRows)`, else pin a sort-merge shuffle join. The
+    * budget has BOTH a relative term (q314's 5% at the default — a
+    * side that big stops paying for a map join) and an ABSOLUTE row
+    * cap: a purely relative budget scales with the table and would
+    * happily "broadcast" a 100-GB side at 100 TB (the q03/q05
+    * round-4 lesson PlanAuditSpec mechanically guards); the cap is
+    * what `autoBroadcastJoinThreshold` is in bytes. Returns (joined
+    * frame, estimated rows, "broadcast"|"shuffle") so callers — and
+    * the plan gate in AnalyzedJoinSpec — can check the EXECUTED plan
+    * against the decision. */
   def analyzedJoin(fact: DataFrame, valueCol: String, gt: Long,
       dim: DataFrame, joinCond: Column, broadcastDiv: Long = 20L,
-      numBuckets: Int = 32): (DataFrame, Long, String) = {
+      numBuckets: Int = 32, maxBroadcastRows: Long = 5000000L)
+      : (DataFrame, Long, String) = {
     val st = analyze(fact, valueCol, numBuckets)
     val est = st.estimateGt(gt)
     val filtered = fact.filter(col(valueCol) > gt)
-    if (est <= st.n / broadcastDiv)
+    if (est <= math.min(st.n / broadcastDiv, maxBroadcastRows))
       (broadcast(filtered).join(dim, joinCond), est, "broadcast")
     else
       (filtered.hint("merge").join(dim, joinCond), est, "shuffle")

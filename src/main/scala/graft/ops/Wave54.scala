@@ -35,7 +35,8 @@ object Wave54 {
   private val B = 32
   private val THi = 24500L // tail: histogram → broadcast
   private val TLo = 1000L // bulk: histogram → shuffle
-  private val BcastDiv = 20L // broadcast if est <= n/20 (5%)
+  private val BcastDiv = 20L // broadcast if est <= n/20 (5%)...
+  private val BcastCap = 5000000L // ...AND under the absolute row cap
 
   private def qAnalyzedJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events").select(col("user_id"),
@@ -45,7 +46,8 @@ object Wave54 {
     def step(name: String, t: Long): DataFrame = {
       val (joined, est, plan) = StatsPlanner.analyzedJoin(
         ev, "vc", t, cust, col("user_id") === col("c_custkey"),
-        broadcastDiv = BcastDiv, numBuckets = B)
+        broadcastDiv = BcastDiv, numBuckets = B,
+        maxBroadcastRows = BcastCap)
       joined
         .groupBy(col("c_nationkey").cast(LongType).as("nation"))
         .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_vc"))
@@ -90,7 +92,8 @@ object Wave54 {
        |  FROM steps, hist GROUP BY 1, 2),
        |plan AS MATERIALIZED (
        |  SELECT step, t, est_rows,
-       |    CASE WHEN est_rows <= (SELECT n // $BcastDiv FROM n)
+       |    CASE WHEN est_rows <= LEAST((SELECT n // $BcastDiv FROM n),
+       |        $BcastCap)
        |      THEN 'broadcast' ELSE 'shuffle' END AS plan_chosen
        |  FROM est),
        |agg AS (
