@@ -491,6 +491,16 @@ object Graft {
     graft.ops.StatsPlanner.analyzedJoin(fact, valueCol, gt, dim,
       joinCond, broadcastDiv)
 
+  /** [[analyzedJoin]] reading a PERSISTED q295-shaped stats table —
+    * ANALYZE once (the nightly q295 export), plan many with zero
+    * plan-time fact scans. */
+  def analyzedJoinFromStats(fact: DataFrame, valueCol: String, gt: Long,
+      dim: DataFrame, joinCond: org.apache.spark.sql.Column,
+      statsTable: DataFrame, statsColumn: String,
+      broadcastDiv: Long = 20L): (DataFrame, Long, String) =
+    graft.ops.StatsPlanner.analyzedJoinFromStats(fact, valueCol, gt,
+      dim, joinCond, statsTable, statsColumn, broadcastDiv)
+
   /** Rectangle scan over a [[writeHilbertLayout]] table: consult the
     * zone-map manifest, read ONLY the files whose bounds intersect the
     * rectangle, and apply the exact predicate on top. Returns the

@@ -81,6 +81,51 @@ object StatsPlanner {
     ColStats(buckets.map(_.n).sum, buckets)
   }
 
+  /** Parse a PERSISTED q295-shaped stats export (`c`, `kind`, `idx`,
+    * `lo`, `hi`, `n_rows`) into [[ColStats]] for one column — the
+    * ANALYZE-once / plan-many catalog path: a nightly q295 job exports
+    * the histogram table, and every subsequent plan decision reads it
+    * instead of re-scanning the fact table. Bounded collect: B rows
+    * for the named column, regardless of data scale. */
+  def fromStatsTable(stats: DataFrame, column: String): ColStats = {
+    val rows = stats
+      .filter(col("c") === column && col("kind") === "hist")
+      .orderBy(col("idx"))
+      .select(col("lo"), col("hi"), col("n_rows"))
+      // bounded collect: B histogram rows for one column — the
+      // catalog-stats transfer, fixed at export time
+      .collect()
+    require(rows.nonEmpty, s"no histogram rows for column '$column'")
+    def nl(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue()
+    val buckets = rows.map(r =>
+      Bucket(nl(r, "lo"), nl(r, "hi"), nl(r, "n_rows"))).toSeq
+    ColStats(buckets.map(_.n).sum, buckets)
+  }
+
+  /** The decision, shared by the inline-ANALYZE and catalog paths. */
+  private def planFromStats(st: ColStats, fact: DataFrame,
+      valueCol: String, gt: Long, dim: DataFrame, joinCond: Column,
+      broadcastDiv: Long, maxBroadcastRows: Long)
+      : (DataFrame, Long, String) = {
+    val est = st.estimateGt(gt)
+    val filtered = fact.filter(col(valueCol) > gt)
+    if (est <= math.min(st.n / broadcastDiv, maxBroadcastRows))
+      (broadcast(filtered).join(dim, joinCond), est, "broadcast")
+    else
+      (filtered.hint("merge").join(dim, joinCond), est, "shuffle")
+  }
+
+  /** [[analyzedJoin]] driven by a PERSISTED q295-shaped stats table
+    * instead of an inline ANALYZE — zero extra scans of the fact at
+    * plan time, the shape a real catalog uses. */
+  def analyzedJoinFromStats(fact: DataFrame, valueCol: String, gt: Long,
+      dim: DataFrame, joinCond: Column, statsTable: DataFrame,
+      statsColumn: String, broadcastDiv: Long = 20L,
+      maxBroadcastRows: Long = 5000000L): (DataFrame, Long, String) =
+    planFromStats(fromStatsTable(statsTable, statsColumn), fact,
+      valueCol, gt, dim, joinCond, broadcastDiv, maxBroadcastRows)
+
   /** Join `fact.filter(valueCol > gt)` to `dim`, with the physical
     * strategy CHOSEN FROM THE HISTOGRAM: broadcast the filtered fact
     * when its estimate is within `min(n / broadcastDiv,
@@ -97,13 +142,7 @@ object StatsPlanner {
   def analyzedJoin(fact: DataFrame, valueCol: String, gt: Long,
       dim: DataFrame, joinCond: Column, broadcastDiv: Long = 20L,
       numBuckets: Int = 32, maxBroadcastRows: Long = 5000000L)
-      : (DataFrame, Long, String) = {
-    val st = analyze(fact, valueCol, numBuckets)
-    val est = st.estimateGt(gt)
-    val filtered = fact.filter(col(valueCol) > gt)
-    if (est <= math.min(st.n / broadcastDiv, maxBroadcastRows))
-      (broadcast(filtered).join(dim, joinCond), est, "broadcast")
-    else
-      (filtered.hint("merge").join(dim, joinCond), est, "shuffle")
-  }
+      : (DataFrame, Long, String) =
+    planFromStats(analyze(fact, valueCol, numBuckets), fact, valueCol,
+      gt, dim, joinCond, broadcastDiv, maxBroadcastRows)
 }

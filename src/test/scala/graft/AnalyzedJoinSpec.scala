@@ -46,6 +46,32 @@ class AnalyzedJoinSpec extends AnyFunSuite {
     assert(!phys.contains("BroadcastHashJoin"), phys)
   }
 
+  test("catalog path: a persisted q295-shaped stats table drives the same decisions") {
+    // ANALYZE once, plan many: export the histogram in the q295 shape,
+    // read it back, and the decisions must equal the inline path's —
+    // with ZERO fact scans at plan time.
+    import spark.implicits._
+    val st = StatsPlanner.analyze(ev, "vc")
+    val export = st.buckets.zipWithIndex.map { case (b, i) =>
+      ("vc", "hist", i.toLong, b.lo, b.hi, b.n)
+    }.toDF("c", "kind", "idx", "lo", "hi", "n_rows")
+      .unionByName(Seq(("vc", "mcv", 0L, 0L, 0L, 1L))
+        .toDF("c", "kind", "idx", "lo", "hi", "n_rows")) // mcv rows ignored
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_stats_").toString
+    export.write.mode("overwrite").parquet(dir2)
+    val catalog = spark.read.parquet(dir2)
+    val parsed = StatsPlanner.fromStatsTable(catalog, "vc")
+    assert(parsed == st, "round-tripped stats must parse back exactly")
+    val (j1, est1, plan1) = StatsPlanner.analyzedJoinFromStats(ev, "vc",
+      24500L, cust, col("user_id") === col("c_custkey"), catalog, "vc")
+    assert(plan1 == "broadcast" && est1 == st.estimateGt(24500L))
+    assert(j1.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val (j2, est2, plan2) = StatsPlanner.analyzedJoinFromStats(ev, "vc",
+      1000L, cust, col("user_id") === col("c_custkey"), catalog, "vc")
+    assert(plan2 == "shuffle" && est2 == st.estimateGt(1000L))
+    assert(j2.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   test("histogram estimate tracks exact within the straddle bucket on both steps") {
     val st = StatsPlanner.analyze(ev, "vc")
     assert(st.n == ev.count())
