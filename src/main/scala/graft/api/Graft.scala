@@ -450,14 +450,8 @@ object Graft {
       .withColumn("_hk",
         if (dims.size == 2)
           graft.functions.HilbertIndex2(col("_h0"), col("_h1"))
-        else {
-          // Morton bit-interleave: bit b of dim i lands at b*N + i.
-          // Unrolled at plan-build time — stays in whole-stage codegen.
-          val n = dims.size
-          (for { i <- 0 until n; b <- 0 until bits } yield
-            shiftleft(shiftright(col(s"_h$i"), b).bitwiseAND(lit(1L)),
-              b * n + i)).reduce(_ bitwiseOR _)
-        })
+        else graft.functions.Morton.key(
+          dims.indices.map(i => col(s"_h$i")), bits))
     val helper = Seq("_hk") ++ dims.indices.map(i => s"_h$i") ++
       dims.indices.flatMap(i => Seq(s"_mn$i", s"_mx$i"))
     scaled.repartitionByRange(files, col("_hk"))

@@ -107,11 +107,85 @@ object Wave54 {
        |FROM agg a JOIN plan USING (step)
        |ORDER BY step, nation""".stripMargin
 
+  // ------------------------------------------------------------- q316
+
+  private val MBits = 8 // 8 bits/dim: 24-bit 3-D Morton key
+  private val MCellShift = 4096L // key div 2^12 -> 4-bit/dim octree cells
+
+  /** 3-D Morton layout audit: the EXACT scaling + interleave arithmetic
+    * `Graft.writeClusteredLayout` clusters on for N>2 (single authority
+    * `functions.Morton`), hash-gated against DuckDB — the N-dim
+    * analogue of q128's 2-D Z-order gate. Each dim is scaled to the
+    * 8-bit grid with the writer's formula, the 24-bit key is cut into
+    * 4-bit-per-dim octree cells (key div 4096), and each cell reports
+    * its row count and per-dim scaled bounds — which PROVE locality:
+    * every cell's span is confined to its 16×16×16 box, exactly the
+    * property zone-map pruning buys skipping from. One scan + one
+    * bounded (≤4096-row) aggregate; the bounds scalars are a one-row
+    * broadcast. */
+  private def qMorton3Cells(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events").select(col("event_id"),
+      col("user_id"),
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+    val side = (1L << MBits) - 1
+    val mm = ev.agg(
+      min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+      min(col("vc")).as("mnv"), max(col("vc")).as("mxv"),
+      min(col("event_id")).as("mne"), max(col("event_id")).as("mxe"))
+    val scaled = ev.crossJoin(broadcast(mm)) // one-row bounds scalar
+      .withColumn("sx", expr(
+        s"(user_id - mnu) * $side div greatest(mxu - mnu, 1)"))
+      .withColumn("sy", expr(
+        s"(vc - mnv) * $side div greatest(mxv - mnv, 1)"))
+      .withColumn("sz", expr(
+        s"(event_id - mne) * $side div greatest(mxe - mne, 1)"))
+    scaled
+      .withColumn("mkey", graft.functions.Morton.key(
+        Seq(col("sx"), col("sy"), col("sz")), MBits))
+      .withColumn("cell", expr(s"mkey div $MCellShift"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("sx")).as("sx_min"), max(col("sx")).as("sx_max"),
+        min(col("sy")).as("sy_min"), max(col("sy")).as("sy_max"),
+        min(col("sz")).as("sz_min"), max(col("sz")).as("sz_max"))
+      .orderBy(col("cell"))
+  }
+
+  private val qMorton3CellsSql = {
+    val side = (1L << MBits) - 1
+    val morton = graft.functions.Morton.sql(Seq("sx", "sy", "sz"), MBits)
+    s"""WITH mm AS (
+       |  SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+       |    MIN(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS mnv,
+       |    MAX(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS mxv,
+       |    MIN(event_id) AS mne, MAX(event_id) AS mxe
+       |  FROM events),
+       |scaled AS (
+       |  SELECT
+       |    (user_id - mnu) * $side // greatest(mxu - mnu, 1) AS sx,
+       |    (CAST(floor(value * 100.0 + 0.5) AS BIGINT) - mnv) * $side
+       |      // greatest(mxv - mnv, 1) AS sy,
+       |    (event_id - mne) * $side // greatest(mxe - mne, 1) AS sz
+       |  FROM events, mm),
+       |keyed AS (SELECT sx, sy, sz, $morton AS mkey FROM scaled)
+       |SELECT mkey // $MCellShift AS cell,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(sx) AS sx_min, MAX(sx) AS sx_max,
+       |  MIN(sy) AS sy_min, MAX(sy) AS sy_max,
+       |  MIN(sz) AS sz_min, MAX(sz) AS sz_max
+       |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q315_analyzed_join" -> QueryDef(qAnalyzedJoin,
       Some(qAnalyzedJoinSql),
       "stats-driven join through the USER API: the q295 equi-depth " +
         "histogram estimate selects broadcast vs shuffle for the " +
         "filtered fact side (both branches exercised); estimate and " +
-        "decision hash-gated, executed plan pinned by AnalyzedJoinSpec"))
+        "decision hash-gated, executed plan pinned by AnalyzedJoinSpec"),
+    "q316_morton3_cells" -> QueryDef(qMorton3Cells,
+      Some(qMorton3CellsSql),
+      "3-D Morton layout audit: writeClusteredLayout's N>2 scaling + " +
+        "interleave arithmetic (single authority functions.Morton) " +
+        "hash-gated; octree cells prove per-dim locality bounds"))
 }

@@ -76,7 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q304_tpch_q11_important_parts", // 1-row nation-total scalar broadcast (Q11's scalar subquery)
     "q308_tpch_q15_top_supplier", // 1-row max-revenue scalar broadcast (Q15's correlated MAX)
     "q313_tpch_q22_sales_opportunity", // 1-row avg-balance scalar broadcast (Q22's scalar subquery)
-    "q314_cbo_planning_audit") // 1-row catalog-stat scalar broadcasts (n/min/max/hist/mcv/exact)
+    "q314_cbo_planning_audit", // 1-row catalog-stat scalar broadcasts (n/min/max/hist/mcv/exact)
+    "q316_morton3_cells") // 1-row per-dim min/max bounds scalar broadcast (the writer's stats pass)
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
