@@ -442,8 +442,12 @@ object Graft {
     val scaled = df.crossJoin(broadcast(mm)) // one-row bounds scalar
       .transform { base =>
         dims.zipWithIndex.foldLeft(base) { case (acc, (d, i)) =>
+          // scale in DECIMAL(38,0): the BIGINT form (range × 65535)
+          // silently wraps for dim ranges ≥ ~2^47 and would quietly
+          // destroy clustering quality (results stay exact only
+          // because the scan re-filters) — round-12 advisory
           acc.withColumn(s"_h$i", expr(
-            s"(CAST($d AS BIGINT) - _mn$i) * ${side - 1} " +
+            s"(CAST($d AS DECIMAL(38,0)) - _mn$i) * ${side - 1} " +
               s"div greatest(_mx$i - _mn$i, 1)"))
         }
       }
@@ -517,16 +521,34 @@ object Graft {
   def hilbertScan(spark: SparkSession, outDir: String,
       preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one (dim, lo, hi) predicate")
+    val zmDf = spark.read.parquet(s"$outDir/zonemap")
+    val fields = zmDf.schema.fieldNames.toSet
+    // Manifest back-compat (round-12 advisory): layouts written by the
+    // pre-N-dim writeHilbertLayout carry FIXED `xmin/xmax/ymin/ymax`
+    // columns (always 2-D, dimX→x / dimY→y in call order) instead of
+    // the current `<dim>_min`/`<dim>_max`. Map positionally for those —
+    // and because a legacy manifest records no dim names, demand both
+    // predicates so position is unambiguous.
+    val legacy = !fields.contains(s"${preds.head._1}_min") &&
+      fields.contains("xmin")
+    if (legacy) require(preds.size == 2,
+      "legacy 2-column zone map (xmin/xmax/ymin/ymax) records no dim " +
+        "names; probe it with exactly the two (dimX, dimY) predicates " +
+        "in write order")
+    def bounds(d: String, i: Int): (String, String) =
+      if (!legacy) (s"${d}_min", s"${d}_max")
+      else if (i == 0) ("xmin", "xmax") else ("ymin", "ymax")
     // bounded collect: the zone-map manifest has one row per data file,
     // capped by the `files` count chosen at write time (default 64)
-    val zm = spark.read.parquet(s"$outDir/zonemap").collect()
+    val zm = zmDf.collect()
     // bounds columns inherit the DATA's dim type (IntegerType dims are
     // accepted by writeClusteredLayout) — read via Number, not a Long cast
     def nl(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue()
     val hit = zm.filter { r =>
-      preds.forall { case (d, lo, hi) =>
-        nl(r, s"${d}_max") >= lo && nl(r, s"${d}_min") <= hi }
+      preds.zipWithIndex.forall { case ((d, lo, hi), i) =>
+        val (mn, mx) = bounds(d, i)
+        nl(r, mx) >= lo && nl(r, mn) <= hi }
     }.map(_.getAs[String]("file"))
     val result =
       if (hit.isEmpty) spark.read.parquet(s"$outDir/data").limit(0)

@@ -55,7 +55,7 @@ object Graphs {
   def invalidateStrongEdges(): Unit = {
     val it = strongEdgeCache.values().iterator()
     while (it.hasNext) {
-      try it.next().unpersist(blocking = false)
+      try graft.util.Pin.release(it.next())
       catch { case _: Throwable => () } // session may already be closed
     }
     strongEdgeCache.clear()

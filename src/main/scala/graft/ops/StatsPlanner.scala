@@ -41,7 +41,12 @@ object StatsPlanner {
       * guarded for single-value buckets). */
     def estimateGt(t: Long): Long = buckets.iterator.map { b =>
       if (b.lo > t) b.n
-      else if (b.hi > t) b.n * (b.hi - t) / math.max(b.hi - b.lo, 1L)
+      // straddle interpolation in BigInt: n × (hi − t) wraps a Long on
+      // wide sparse value domains (round-12 advisory) — Spark would
+      // wrap silently where DuckDB errors, so the decision could
+      // diverge from the q315 oracle's arithmetic
+      else if (b.hi > t)
+        (BigInt(b.n) * (b.hi - t) / BigInt(b.hi - b.lo).max(1)).toLong
       else 0L
     }.sum
   }
@@ -53,9 +58,12 @@ object StatsPlanner {
     * the only driver transfer is the B-row histogram. */
   def analyze(df: DataFrame, c: String, numBuckets: Int = 32): ColStats = {
     // pinned: consumed by BOTH the prefix-scan and the total — one
-    // fact scan, not two
+    // fact scan, not two. The long cast keeps the bucket-bounds
+    // collect type-stable for IntegerType columns (round-12 advisory:
+    // the 'one integer column' contract admits INT, and getAs[Long]
+    // on an INT bound would ClassCastException)
     val byVal = graft.util.Pin(
-      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt")))
+      df.groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("cnt")))
     val ranked = Ranks.prefixSum(byVal, Seq.empty, Seq(col("v")),
       col("cnt"), "cum")
     val nDf = byVal.agg(sum(col("cnt")).as("n"))

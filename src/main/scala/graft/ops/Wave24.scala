@@ -116,7 +116,7 @@ object Wave24 {
       val n = next.count()
       // next is eagerly materialized — drop the superseded pin (q270's
       // sf10 lesson: generations of pinned edge tables accumulate)
-      edges.unpersist(blocking = false)
+      graft.util.Pin.release(edges)
       stable = n == nEdges
       edges = next
       nEdges = n

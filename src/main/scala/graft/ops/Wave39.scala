@@ -57,12 +57,23 @@ object Wave39 {
     * peels unless the fixpoint lands earlier (q243's contract). */
   private val AdaptRounds = 8
 
+  /** Edge count past which the peel's generations pin DISK_ONLY
+    * instead of in-memory: two MEMORY_AND_DISK generations of the
+    * sf10 symmetric frame (239M rows) exhaust a 64 GiB heap
+    * mid-materialization (measured rounds 12-13), while every rung
+    * up to sf1 (≈2.4M directed edges) stays on the fast path. */
+  private val SpillEdges = 50000000L
+
   private def qKCoreAdaptive(s: SparkSession, dir: String): DataFrame = {
     // support-1 co-purchase graph through the battery-shared device
     val e = Graphs.strongEdges(s, dir, 1L)
-    val sym0 = graft.util.Pin(Graphs.symmetricEdges(e))
     // density-derived peel threshold (bounded scalars; E undirected)
     val nE = e.count()
+    // spill-safe pin for beyond-memory graphs (size-adaptive, like k)
+    def pin(df: org.apache.spark.sql.DataFrame) =
+      if (nE * 2 > SpillEdges) graft.util.Pin.spill(df)
+      else graft.util.Pin(df)
+    val sym0 = pin(Graphs.symmetricEdges(e))
     val nV = sym0.select(col("a")).distinct().count()
     val k = math.max(1L, if (nV == 0) 1L else nE / nV)
     var edges = sym0
@@ -72,17 +83,18 @@ object Wave39 {
     while (round < AdaptRounds && !stable) {
       val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a"))
-      val next = graft.util.Pin(edges
+      val next = pin(edges
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
       val n = next.count()
       // `next` is eagerly materialized, so the previous round's pin is
       // dead weight — at sf10 the support-1 graph is 239M directed
-      // rows, and holding 8 pinned generations OOMs a 64g heap (this
-      // round's measured failure); release each as soon as its
-      // successor exists.
-      edges.unpersist(blocking = false)
+      // rows, and holding 8 pinned generations OOMs a 64g heap;
+      // release each DETERMINISTICALLY as soon as its successor
+      // exists (Pin.release reaches the checkpoint RDD itself —
+      // Dataset.unpersist alone left reclamation to the GC cleaner).
+      graft.util.Pin.release(edges)
       stable = n == nEdges
       edges = next
       nEdges = n

@@ -46,6 +46,37 @@ object Pin {
     capStats(ck)
   }
 
+  /** Deterministic release of a pinned generation. Iterative loops
+    * used to call `Dataset.unpersist`, which frees CACHE-MANAGER
+    * entries but not the RDD-level blocks a local checkpoint holds —
+    * those waited on the GC-driven ContextCleaner, i.e. dead
+    * generations lingered until memory pressure happened to trigger a
+    * collection (the q270 sf10 failure shape). This walks the plan to
+    * the materialized `LogicalRDD` and unpersists the RDD itself; the
+    * `Dataset.unpersist` call stays for reliable-checkpoint frames
+    * that ARE cache-manager entries. */
+  def release(ds: Dataset[_], blocking: Boolean = false): Unit = {
+    ds.unpersist(blocking)
+    org.apache.spark.sql.GraftSqlInternal.unpersistPinned(ds, blocking)
+  }
+
+  /** [[apply]] with DISK_ONLY block storage — for frames too large to
+    * pin in block-store memory. The default local checkpoint holds
+    * MEMORY_AND_DISK blocks: materializing generation N+1 while
+    * generation N still occupies the heap is exactly how q270's sf10
+    * peel (239M-row symmetric edge list) exhausted a 64 GiB driver
+    * twice (rounds 12-13, OOM mid-materialization in the read-ahead
+    * path). DISK_ONLY blocks stream from executor-local disk, the
+    * heap stays free for the shuffles, `unpersist()` reclaims the
+    * files through the block manager (no checkpoint directory to
+    * garbage-collect, unlike the reliable mode), and lineage is
+    * truncated the same way. The extra read cost is the right trade
+    * only once the frame outgrows memory — callers gate on measured
+    * size (see Wave39's peel bound). */
+  def spill[T](df: Dataset[T]): Dataset[T] =
+    capStats(df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
   /** Checkpointing preserves the child plan's size-in-bytes ESTIMATE.
     * Inside an iterative join loop that estimate compounds — Catalyst's
     * size-only join stat is the BigInt PRODUCT of the children, so a

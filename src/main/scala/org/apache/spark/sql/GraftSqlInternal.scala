@@ -25,4 +25,20 @@ object GraftSqlInternal {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Release the block-store blocks behind a pinned (local-checkpointed)
+    * frame DETERMINISTICALLY. `Dataset.unpersist` only talks to the
+    * cache manager, and a local checkpoint's blocks are RDD-level
+    * persistence the cache manager never sees — so an iterative loop
+    * calling it actually relies on the GC-driven ContextCleaner to
+    * reclaim dead generations, which is exactly the nondeterminism that
+    * let q270's sf10 peel accumulate generations until the heap filled.
+    * Walking the analyzed plan for its `LogicalRDD` leaves reaches the
+    * materialized RDD itself. */
+  def unpersistPinned(ds: Dataset[_], blocking: Boolean): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

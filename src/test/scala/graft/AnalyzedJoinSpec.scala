@@ -75,10 +75,13 @@ class AnalyzedJoinSpec extends AnyFunSuite {
   test("histogram estimate tracks exact within the straddle bucket on both steps") {
     val st = StatsPlanner.analyze(ev, "vc")
     assert(st.n == ev.count())
-    // bucket counts partition the table and bounds are ordered
+    // bucket counts partition the table and bounds are NON-DECREASING
+    // in both endpoints (the equi-depth invariant — adjacent buckets
+    // may share only a straddling boundary VALUE; round-12 advisory:
+    // the old `a.hi <= b.lo || a.lo <= b.lo` was tautological)
     assert(st.buckets.map(_.n).sum == st.n)
     assert(st.buckets.sliding(2).forall {
-      case Seq(a, b) => a.hi <= b.lo || a.lo <= b.lo; case _ => true })
+      case Seq(a, b) => a.lo <= b.lo && a.hi <= b.hi; case _ => true })
     for (t <- Seq(24500L, 1000L)) {
       val exact = ev.filter(col("vc") > t).count()
       val est = st.estimateGt(t)

@@ -43,4 +43,27 @@ class CheckpointModeSpec extends AnyFunSuite {
     } finally
       saved.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
+
+  test("DISK_ONLY spill pin: identical rows, blocks on disk, reclaimed") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i.toLong, (i % 97).toLong))
+      .toDF("a", "b")
+    val pinned = graft.util.Pin.spill(df)
+    assert(pinned.collect().sortBy(_.getLong(0)).toSeq ==
+      df.collect().sortBy(_.getLong(0)).toSeq)
+    // truly DISK_ONLY: the materialized blocks live on disk, none in memory
+    def diskOnly() = spark.sparkContext.getRDDStorageInfo.filter(i =>
+      i.storageLevel.useDisk && !i.storageLevel.useMemory &&
+        i.diskSize > 0)
+    assert(diskOnly().nonEmpty,
+      s"expected a DISK_ONLY materialized RDD, got " +
+        spark.sparkContext.getRDDStorageInfo.toSeq)
+    pinned.unpersist(blocking = true)
+    assert(diskOnly().nonEmpty,
+      "Dataset.unpersist must NOT reach checkpoint blocks (cache-" +
+        "manager only) — if this starts reclaiming, Pin.release's " +
+        "rationale is stale")
+    graft.util.Pin.release(pinned, blocking = true)
+    assert(diskOnly().isEmpty, "Pin.release must reclaim the spilled blocks")
+  }
 }

@@ -103,4 +103,39 @@ class HilbertGraftApiSpec extends AnyFunSuite {
     assert(read2 <= 64 / 2,
       s"2-of-3 probe should skip half the files, read $read2 of 64")
   }
+
+  test("legacy xmin/ymin zone map (pre-N-dim writer) still scans") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hleg_").toString
+    val rng = new scala.util.Random(43)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, rng.nextInt(2000).toLong + 1, rng.nextInt(800).toLong + 1)
+    }.toDF("id", "pk", "sk")
+    // write the CURRENT layout, then rewrite the manifest in the
+    // round-11 fixed-name format a persisted pre-round-12 layout carries
+    api.Graft.writeHilbertLayout(df, "pk", "sk", s"$tmp/layout", files = 32)
+    val modern = spark.read.parquet(s"$tmp/layout/zonemap")
+    modern.select(col("file"), col("pk_min").as("xmin"),
+        col("pk_max").as("xmax"), col("sk_min").as("ymin"),
+        col("sk_max").as("ymax"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/layout/zonemap_legacy")
+    val legacyDir = java.nio.file.Paths.get(s"$tmp/layout/zonemap")
+    org.apache.commons.io.FileUtils.deleteDirectory(legacyDir.toFile)
+    org.apache.commons.io.FileUtils.moveDirectory(
+      java.nio.file.Paths.get(s"$tmp/layout/zonemap_legacy").toFile,
+      legacyDir.toFile)
+
+    val (result, read, total) = api.Graft.hilbertRectangleScan(
+      spark, s"$tmp/layout", "pk", 400L, 600L, "sk", 320L, 480L)
+    val expected = df.filter(col("pk").between(400L, 600L) &&
+      col("sk").between(320L, 480L))
+    assert(result.count() == expected.count())
+    assert(read < total, "legacy manifest must still prune")
+    // a legacy manifest records no dim names: a 1-pred probe would be
+    // positionally ambiguous and must be refused, not guessed
+    intercept[IllegalArgumentException] {
+      api.Graft.hilbertScan(spark, s"$tmp/layout", Seq(("sk", 1L, 2L)))
+    }
+  }
 }
