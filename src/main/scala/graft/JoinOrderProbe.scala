@@ -59,6 +59,16 @@ object JoinOrderProbe {
           if (p.plan == "broadcast") broadcast(filtered)
           else filtered.hint("merge"), d.joinCond)
       }
+    // the 100-TB regime: every dim OVER the broadcast cap, so each
+    // join is a sort-merge exchange and the intermediate a mis-order
+    // ships is REAL shuffled bytes — cap 0 pins all sides to shuffle
+    val (chosenSh, _) = graft.ops.StatsPlanner.orderedJoin(fact, dims,
+      maxBroadcastRows = 0L)
+    val worstSh = plans.sortBy(_.pos).reverse.foldLeft(fact) { (acc, p) =>
+      val d = dims.find(_.name == p.name).get
+      acc.join(d.dim.filter(col(d.filterCol) > d.gt).hint("merge"),
+        d.joinCond)
+    }
 
     def agg(df: DataFrame): (Long, java.math.BigDecimal) = {
       // bounded collect: one global aggregate row (count + sum scalar)
@@ -81,10 +91,15 @@ object JoinOrderProbe {
 
     val (tChosen, rChosen) = timeIt("chosen", chosen)
     val (tWorst, rWorst) = timeIt("worst", worst)
-    require(rChosen == rWorst, "orders disagree on the aggregate")
+    val (tChosenSh, rChosenSh) = timeIt("chosen_shuffle", chosenSh)
+    val (tWorstSh, rWorstSh) = timeIt("worst_shuffle", worstSh)
+    require(rChosen == rWorst && rChosen == rChosenSh &&
+      rChosen == rWorstSh, "orders disagree on the aggregate")
     println(s"""{"sfDir":"$sfDir","order_chosen":"${
       plans.sortBy(_.pos).map(_.name).mkString(">")}",""" +
-      s""""chosen_sec":$tChosen,"worst_sec":$tWorst}""")
+      s""""chosen_sec":$tChosen,"worst_sec":$tWorst,""" +
+      s""""chosen_shuffle_sec":$tChosenSh,""" +
+      s""""worst_shuffle_sec":$tWorstSh}""")
     spark.stop()
   }
 }
