@@ -37,7 +37,8 @@ object Registry {
       ops.Wave44.defs ++ ops.Wave45.defs ++ ops.Wave46.defs ++
       ops.Wave47.defs ++ ops.Wave48.defs ++ ops.Wave49.defs ++
       ops.Wave50.defs ++ ops.Wave51.defs ++ ops.Wave52.defs ++
-      ops.Wave53.defs ++ ops.Wave54.defs ++ ops.Wave55.defs
+      ops.Wave53.defs ++ ops.Wave54.defs ++ ops.Wave55.defs ++
+      ops.Wave56.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, d) => n -> d.build }.toMap

@@ -525,6 +525,20 @@ object Graft {
     graft.ops.StatsPlanner.orderedJoin(fact, dims, numBuckets,
       maxBroadcastRows)
 
+  /** Incremental ANALYZE (round-12 verdict stretch #8): fold an
+    * export over ONLY a new data slice into yesterday's persisted
+    * q295-shaped export — pure catalog-row arithmetic, no base
+    * re-scan. `slice` is ANALYZEd here ([[graft.ops.StatsPlanner
+    * .exportStats]]); pass the result anywhere a stats table is
+    * consumed ([[analyzedJoinFromStats]], [[skewedJoin]],
+    * [[orderedJoin]] via its per-dim analyze). q320 gates the merged
+    * estimates against a full recompute. */
+  def incrementalStats(oldStats: DataFrame, slice: DataFrame,
+      column: String, numBuckets: Int = 16, mcvK: Int = 4): DataFrame =
+    graft.ops.StatsPlanner.mergeStatsExports(oldStats,
+      graft.ops.StatsPlanner.exportStats(slice, column, numBuckets,
+        mcvK), column, numBuckets, mcvK)
+
   /** Rectangle scan over a [[writeHilbertLayout]] table: consult the
     * zone-map manifest, read ONLY the files whose bounds intersect the
     * rectangle, and apply the exact predicate on top. Returns the

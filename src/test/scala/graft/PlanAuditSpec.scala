@@ -94,7 +94,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q139_stream_scd2", "q145_stream_dedup_wm", "q152_stream_ivm",
     "q158_stream_outer_join", "q172_stream_complete_agg",
     "q272_stream_profile", // batch twin q263 carries the audited plan
-    "q286_stream_cms") // batch twin q285 carries the audited plan
+    "q286_stream_cms", // batch twin q285 carries the audited plan
+    "q319_stream_cbo_join") // per-batch plans audited via q315's batch
+    // twin (same analyzedJoinFromStats device, AnalyzedJoinSpec-pinned)
 
   test("no gate query plans an unbounded cartesian product") {
     val offenders = Registry.queries.toSeq
