@@ -22,6 +22,23 @@ class SoakSpec extends AnyFunSuite {
     assert(long("n_batches") > 1, report) // genuinely incremental
   }
 
+  test("wide-keyspace soak: keyspace larger than any batch, still converges") {
+    // test-scale stand-in for the 1M-key ladder (SOAK_keyscale_r13
+    // .json): 50k distinct keys against ~60k events, so almost every
+    // state-store access is a NEW key (the 100M-file-namespace shape)
+    // rather than an update of a hot one
+    val report = Soak.run(spark, durationSec = 20, ratePerSec = 3000,
+      keys = 50000, trigger = "1 second")
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(report).get.group(1).toLong
+    assert(long("events_injected") > 0, report)
+    assert(long("events_processed") == long("events_injected"), report)
+    assert(long("convergence_mismatches") == 0L, report)
+    // ~60k uniform draws over 50k keys: ≥65% coverage whp — the spec
+    // gates that the wide keyspace was actually exercised
+    assert(long("streamed_keys") > 30000L, report)
+  }
+
   test("crash soak: planted mid-batch kill, restart from checkpoint, converge") {
     // batch 2 writes HALF its rows then dies (offsets WAL'd, batch
     // uncommitted); the harness restarts from the same checkpoint while
