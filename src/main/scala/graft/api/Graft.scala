@@ -539,6 +539,20 @@ object Graft {
       graft.ops.StatsPlanner.exportStats(slice, column, numBuckets,
         mcvK), column, numBuckets, mcvK)
 
+  /** Stats staleness guard (round-11 CBO triad, leg (c)): compare the
+    * persisted export's row count against the live table; past
+    * `maxDriftPpm` drift, fold the `delta` slice in via the q320
+    * incremental merge and return the refreshed export, else the
+    * original untouched. Returns (stats to plan from, staleness
+    * verdict). q321 oracle-gates the drift arithmetic and the flipped
+    * decision; StaleStatsSpec pins the executed plans. */
+  def refreshIfStale(stats: DataFrame, column: String, fact: DataFrame,
+      delta: DataFrame, maxDriftPpm: Long = 200000L,
+      numBuckets: Int = 16, mcvK: Int = 4)
+      : (DataFrame, graft.ops.StatsPlanner.Staleness) =
+    graft.ops.StatsPlanner.refreshIfStale(stats, column, fact, delta,
+      maxDriftPpm, numBuckets, mcvK)
+
   /** Rectangle scan over a [[writeHilbertLayout]] table: consult the
     * zone-map manifest, read ONLY the files whose bounds intersect the
     * rectangle, and apply the exact predicate on top. Returns the

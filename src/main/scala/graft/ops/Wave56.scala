@@ -301,6 +301,134 @@ object Wave56 {
        |ORDER BY m.probe_idx""".stripMargin
   }
 
+  // ------------------------------------------------------------- q321
+
+  private val DriftPpmMax = 200000L // stale past 20% row drift
+
+  private def qStaleGuard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = load(s, dir, "events").select(
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"),
+      col("event_id").as("eid"))
+    val sliceA = ev.filter(pmod(col("eid"), lit(3)) =!= 0) // catalog epoch
+    val delta = ev.filter(pmod(col("eid"), lit(3)) === 0) // the new day
+    val statsA = StatsPlanner.exportStats(sliceA, "vc", B, McvK)
+    val statsFull = StatsPlanner.exportStats(ev, "vc", B, McvK)
+    val estA = StatsPlanner.fromStatsTable(statsA, "vc").estimateGt(T319)
+    // between the stale and refreshed estimates (full/slice ≈ 3/2), so
+    // the guard visibly flips the decision the stale catalog got wrong
+    val cap = 5L * estA / 4L
+    def dec(e: Long) = if (e <= cap) "broadcast" else "shuffle"
+    def scenario(name: String, stats: DataFrame) = {
+      val estCat = StatsPlanner.fromStatsTable(stats, "vc")
+        .estimateGt(T319)
+      val (used, st) = StatsPlanner.refreshIfStale(stats, "vc", ev,
+        delta, DriftPpmMax, B, McvK)
+      val estUsed = StatsPlanner.fromStatsTable(used, "vc")
+        .estimateGt(T319)
+      (name, st.nCatalog, st.nActual, st.driftPpm,
+        if (st.stale) 1L else 0L, estCat, dec(estCat), estUsed,
+        dec(estUsed), cap)
+    }
+    Seq(scenario("fresh", statsFull), scenario("stale", statsA))
+      .toDF("scenario", "n_catalog", "n_actual", "drift_ppm",
+        "was_stale", "est_catalog", "decision_catalog", "est_used",
+        "decision", "cap_rows")
+      .orderBy(col("scenario"))
+  }
+
+  /** The q320 merge chain over `hist_$a` + `hist_$b`, producing
+    * `mrg_$a$b` (merged buckets) and `ntot_$a$b` (total mass) —
+    * identical truncating-integer arithmetic to
+    * [[StatsPlanner.mergeHistograms]]. */
+  private def mergeCtes(a: String, b: String): String = {
+    val t = s"$a$b"
+    s"""bks_$t AS MATERIALIZED (
+       |  SELECT lo, hi, nb AS n FROM hist_$a WHERE nb > 0
+       |  UNION ALL SELECT lo, hi, nb FROM hist_$b WHERE nb > 0),
+       |xs_$t AS (SELECT DISTINCT x FROM
+       |  (SELECT lo AS x FROM bks_$t UNION SELECT hi AS x FROM bks_$t)),
+       |cdf_$t AS MATERIALIZED (
+       |  SELECT x, CAST(SUM(CASE WHEN x < lo THEN 0
+       |      WHEN x >= hi THEN n
+       |      ELSE n * (x - lo) // GREATEST(hi - lo, 1) END) AS BIGINT)
+       |    AS c
+       |  FROM xs_$t CROSS JOIN bks_$t GROUP BY x),
+       |segs_$t AS MATERIALIZED (
+       |  SELECT COALESCE(lag(x) OVER (ORDER BY x), x) AS x1, x AS x2,
+       |    COALESCE(lag(c) OVER (ORDER BY x), 0) AS c1, c AS c2
+       |  FROM cdf_$t),
+       |ntot_$t AS (SELECT MAX(c2) AS n FROM segs_$t),
+       |cuts_$t AS MATERIALIZED (
+       |  SELECT b AS j, b * n.n // $B AS blo, (b + 1) * n.n // $B AS bhi
+       |  FROM range(0, $B) t(b), ntot_$t n
+       |  WHERE (b + 1) * n.n // $B > b * n.n // $B),
+       |mlo_$t AS (
+       |  SELECT j, x1 + (x2 - x1) * (blo + 1 - c1) // GREATEST(c2 - c1, 1)
+       |    AS lo
+       |  FROM cuts_$t JOIN segs_$t ON c1 < blo + 1 AND blo + 1 <= c2),
+       |mhi_$t AS (
+       |  SELECT j, x1 + (x2 - x1) * (bhi - c1) // GREATEST(c2 - c1, 1)
+       |    AS hi, bhi - blo AS nb
+       |  FROM cuts_$t JOIN segs_$t ON c1 < bhi AND bhi <= c2),
+       |mrg_$t AS MATERIALIZED (
+       |  SELECT mlo_$t.j, lo, hi, nb
+       |  FROM mlo_$t JOIN mhi_$t ON mlo_$t.j = mhi_$t.j)""".stripMargin
+  }
+
+  private val qStaleGuardSql = {
+    val sa = histCte("sa",
+      "SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v " +
+        "FROM events WHERE event_id % 3 <> 0")
+    val sd = histCte("sd",
+      "SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v " +
+        "FROM events WHERE event_id % 3 = 0")
+    val sf = histCte("sf",
+      "SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v " +
+        "FROM events")
+    def estSel(hist: String) =
+      s"""SELECT CAST(SUM(CASE WHEN lo > $T319 THEN nb
+         |    WHEN hi > $T319 THEN nb * (hi - $T319) // GREATEST(hi - lo, 1)
+         |    ELSE 0 END) AS BIGINT)""".stripMargin + s" FROM $hist"
+    s"""WITH $sa,
+       |$sd,
+       |$sf,
+       |${mergeCtes("sa", "sd")},
+       |sc AS (
+       |  SELECT (SELECT n FROM n_sa) AS n_sa,
+       |    (SELECT n FROM n_sf) AS n_sf,
+       |    (${estSel("hist_sa")}) AS est_sa,
+       |    (${estSel("hist_sf")}) AS est_sf,
+       |    (${estSel("mrg_sasd")}) AS est_m),
+       |rows_out AS (
+       |  SELECT 'fresh' AS scenario, n_sf AS n_catalog, n_sf AS n_actual,
+       |    CAST(0 AS BIGINT) AS drift_ppm, CAST(0 AS BIGINT) AS was_stale,
+       |    est_sf AS est_catalog,
+       |    CASE WHEN est_sf <= 5 * est_sa // 4 THEN 'broadcast'
+       |      ELSE 'shuffle' END AS decision_catalog,
+       |    est_sf AS est_used,
+       |    CASE WHEN est_sf <= 5 * est_sa // 4 THEN 'broadcast'
+       |      ELSE 'shuffle' END AS decision,
+       |    5 * est_sa // 4 AS cap_rows
+       |  FROM sc
+       |  UNION ALL
+       |  SELECT 'stale', n_sa, n_sf,
+       |    CAST(abs(n_sf - n_sa) * 1000000 // n_sa AS BIGINT),
+       |    CASE WHEN abs(n_sf - n_sa) * 1000000 // n_sa > $DriftPpmMax
+       |      THEN 1 ELSE 0 END,
+       |    est_sa,
+       |    CASE WHEN est_sa <= 5 * est_sa // 4 THEN 'broadcast'
+       |      ELSE 'shuffle' END,
+       |    est_m,
+       |    CASE WHEN est_m <= 5 * est_sa // 4 THEN 'broadcast'
+       |      ELSE 'shuffle' END,
+       |    5 * est_sa // 4
+       |  FROM sc)
+       |SELECT scenario, n_catalog, n_actual, drift_ppm, was_stale,
+       |  est_catalog, decision_catalog, est_used, decision, cap_rows
+       |FROM rows_out ORDER BY scenario""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q319_stream_cbo_join" -> QueryDef(qStreamCbo, Some(qStreamCboSql),
       "streaming analyzed join: each micro-batch re-reads the " +
@@ -313,5 +441,12 @@ object Wave56 {
         "delta-slice histogram by pure B-row integer arithmetic (no " +
         "base re-scan); merged vs recomputed estimates gated at nine " +
         "probes with integer-ppm error; MergeStatsSpec bounds the " +
-        "tolerance"))
+        "tolerance"),
+    "q321_stale_stats_guard" -> QueryDef(qStaleGuard, Some(qStaleGuardSql),
+      "stats staleness guard: catalog row count vs live count in " +
+        "integer ppm; past 20% drift the q320 incremental merge " +
+        "refreshes the export before planning, flipping the " +
+        "under-provisioned broadcast the stale catalog chose to the " +
+        "safe shuffle; drift, staleness, both estimates and both " +
+        "decisions hash-gated; StaleStatsSpec pins the executed plans"))
 }
