@@ -54,9 +54,20 @@ object Components {
     val spark = edges.sparkSession
     val src = edges.columns(0)
     val dst = edges.columns(1)
-    val both = edges.select(col(src).as("eSrc"), col(dst).as("eDst"))
-      .union(edges.select(col(dst).as("eSrc"), col(src).as("eDst")))
+    // Pin the DIRECTED edges before symmetrizing: the union's two
+    // branches are independent subtrees to Catalyst (no common-
+    // subexpression elimination across union arms), so pinning only
+    // the union evaluates the caller's edge pipeline — typically an
+    // unpinned candidate-join + verify, the most expensive stage of
+    // every dedup/ER query — TWICE in one job (measured on q291: the
+    // fuzzy-verify subtree ran 2×). One pin of the directed list makes
+    // the reversal a cheap rescan of materialized blocks.
+    val directed = graft.util.Pin(
+      edges.select(col(src).as("eSrc"), col(dst).as("eDst")))
+    val both = directed
+      .union(directed.select(col("eDst").as("eSrc"), col("eSrc").as("eDst")))
       .transform(graft.util.Pin.apply)
+    graft.util.Pin.release(directed)
     // Size the per-round shuffles to the GRAPH, not the session's
     // corpus-scale default: the verified-pair graph is orders of
     // magnitude smaller than the corpus it came from, and a 32-way

@@ -126,14 +126,21 @@ object Graphs {
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val w = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
+    // Pin the weighted pair aggregate BEFORE fanning it out: it feeds
+    // the union twice AND deg AND the deg join — without the pin the
+    // lineitem⋈orders shuffle+aggregate subtree is evaluated 4× inside
+    // the one job that materializes `edges` (union arms and join sides
+    // are independent subtrees to Catalyst; no cross-branch CSE).
+    val w = graft.util.Pin(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w")))
     val edges0 = w.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
       .unionAll(w.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
     val deg = edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
     // one materialization feeds every iteration's join
     val edges = edges0.join(deg, "src").transform(graft.util.Pin.apply)
+    graft.util.Pin.release(w) // superseded by the pinned edge table
     val nodes = edges.select(col("src").as("node")).distinct()
       .transform(graft.util.Pin.apply)
     val n = nodes.count()
